@@ -125,6 +125,22 @@ class CabacEncoder:
         if signed and abs_value != 0:
             self.bypass(1 if sign < 0 else 0)
 
+    # -- raw writes + re-init (I_PCM path, spec 9.3.1.2) ----------------------
+    def byte_align(self) -> None:
+        while len(self.out) % 8:
+            self.out.append(0)
+
+    def write_raw(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.out.append((v >> i) & 1)
+
+    def reinit_engine(self) -> None:
+        assert len(self.out) % 8 == 0
+        self.low = 0
+        self.range = 510
+        self.bits_outstanding = 0
+        self.first_bit = True
+
     # -- output ---------------------------------------------------------------
     def get_bits(self) -> list:
         """Bitstring after terminate(1); includes rbsp stop bit."""

@@ -1,0 +1,94 @@
+"""Slice/frame assembly for the fixture encoder."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..avc import SPS, PPS, NalUnit, NalUnitType, to_annexb
+from ..avc.slice_header import SliceHeader
+from ..bitio import BitWriter
+from ..cabac.encoder import CabacEncoder
+from ..cabac.syntax import SliceCoder
+
+
+def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
+                    transform_8x8: bool = False, qp: int = 26,
+                    chroma_qp_offset: int = 0,
+                    crop=None) -> tuple[SPS, PPS]:
+    sps = SPS(
+        profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
+        level_idc=40,
+        pic_width_in_mbs_minus1=mb_w - 1,
+        pic_height_in_map_units_minus1=mb_h - 1,
+        pic_order_cnt_type=2,
+        max_num_ref_frames=1,
+    )
+    if crop is not None:
+        from ..avc.sps import FrameCropping
+        sps.frame_cropping = FrameCropping(*crop)
+    pps = PPS(
+        entropy_coding_mode_flag=1,
+        pic_init_qp_minus26=qp - 26,
+        chroma_qp_index_offset=chroma_qp_offset,
+        transform_8x8_mode_flag=1 if transform_8x8 else 0,
+        second_chroma_qp_index_offset=chroma_qp_offset if transform_8x8 else None,
+    )
+    return sps, pps
+
+
+def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
+                      slice_id: int, *, qp_delta: int = 0, idr: bool = True,
+                      frame_num: int = 0, idr_pic_id: int = 0,
+                      pic_order_cnt_lsb: int = 0) -> NalUnit:
+    """Encode one I slice covering `mb_list` starting at `first_mb`.
+
+    mbs_frame: frame-wide MBState list (shared across slices for correct
+    cross-slice unavailability)."""
+    h = SliceHeader(
+        first_mb_in_slice=first_mb,
+        slice_type_code=7,  # I, all_slices_same_type
+        pic_parameter_set_id=pps.pic_parameter_set_id,
+        frame_num=frame_num,
+        idr_pic_id=idr_pic_id,
+        pic_order_cnt_lsb=pic_order_cnt_lsb,
+        slice_qp_delta=qp_delta,
+    )
+    w = BitWriter()
+    h.write(w, sps, pps, idr, nal_ref_idc=3)
+    w.byte_align(fill=1)  # cabac_alignment_one_bit
+
+    eng = CabacEncoder(h.slice_qp_y(pps), init_mode=0)
+    coder = SliceCoder(eng, sps, pps, h, mbs_frame, slice_id)
+    coder.encode_slice_data(mb_list)
+    for b in eng.get_bits():
+        w.bit(b)
+    w.byte_align(fill=0)
+    rbsp = w.bytes()
+    typ = NalUnitType.IDR_SLICE if idr else NalUnitType.NON_IDR_SLICE
+    return NalUnit.build(3, typ, rbsp)
+
+
+def encode_frame_annexb(sps: SPS, pps: PPS, mb_rows_per_slice, mb_list,
+                        **kw) -> bytes:
+    """Assemble SPS+PPS+slice NALs into an Annex-B stream.
+
+    mb_rows_per_slice: None for a single slice, else number of MB rows per
+    slice (multi-slice fixture)."""
+    mb_w = sps.pic_width_in_mbs
+    mb_h = sps.frame_height_in_mbs
+    n = mb_w * mb_h
+    assert len(mb_list) == n
+    nals = [
+        NalUnit.build(3, NalUnitType.SPS, sps.write()),
+        NalUnit.build(3, NalUnitType.PPS, pps.write()),
+    ]
+    mbs_frame = [None] * n
+    if mb_rows_per_slice is None:
+        bounds = [0, n]
+    else:
+        step = mb_rows_per_slice * mb_w
+        bounds = list(range(0, n, step)) + [n]
+    for sid in range(len(bounds) - 1):
+        lo, hi = bounds[sid], bounds[sid + 1]
+        nals.append(encode_islice_nal(
+            sps, pps, mbs_frame, mb_list[lo:hi], lo, sid, **kw))
+    return to_annexb(nals)
