@@ -222,10 +222,14 @@ class SliceCoder:
         mb.transform8x8 = self._bin(ctx, mb.transform8x8 if self.encoding else None)
 
     def intra4x4_pred_modes(self, mb: MBState):
-        """prev_intra4x4_pred_mode_flag / rem (spec 8.3.1.1 derivation)."""
+        """prev_intra4x4_pred_mode_flag / rem (spec 8.3.1.1 derivation).
+
+        dcPredModePredictedFlag: if either neighbor is unavailable, BOTH
+        sides are forced to DC before the min()."""
         for blk in range(16):
-            pred = min(self._nb_intra_mode4(blk, "A"),
-                       self._nb_intra_mode4(blk, "B"))
+            ma = self._nb_intra_mode4(blk, "A")
+            mb_b = self._nb_intra_mode4(blk, "B")
+            pred = 2 if ma is None or mb_b is None else min(ma, mb_b)
             if self.encoding:
                 mode = int(mb.intra4x4_modes[blk])
                 if mode == pred:
@@ -246,8 +250,9 @@ class SliceCoder:
 
     def intra8x8_pred_modes(self, mb: MBState):
         for blk in range(4):
-            pred = min(self._nb_intra_mode8(blk, "A"),
-                       self._nb_intra_mode8(blk, "B"))
+            ma = self._nb_intra_mode8(blk, "A")
+            mb_b = self._nb_intra_mode8(blk, "B")
+            pred = 2 if ma is None or mb_b is None else min(ma, mb_b)
             if self.encoding:
                 mode = int(mb.intra8x8_modes[blk])
                 if mode == pred:
@@ -266,12 +271,17 @@ class SliceCoder:
                         rem |= self._bin(T.CTX_REM_INTRA_PRED_MODE) << i
                     mb.intra8x8_modes[blk] = rem if rem < pred else rem + 1
 
-    def _nb_intra_mode4(self, blk: int, d: str) -> int:
-        """IntraMxMPredModeN for a 4x4 block neighbor (spec 8.3.1.1)."""
+    def _nb_intra_mode4(self, blk: int, d: str):
+        """IntraMxMPredModeN for a 4x4 block neighbor (spec 8.3.1.1).
+
+        Returns None when the neighbor MB is unavailable (caller forces DC
+        for both sides), else the neighbor mode."""
         nb, nb_blk = self.nb_blk4(d, blk)
         if nb is self.cur_mb():
             return int(nb.intra4x4_modes[nb_blk])
-        if not nb.available or nb.kind != MbKind.I_NXN:
+        if not nb.available:
+            return None
+        if nb.kind != MbKind.I_NXN:
             return 2  # DC
         if nb.transform8x8:
             return int(nb.intra8x8_modes[nb_blk >> 2])
@@ -286,7 +296,9 @@ class SliceCoder:
         nb, nb_blk8 = self.nb_blk8(d, blk)
         if nb is self.cur_mb():
             return int(nb.intra8x8_modes[nb_blk8])
-        if not nb.available or nb.kind != MbKind.I_NXN:
+        if not nb.available:
+            return None
+        if nb.kind != MbKind.I_NXN:
             return 2  # DC
         if nb.transform8x8:
             return int(nb.intra8x8_modes[nb_blk8])

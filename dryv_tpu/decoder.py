@@ -1,0 +1,148 @@
+"""Decoder facade: byte stream -> syntax -> reconstruction -> YUV planes.
+
+Mirrors the reference's Decoder::decode_sample orchestration
+(src/video/decoder.rs:87-150) with the TPU-native split: entropy decode
+fills dense per-frame syntax, reconstruction runs as a separate stage
+(scalar refimpl here; the JAX/Pallas pipeline consumes the same syntax).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .avc import NalUnit, NalUnitType, SPS, PPS, split_annexb, split_avcc
+from .avc.slice_header import SliceHeader, SliceType
+from .cabac.engine import CabacDecoder
+from .cabac.syntax import SliceCoder, MBState
+from .refimpl.recon import FrameRecon
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    poc: int = 0
+
+    def crop(self, sps: SPS):
+        """Apply frame cropping (spec 7.4.2.1.1) — reference leaves this
+        unimplemented (README.md:13 'Frame cropping' unchecked)."""
+        fc = sps.frame_cropping
+        if not fc:
+            return self
+        sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[sps.chroma_array_type]
+        sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[sps.chroma_array_type]
+        l, r = fc.left * sub_w, fc.right * sub_w
+        t, b = fc.top * sub_h, fc.bottom * sub_h
+        H, W = self.y.shape
+        y = self.y[t:H - b, l:W - r]
+        cb = cr = None
+        if self.cb is not None:
+            cl, cr_ = fc.left, fc.right
+            ct, cbm = fc.top, fc.bottom
+            ch, cw = self.cb.shape
+            cb = self.cb[ct:ch - cbm, cl:cw - cr_]
+            cr = self.cr[ct:ch - cbm, cl:cw - cr_]
+        return DecodedFrame(y, cb, cr, self.poc)
+
+
+class SyntaxDecoder:
+    """Entropy/syntax stage: NAL units -> per-frame MBState arrays."""
+
+    def __init__(self):
+        self.sps_map: dict[int, SPS] = {}
+        self.pps_map: dict[int, PPS] = {}
+
+    def feed_parameter_sets(self, nals):
+        rest = []
+        for nal in nals:
+            if nal.type == NalUnitType.SPS:
+                sps = SPS.parse(nal.rbsp)
+                self.sps_map[sps.seq_parameter_set_id] = sps
+            elif nal.type == NalUnitType.PPS:
+                # PPS needs its SPS for scaling-list fallback; resolved lazily
+                rbsp = nal.rbsp
+                pps = PPS.parse(rbsp, None)
+                sps = self.sps_map.get(pps.seq_parameter_set_id)
+                if sps is not None and sps.profile_idc in (100, 110, 122, 244):
+                    pps = PPS.parse(rbsp, sps)
+                self.pps_map[pps.pic_parameter_set_id] = pps
+            else:
+                rest.append(nal)
+        return rest
+
+    def decode_picture_syntax(self, slice_nals):
+        """Decode all slices of one picture; returns (sps, pps, mbs, headers)."""
+        mbs = None
+        sps = pps = None
+        headers = []
+        for sid, nal in enumerate(slice_nals):
+            rbsp = nal.rbsp
+            # parse header with the right PPS
+            # (peek pic_parameter_set_id: parse once against any PPS is fine
+            # since the header fields up to pps id don't depend on it)
+            probe_pps = next(iter(self.pps_map.values()))
+            probe_sps = next(iter(self.sps_map.values()))
+            h0 = SliceHeader.parse(rbsp, nal, probe_sps, probe_pps)
+            pps = self.pps_map[h0.pic_parameter_set_id]
+            sps = self.sps_map[pps.seq_parameter_set_id]
+            h = SliceHeader.parse(rbsp, nal, sps, pps)
+            headers.append(h)
+            if not h.slice_type.is_intra:
+                raise NotImplementedError(
+                    "P/B slice reconstruction (reference frame/mod.rs:88 "
+                    "todo!('Inter prediction'))")
+            if mbs is None:
+                mbs = [None] * (sps.pic_width_in_mbs * sps.frame_height_in_mbs)
+            if not pps.entropy_coding_mode_flag:
+                raise NotImplementedError(
+                    "CAVLC macroblock layer (reference slice/mod.rs:299 todo!)")
+            entropy_start = (h.header_bit_len + 7) & ~7  # cabac alignment
+            eng = CabacDecoder(rbsp, entropy_start, h.slice_qp_y(pps),
+                               init_mode=0)
+            coder = SliceCoder(eng, sps, pps, h, mbs, sid)
+            coder.decode_slice_data()
+        return sps, pps, mbs, headers
+
+
+def group_access_units(nals):
+    """Group slice NALs into pictures by first_mb_in_slice == 0 boundaries."""
+    pics = []
+    cur = []
+    for nal in nals:
+        if nal.type in (NalUnitType.IDR_SLICE, NalUnitType.NON_IDR_SLICE):
+            # cheap AU boundary: slice with first_mb 0 starts a new picture
+            first_mb_zero = _first_mb_is_zero(nal)
+            if first_mb_zero and cur:
+                pics.append(cur)
+                cur = []
+            cur.append(nal)
+    if cur:
+        pics.append(cur)
+    return pics
+
+
+def _first_mb_is_zero(nal) -> bool:
+    from .bitio import BitReader
+    r = BitReader(nal.rbsp)
+    return r.ue() == 0
+
+
+def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
+    """Full scalar decode of an Annex-B stream (correctness path)."""
+    sd = SyntaxDecoder()
+    nals = list(split_annexb(stream))
+    rest = sd.feed_parameter_sets(nals)
+    frames = []
+    for pic_nals in group_access_units(rest):
+        sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
+        recon = FrameRecon(sps, pps)
+        for addr, mb in enumerate(mbs):
+            if mb is None:
+                raise ValueError(f"macroblock {addr} not covered by any slice")
+            recon.recon_mb(mb, addr, mb.slice_id)
+        frames.append(DecodedFrame(recon.y, recon.cb, recon.cr).crop(sps))
+        if max_frames and len(frames) >= max_frames:
+            break
+    return frames

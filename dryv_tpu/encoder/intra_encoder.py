@@ -1,0 +1,392 @@
+"""Intra fixture encoder: mode decision, forward quantization, reconstruction.
+
+Quantization inverts the exact integer dequant+IDCT linear maps numerically
+(least squares on the decoder's own basis responses), so any QP, block size
+and scaling list is supported without forward-transform tables.  Rate
+optimality is irrelevant for fixtures — any integer levels are conformant;
+what matters is that mode coverage is broad and the bitstream is valid.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac.syntax import MBState, MbKind
+from ..avc.neighbors import ZSCAN_4X4_POS
+from ..avc.sps import ZIGZAG_4X4, ZIGZAG_8X8
+from ..refimpl import intra as ip
+from ..refimpl.recon import FrameRecon, dezigzag4, dezigzag8
+from ..refimpl.transform import (
+    dequant_idct_4x4,
+    dequant_idct_8x8,
+    idct_chroma_dc,
+    idct_dc_16x16,
+    qpc_from_qpy,
+)
+
+
+def _basis_map(decode_fn, n: int) -> np.ndarray:
+    """Numerically derive the levels->residual linear map of a decode fn."""
+    M = np.zeros((n, n), dtype=np.float64)
+    K = 64
+    for k in range(n):
+        e = np.zeros(n, dtype=np.int64)
+        e[k] = K
+        rp = decode_fn(e).astype(np.float64)
+        e[k] = -K
+        rm = decode_fn(e).astype(np.float64)
+        M[:, k] = (rp - rm) / (2 * K)
+    return M
+
+
+class QuantMaps:
+    """Per-QP inverse maps, lazily cached."""
+
+    def __init__(self, recon: FrameRecon):
+        self.recon = recon
+        self._cache = {}
+
+    def _get(self, key, build):
+        if key not in self._cache:
+            self._cache[key] = build()
+        return self._cache[key]
+
+    def inv4(self, qp: int, comp: int) -> np.ndarray:
+        ls4 = self.recon.ls4[comp]
+
+        def build():
+            def dec(levels):
+                c = levels.reshape(4, 4)
+                return dequant_idct_4x4(c, qp, ls4, False).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 16))
+        return self._get(("i4", qp, comp), build)
+
+    def inv4_dcpass(self, qp: int, comp: int) -> np.ndarray:
+        """Map with slot (0,0) = direct d00 value, others = AC levels."""
+        ls4 = self.recon.ls4[comp]
+
+        def build():
+            def dec(levels):
+                c = levels.reshape(4, 4)
+                return dequant_idct_4x4(c, qp, ls4, True).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 16))
+        return self._get(("i4dc", qp, comp), build)
+
+    def inv8(self, qp: int) -> np.ndarray:
+        ls8 = self.recon.ls8[0]
+
+        def build():
+            def dec(levels):
+                return dequant_idct_8x8(levels.reshape(8, 8), qp, ls8).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 64))
+        return self._get(("i8", qp), build)
+
+    def inv_dc16(self, qp: int) -> np.ndarray:
+        ls4 = self.recon.ls4[0]
+
+        def build():
+            def dec(levels):
+                return idct_dc_16x16(levels.reshape(4, 4), qp, ls4).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 16))
+        return self._get(("dc16", qp), build)
+
+    def inv_dcc(self, qp: int, comp: int) -> np.ndarray:
+        ls4 = self.recon.ls4[comp]
+
+        def build():
+            def dec(levels):
+                return idct_chroma_dc(levels.reshape(2, 2), qp, ls4, 1).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 4))
+        return self._get(("dcc", qp, comp), build)
+
+
+def _round_levels(v: np.ndarray, deadzone: float = 0.0) -> np.ndarray:
+    out = np.round(np.where(np.abs(v) < deadzone, 0.0, v))
+    return np.clip(out, -3000, 3000).astype(np.int64)
+
+
+MODES_NEED_ABOVE = {ip.M4_V, ip.M4_DDL, ip.M4_VL}
+MODES_NEED_LEFT = {ip.M4_H, ip.M4_HU}
+MODES_NEED_ALL = {ip.M4_DDR, ip.M4_VR, ip.M4_HD}
+
+
+class IntraEncoder:
+    """Encodes one I frame: fills MBState records and maintains the
+    reconstruction state for prediction feedback."""
+
+    def __init__(self, sps, pps, qp: int, mb_kind_policy=None,
+                 deadzone: float = 0.2):
+        self.sps, self.pps = sps, pps
+        self.recon = FrameRecon(sps, pps)
+        self.q = QuantMaps(self.recon)
+        self.qp = qp
+        self.deadzone = deadzone
+        self.policy = mb_kind_policy or (lambda addr: "i16" if addr % 3 == 0
+                                         else "i4")
+
+    def encode_frame(self, src_y, src_cb, src_cr, slice_bounds=None):
+        """Returns list[MBState].  slice_bounds: list of first_mb addrs."""
+        R = self.recon
+        n = R.mb_w * R.mb_h
+        slice_bounds = slice_bounds or [0]
+        mbs = []
+        for addr in range(n):
+            sid = sum(1 for b in slice_bounds if b <= addr) - 1
+            kind = self.policy(addr)
+            mb = MBState.fresh()
+            mb.qp_y = self.qp
+            if kind == "pcm":
+                self._encode_pcm(mb, addr, sid, src_y, src_cb, src_cr)
+            elif kind == "i16":
+                self._encode_i16(mb, addr, sid, src_y)
+            elif kind == "i8":
+                self._encode_i8(mb, addr, sid, src_y)
+            else:
+                self._encode_i4(mb, addr, sid, src_y)
+            if mb.kind != MbKind.I_PCM and R.chroma_array_type:
+                self._encode_chroma(mb, addr, sid, src_cb, src_cr)
+                R._recon_chroma(mb, addr % R.mb_w, addr // R.mb_w, sid, 255)
+            R.mb_done[addr // R.mb_w, addr % R.mb_w] = True
+            mbs.append(mb)
+        # qp_delta chain: constant QP => all deltas 0 except... slice QP is
+        # already self.qp, so deltas stay 0.
+        return mbs
+
+    # ------------------------------------------------------------------
+    def _mark_mb(self, addr, sid):
+        R = self.recon
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        R.mb_slice[my, mx] = sid
+        R.mb_intra[my, mx] = True
+
+    def _encode_pcm(self, mb, addr, sid, src_y, src_cb, src_cr):
+        R = self.recon
+        self._mark_mb(addr, sid)
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        x0, y0 = mx * 16, my * 16
+        mb.kind = MbKind.I_PCM
+        mb.pcm_luma = src_y[y0:y0 + 16, x0:x0 + 16].reshape(-1).astype(np.int64)
+        if R.chroma_array_type:
+            ch = 8 * R.chroma_array_type
+            cy = my * ch
+            mb.pcm_chroma = np.stack([
+                src_cb[cy:cy + ch, mx * 8:mx * 8 + 8].reshape(-1),
+                src_cr[cy:cy + ch, mx * 8:mx * 8 + 8].reshape(-1),
+            ]).astype(np.int64)
+        R.recon_mb(mb, addr, sid)
+
+    def _encode_i16(self, mb, addr, sid, src_y):
+        R = self.recon
+        self._mark_mb(addr, sid)
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        x0, y0 = mx * 16, my * 16
+        mb.kind = MbKind.I_16X16
+        src = src_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
+        avail_a = R.mb_avail(mx - 1, my, sid)
+        avail_b = R.mb_avail(mx, my - 1, sid)
+        avail_d = R.mb_avail(mx - 1, my - 1, sid)
+        above = R.y[y0 - 1, x0:x0 + 16] if avail_b else np.zeros(16, np.int64)
+        left = R.y[y0:y0 + 16, x0 - 1] if avail_a else np.zeros(16, np.int64)
+        corner = int(R.y[y0 - 1, x0 - 1]) if avail_d else 0
+        cand = [ip.M16_DC]
+        if avail_b:
+            cand.append(ip.M16_V)
+        if avail_a:
+            cand.append(ip.M16_H)
+        if avail_a and avail_b and avail_d:
+            cand.append(ip.M16_PLANE)
+        best, best_sad, best_pred = None, None, None
+        for m in cand:
+            pred = ip.pred16x16(m, above, left, corner, avail_a, avail_b,
+                                avail_d)
+            sad = np.abs(src - pred).sum()
+            if best_sad is None or sad < best_sad:
+                best, best_sad, best_pred = m, sad, pred
+        mb.i16_pred_mode = best
+        resid = src - best_pred
+        qp = self.qp
+        inv = self.q.inv4_dcpass(qp, 0)
+        d00 = np.zeros((4, 4), dtype=np.float64)
+        ac_levels = np.zeros((16, 16), dtype=np.int64)
+        for blk in range(16):
+            ox, oy = ZSCAN_4X4_POS[blk]
+            r = resid[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4].reshape(-1)
+            v = inv @ r
+            d00[oy, ox] = v.reshape(4, 4)[0, 0]
+            lv = _round_levels(v, self.deadzone)
+            lv.reshape(4, 4)[0, 0] = 0
+            ac_levels[blk] = lv
+        dc_levels = _round_levels(self.q.inv_dc16(qp) @ d00.reshape(-1)
+                                  ).reshape(4, 4)
+        mb.luma_dc[:] = dc_levels.reshape(-1)[ZIGZAG_4X4]
+        ac_any = False
+        for blk in range(16):
+            zz = ac_levels[blk].reshape(-1)[ZIGZAG_4X4]
+            mb.luma4[blk][:15] = zz[1:]
+            if np.any(zz[1:]):
+                ac_any = True
+        mb.cbp = 0x0F if ac_any else 0
+        # reconstruct luma
+        R._recon_i16(mb, mx, my, sid, qp, 255)
+
+    def _encode_i4(self, mb, addr, sid, src_y):
+        R = self.recon
+        self._mark_mb(addr, sid)
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        mb.kind = MbKind.I_NXN
+        mb.transform8x8 = 0
+        qp = self.qp
+        inv = self.q.inv4(qp, 0)
+        cbp_luma = 0
+        for blk in range(16):
+            ox, oy = ZSCAN_4X4_POS[blk]
+            bx, by = mx * 4 + ox, my * 4 + oy
+            x0, y0 = bx * 4, by * 4
+            src = src_y[y0:y0 + 4, x0:x0 + 4].astype(np.int64)
+            above, left, corner, aa, ab, ac, ad = R._luma_window4(bx, by, sid)
+            cand = [ip.M4_DC]
+            if ab:
+                cand += [m for m in MODES_NEED_ABOVE]
+            if aa:
+                cand += [m for m in MODES_NEED_LEFT]
+            if aa and ab and ad:
+                cand += [m for m in MODES_NEED_ALL]
+            best, best_sad, best_pred = None, None, None
+            for m in sorted(cand):
+                pred = ip.pred4x4(m, above, left, corner, aa, ab, ac, ad)
+                sad = np.abs(src - pred).sum()
+                if best_sad is None or sad < best_sad:
+                    best, best_sad, best_pred = m, sad, pred
+            mb.intra4x4_modes[blk] = best
+            lv = _round_levels(inv @ (src - best_pred).reshape(-1),
+                               self.deadzone)
+            if np.any(lv):
+                cbp_luma |= 1 << (blk >> 2)
+            mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
+            # reconstruct
+            r = dequant_idct_4x4(lv.reshape(4, 4), qp, R.ls4[0], False)
+            u = np.clip(best_pred + r, 0, 255)
+            R.y[y0:y0 + 4, x0:x0 + 4] = u
+            R.blk_done[by, bx] = True
+        # drop coefficients of 8x8 groups whose cbp bit is 0 (already zero)
+        mb.cbp = cbp_luma
+
+    def _encode_i8(self, mb, addr, sid, src_y):
+        R = self.recon
+        self._mark_mb(addr, sid)
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        mb.kind = MbKind.I_NXN
+        mb.transform8x8 = 1
+        qp = self.qp
+        inv = self.q.inv8(qp)
+        cbp_luma = 0
+        for blk in range(4):
+            ox, oy = blk & 1, blk >> 1
+            x0, y0 = mx * 16 + ox * 8, my * 16 + oy * 8
+            src = src_y[y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+            avail_a = R.luma_avail(x0 - 1, y0, sid)
+            avail_b = R.luma_avail(x0, y0 - 1, sid)
+            avail_c = R.luma_avail(x0 + 8, y0 - 1, sid)
+            avail_d = R.luma_avail(x0 - 1, y0 - 1, sid)
+            above = np.zeros(16, dtype=np.int64)
+            left = np.zeros(8, dtype=np.int64)
+            corner = 0
+            if avail_b:
+                above[:8] = R.y[y0 - 1, x0:x0 + 8]
+                above[8:] = R.y[y0 - 1, x0 + 8:x0 + 16] if avail_c else above[7]
+            if avail_a:
+                left[:] = R.y[y0:y0 + 8, x0 - 1]
+            if avail_d:
+                corner = int(R.y[y0 - 1, x0 - 1])
+            fa, fl, fz = ip.filter_ref_8x8(above, left, corner, avail_a,
+                                           avail_b, avail_c, avail_d)
+            cand = [ip.M4_DC]
+            if avail_b:
+                cand += list(MODES_NEED_ABOVE)
+            if avail_a:
+                cand += list(MODES_NEED_LEFT)
+            if avail_a and avail_b and avail_d:
+                cand += list(MODES_NEED_ALL)
+            best, best_sad, best_pred = None, None, None
+            for m in sorted(cand):
+                pred = ip.pred8x8(m, fa, fl, fz, avail_a, avail_b, avail_d)
+                sad = np.abs(src - pred).sum()
+                if best_sad is None or sad < best_sad:
+                    best, best_sad, best_pred = m, sad, pred
+            mb.intra8x8_modes[blk] = best
+            lv = _round_levels(inv @ (src - best_pred).reshape(-1),
+                               self.deadzone)
+            if np.any(lv):
+                cbp_luma |= 1 << blk
+            mb.luma8[blk][:] = lv.reshape(-1)[ZIGZAG_8X8]
+            r = dequant_idct_8x8(lv.reshape(8, 8), qp, R.ls8[0])
+            u = np.clip(best_pred + r, 0, 255)
+            R.y[y0:y0 + 8, x0:x0 + 8] = u
+            R.blk_done[y0 // 4:y0 // 4 + 2, x0 // 4:x0 // 4 + 2] = True
+        mb.cbp = cbp_luma
+        mb.intra4x4_modes[:] = np.repeat(mb.intra8x8_modes, 4)
+
+    def _encode_chroma(self, mb, addr, sid, src_cb, src_cr):
+        R = self.recon
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        cat = R.chroma_array_type
+        assert cat == 1, "fixture chroma encode is 4:2:0 only for now"
+        cx0, cy0 = mx * 8, my * 8
+        avail_a = R.mb_avail(mx - 1, my, sid)
+        avail_b = R.mb_avail(mx, my - 1, sid)
+        avail_d = R.mb_avail(mx - 1, my - 1, sid)
+        # joint mode decision over both planes
+        cand = [ip.MC_DC]
+        if avail_a:
+            cand.append(ip.MC_H)
+        if avail_b:
+            cand.append(ip.MC_V)
+        if avail_a and avail_b and avail_d:
+            cand.append(ip.MC_PLANE)
+        best, best_sad = None, None
+        winded = []
+        for ci, (plane, src) in enumerate(((R.cb, src_cb), (R.cr, src_cr))):
+            above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else np.zeros(8, np.int64)
+            left = plane[cy0:cy0 + 8, cx0 - 1] if avail_a else np.zeros(8, np.int64)
+            corner = int(plane[cy0 - 1, cx0 - 1]) if avail_d else 0
+            winded.append((above, left, corner,
+                           src[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int64)))
+        for m in cand:
+            sad = 0
+            for above, left, corner, src in winded:
+                pred = ip.pred_chroma(m, above, left, corner, avail_a,
+                                      avail_b, avail_d)
+                sad += np.abs(src - pred).sum()
+            if best_sad is None or sad < best_sad:
+                best, best_sad = m, sad
+        mb.chroma_mode = best
+        has_dc = False
+        has_ac = False
+        for ci, (above, left, corner, src) in enumerate(winded):
+            qp_off = (self.pps.chroma_qp_index_offset if ci == 0
+                      else self.pps.second_chroma_qp_offset)
+            qpc = qpc_from_qpy(mb.qp_y, qp_off, 0)
+            inv = self.q.inv4_dcpass(qpc, 1 + ci)
+            pred = ip.pred_chroma(best, above, left, corner, avail_a,
+                                  avail_b, avail_d)
+            resid = src - pred
+            d00 = np.zeros((2, 2), dtype=np.float64)
+            for j in range(4):
+                bx, by = j & 1, j >> 1
+                r = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].reshape(-1)
+                v = inv @ r
+                d00[by, bx] = v.reshape(4, 4)[0, 0]
+                lv = _round_levels(v, self.deadzone)
+                lv.reshape(4, 4)[0, 0] = 0
+                zz = lv.reshape(-1)[ZIGZAG_4X4]
+                mb.chroma_ac[ci][j][:15] = zz[1:]
+                if np.any(zz[1:]):
+                    has_ac = True
+            dc_levels = _round_levels(self.q.inv_dcc(qpc, 1 + ci)
+                                      @ d00.reshape(-1))
+            mb.chroma_dc[ci][:4] = dc_levels
+            if np.any(dc_levels):
+                has_dc = True
+        chroma_cbp = 2 if has_ac else (1 if has_dc else 0)
+        if chroma_cbp != 2:
+            mb.chroma_ac[:] = 0
+        mb.cbp |= chroma_cbp << 4

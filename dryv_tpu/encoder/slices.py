@@ -29,6 +29,10 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
         entropy_coding_mode_flag=1,
         pic_init_qp_minus26=qp - 26,
         chroma_qp_index_offset=chroma_qp_offset,
+        # fixtures disable the in-loop deblocking filter per slice: the
+        # reference decoder does not implement deblocking (README.md:14)
+        # and bit-exact comparison requires the oracle to skip it too
+        deblocking_filter_control_present_flag=1,
         transform_8x8_mode_flag=1 if transform_8x8 else 0,
         second_chroma_qp_index_offset=chroma_qp_offset if transform_8x8 else None,
     )
@@ -43,6 +47,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
     cross-slice unavailability)."""
+    from ..avc.slice_header import DeblockingFilterControl
     h = SliceHeader(
         first_mb_in_slice=first_mb,
         slice_type_code=7,  # I, all_slices_same_type
@@ -51,6 +56,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         idr_pic_id=idr_pic_id,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
+        deblocking=DeblockingFilterControl(disable_idc=1),
     )
     w = BitWriter()
     h.write(w, sps, pps, idr, nal_ref_idc=3)

@@ -1,0 +1,77 @@
+"""Deterministic conformance fixture set.
+
+Each fixture is (name, annexb_stream, golden_yuv) where the golden comes
+from the libavcodec oracle — the independent ground truth all decode paths
+(scalar refimpl, JAX pipeline, C++ entropy stage) must match bit-exactly.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..encoder import default_sps_pps, encode_frame_annexb
+from ..encoder.intra_encoder import IntraEncoder
+from .oracle import decode_annexb
+
+
+def make_source(mb_w: int, mb_h: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    W, H = mb_w * 16, mb_h * 16
+    yy = np.clip(rng.randint(0, 256, (H, W)).astype(np.float64) * 0.3 +
+                 np.linspace(0, 200, W)[None, :] +
+                 np.linspace(0, 40, H)[:, None], 0, 255).astype(np.int64)
+    cb = np.clip(rng.randint(0, 256, (H // 2, W // 2)) * 0.25 + 100,
+                 0, 255).astype(np.int64)
+    cr = np.clip(rng.randint(0, 256, (H // 2, W // 2)) * 0.25 + 80,
+                 0, 255).astype(np.int64)
+    return yy, cb, cr
+
+
+POLICIES = {
+    "i16": lambda a: "i16",
+    "i4": lambda a: "i4",
+    "i8": lambda a: "i8",
+    "pcm": lambda a: "pcm",
+    "mix": lambda a: ["i16", "i4", "pcm"][a % 3],
+    "mix8": lambda a: ["i8", "i4", "i16", "pcm"][a % 4],
+}
+
+# (name, mb_w, mb_h, qp, policy, transform8x8, rows_per_slice, crop)
+FIXTURE_SPECS = [
+    ("i16_qp26", 4, 3, 26, "i16", False, None, None),
+    ("i16_qp0", 4, 3, 0, "i16", False, None, None),
+    ("i16_qp51", 4, 3, 51, "i16", False, None, None),
+    ("i4_qp26", 4, 3, 26, "i4", False, None, None),
+    ("i4_qp10", 4, 3, 10, "i4", False, None, None),
+    ("i8_qp26", 4, 3, 26, "i8", True, None, None),
+    ("i8_qp35", 4, 3, 35, "i8", True, None, None),
+    ("mix_qp26", 4, 3, 26, "mix", False, None, None),
+    ("mix8_qp30", 4, 3, 30, "mix8", True, None, None),
+    ("pcm", 3, 2, 26, "pcm", False, None, None),
+    ("slices_qp28", 4, 4, 28, "mix", False, 1, None),
+    ("crop_qp28", 4, 4, 28, "i16", False, None, (0, 2, 0, 3)),
+    ("big_qp30", 8, 6, 30, "mix8", True, 2, None),
+]
+
+
+@lru_cache(maxsize=None)
+def get_fixture(name: str):
+    """Returns (stream_bytes, (y, cb, cr) golden from oracle, sps, pps)."""
+    spec = next(s for s in FIXTURE_SPECS if s[0] == name)
+    _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
+    src = make_source(mb_w, mb_h)
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8, crop=crop)
+    enc = IntraEncoder(sps, pps, qp, mb_kind_policy=POLICIES[policy])
+    if rps:
+        bounds = list(range(0, mb_w * mb_h, rps * mb_w))
+        mbs = enc.encode_frame(*src, slice_bounds=bounds)
+    else:
+        mbs = enc.encode_frame(*src)
+    stream = encode_frame_annexb(sps, pps, rps, mbs)
+    golden = decode_annexb(stream)[0]
+    return stream, golden, sps, pps
+
+
+def all_fixture_names():
+    return [s[0] for s in FIXTURE_SPECS]
