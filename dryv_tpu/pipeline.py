@@ -1,0 +1,86 @@
+"""End-to-end TPU reconstruction pipeline: FrameSyntax -> YUV planes.
+
+Stage A (parallel IQ/IDCT) + Stage B (wavefront) jitted as one program.
+Bit-exact against the scalar refimpl / libavcodec goldens.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coeffs import FrameSyntax
+from .kernels.transform import (
+    LS4_FLAT,
+    LS8_FLAT,
+    chroma_residual_planes,
+    luma_residual_plane,
+)
+from .kernels.wavefront import make_wavefront_fn
+
+SYNTAX_KEYS = ["kind", "qp_y", "qp_cb", "qp_cr", "i16_mode", "chroma_mode",
+               "modes4", "modes8", "luma4", "luma8", "luma_dc", "chroma_dc",
+               "chroma_ac", "pcm_y", "pcm_c",
+               "avail_a", "avail_b", "avail_c", "avail_d"]
+
+
+@lru_cache(maxsize=None)
+def _build(mb_w: int, mb_h: int):
+    wavefront = make_wavefront_fn(mb_w, mb_h)
+
+    def recon(s, ls4y, ls4cb, ls4cr, ls8y):
+        y_resid = luma_residual_plane(
+            s["kind"], s["qp_y"], s["luma4"], s["luma8"], s["luma_dc"],
+            mb_w, mb_h, ls4y, ls8y)
+        cb_resid = chroma_residual_planes(
+            s["qp_cb"], s["chroma_dc"][:, 0], s["chroma_ac"][:, 0],
+            mb_w, mb_h, ls4cb)
+        cr_resid = chroma_residual_planes(
+            s["qp_cr"], s["chroma_dc"][:, 1], s["chroma_ac"][:, 1],
+            mb_w, mb_h, ls4cr)
+        wf = {k: s[k] for k in SYNTAX_KEYS if k not in
+              ("qp_y", "qp_cb", "qp_cr", "luma4", "luma8", "luma_dc",
+               "chroma_dc", "chroma_ac")}
+        return wavefront(wf, y_resid, cb_resid, cr_resid)
+
+    return jax.jit(recon)
+
+
+def reconstruct_frame_jax(fs: FrameSyntax, ls4=None, ls8=None):
+    """Returns (y, cb, cr) numpy uint8-range int32 planes (uncropped)."""
+    s = {k: jnp.asarray(getattr(fs, k)) for k in SYNTAX_KEYS}
+    ls4y = jnp.asarray(ls4[0] if ls4 is not None else LS4_FLAT)
+    ls4cb = jnp.asarray(ls4[1] if ls4 is not None else LS4_FLAT)
+    ls4cr = jnp.asarray(ls4[2] if ls4 is not None else LS4_FLAT)
+    ls8y = jnp.asarray(ls8 if ls8 is not None else LS8_FLAT)
+    fn = _build(fs.mb_w, fs.mb_h)
+    y, cb, cr = fn(s, ls4y, ls4cb, ls4cr, ls8y)
+    return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
+def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
+    """Full decode using the device pipeline for reconstruction."""
+    from .decoder import SyntaxDecoder, group_access_units, DecodedFrame
+    from .avc import split_annexb
+    from .coeffs import pack_frame
+    from .refimpl.recon import dezigzag4, dezigzag8
+    from .refimpl.transform import level_scale_4x4, level_scale_8x8
+
+    sd = SyntaxDecoder()
+    nals = list(split_annexb(stream))
+    rest = sd.feed_parameter_sets(nals)
+    frames = []
+    for pic_nals in group_access_units(rest):
+        sps, pps, mbs, _ = sd.decode_picture_syntax(pic_nals)
+        fs = pack_frame(mbs, sps, pps)
+        sl = pps.resolve_active_scaling_lists(sps)
+        ls4 = [np.asarray(level_scale_4x4(dezigzag4(sl.l4x4[i])), np.int32)
+               for i in range(3)]
+        ls8 = np.asarray(level_scale_8x8(dezigzag8(sl.l8x8[0])), np.int32)
+        y, cb, cr = reconstruct_frame_jax(fs, ls4, ls8)
+        frames.append(DecodedFrame(y, cb, cr).crop(sps))
+        if max_frames and len(frames) >= max_frames:
+            break
+    return frames
