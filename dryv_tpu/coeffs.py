@@ -152,3 +152,80 @@ def pack_frame(mbs, sps, pps) -> FrameSyntax:
     nb[1:, 1:] = sid[:-1, :-1]                 # above-left
     fs.avail_d[:] = (nb == sid).reshape(-1)
     return fs
+
+
+def pack_from_native(out: dict, sps, pps) -> FrameSyntax:
+    """Pack the native entropy stage's dense scan-order outputs (see
+    native/entropy.py) into FrameSyntax — fully vectorized numpy."""
+    mb_w = sps.pic_width_in_mbs
+    mb_h = sps.frame_height_in_mbs
+    n = mb_w * mb_h
+    kind = out["kind"]
+    qp_y = out["qp_y"]
+
+    # de-zigzag luma 4x4: I4 uses scan positions 0..15; I16 AC occupies
+    # positions 1..15 with DC slot zero
+    is16 = (kind == KIND_I16)[:, None]
+    scan = out["luma4"].reshape(n * 16, 16)
+    shifted = np.zeros_like(scan)
+    shifted[:, 1:] = scan[:, :15]
+    scan = np.where(np.repeat(is16, 16, axis=0), shifted, scan)
+    l4 = np.zeros((n * 16, 16), np.int32)
+    l4[:, ZIGZAG_4X4] = scan
+    luma4 = l4.reshape(n, 16, 4, 4)
+
+    l8 = np.zeros((n * 4, 64), np.int32)
+    l8[:, ZIGZAG_8X8] = out["luma8"].reshape(n * 4, 64)
+    luma8 = l8.reshape(n, 4, 8, 8)
+
+    dc = np.zeros((n, 16), np.int32)
+    dc[:, ZIGZAG_4X4] = out["luma_dc"]
+    luma_dc = dc.reshape(n, 4, 4)
+
+    cac_scan = out["chroma_ac"][:, :, :4, :]        # [n,2,4,15] (4:2:0)
+    cfull = np.zeros((n, 2, 4, 16), np.int32)
+    cfull[..., 1:] = cac_scan
+    cz = np.zeros((n, 2, 4, 16), np.int32)
+    cz[..., ZIGZAG_4X4] = cfull
+    chroma_ac = cz.reshape(n, 2, 4, 4, 4)
+
+    chroma_dc_arr = out["chroma_dc"][:, :, :4].reshape(n, 2, 2, 2)
+
+    # vectorized chroma QP via Table 8-15
+    def qpc_vec(qp, off):
+        qpi = np.clip(qp + off, 0, 51)
+        from .refimpl.transform import QPC_TAB
+        return np.where(qpi < 30, qpi, QPC_TAB[np.clip(qpi - 30, 0, 21)]) \
+                 .astype(np.int32)
+
+    fs = FrameSyntax(
+        mb_w=mb_w, mb_h=mb_h,
+        kind=kind.astype(np.int32),
+        qp_y=qp_y.astype(np.int32),
+        qp_cb=qpc_vec(qp_y, pps.chroma_qp_index_offset),
+        qp_cr=qpc_vec(qp_y, pps.second_chroma_qp_offset),
+        i16_mode=out["i16_mode"],
+        chroma_mode=out["chroma_mode"],
+        modes4=out["modes4"],
+        modes8=out["modes8"],
+        luma4=luma4, luma8=luma8, luma_dc=luma_dc,
+        chroma_dc=chroma_dc_arr, chroma_ac=chroma_ac,
+        pcm_y=out["pcm_y"].reshape(n, 16, 16),
+        pcm_c=out["pcm_c"].reshape(n, 2, 8, 8),
+        avail_a=np.zeros(n, bool), avail_b=np.zeros(n, bool),
+        avail_c=np.zeros(n, bool), avail_d=np.zeros(n, bool),
+    )
+    sid = out["slice_id"].astype(np.int64).reshape(mb_h, mb_w)
+    nb = np.full((mb_h, mb_w), -9, np.int64)
+    nb[:, 1:] = sid[:, :-1]
+    fs.avail_a[:] = (nb == sid).reshape(-1)
+    nb[:] = -9
+    nb[1:, :] = sid[:-1, :]
+    fs.avail_b[:] = (nb == sid).reshape(-1)
+    nb[:] = -9
+    nb[1:, :-1] = sid[:-1, 1:]
+    fs.avail_c[:] = (nb == sid).reshape(-1)
+    nb[:] = -9
+    nb[1:, 1:] = sid[:-1, :-1]
+    fs.avail_d[:] = (nb == sid).reshape(-1)
+    return fs

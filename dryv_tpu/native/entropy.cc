@@ -1,0 +1,641 @@
+// TPU-native AVC host entropy stage: CABAC I-slice decoder producing dense
+// per-frame syntax arrays for the device reconstruction pipeline.
+//
+// Behavioural mirror of dryv_tpu/cabac/{engine,syntax}.py (itself validated
+// bit-exactly against libavcodec), re-implemented in C++ for the host hot
+// path (SURVEY.md §7: "CABAC is a bit-serial feedback loop - keep it on
+// host CPU, multithreaded across slices/frames").  Slices decode in
+// parallel: CABAC contexts are per-slice and neighbor availability stops at
+// slice boundaries, so there is no shared mutable state.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread entropy.cc -o libdryv_entropy.so
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include "tables_data.h"
+
+namespace {
+
+constexpr int kCtxCount = 1031;
+
+// ctxIdx bases (spec Table 9-11 layout; see cabac/tables.py)
+enum : int {
+  CTX_MB_TYPE_I = 3,
+  CTX_MB_QP_DELTA = 60,
+  CTX_INTRA_CHROMA_PRED_MODE = 64,
+  CTX_PREV_INTRA_PRED_MODE_FLAG = 68,
+  CTX_REM_INTRA_PRED_MODE = 69,
+  CTX_CBP_LUMA = 73,
+  CTX_CBP_CHROMA = 77,
+  CTX_TERMINATE = 276,
+  CTX_TRANSFORM_SIZE_8X8_FLAG = 399,
+};
+
+// residual categories
+enum : int { CAT_LUMA_DC = 0, CAT_LUMA_AC, CAT_LUMA_4X4, CAT_CHROMA_DC,
+             CAT_CHROMA_AC, CAT_LUMA_8X8 };
+
+const int kCbfBase[6] = {85, 89, 93, 97, 101, 1012};
+const int kSigFrame[6] = {105, 120, 134, 149, 152, 402};
+const int kLastFrame[6] = {166, 181, 195, 210, 213, 417};
+const int kAbsBase[6] = {227, 237, 247, 257, 266, 426};
+
+// MB kinds (matches coeffs.py)
+enum : int { KIND_I4 = 0, KIND_I8 = 1, KIND_I16 = 2, KIND_PCM = 3 };
+
+// z-scan 4x4 position tables
+struct ZPos { int x, y; };
+constexpr ZPos kZPos[16] = {
+  {0,0},{1,0},{0,1},{1,1},{2,0},{3,0},{2,1},{3,1},
+  {0,2},{1,2},{0,3},{1,3},{2,2},{3,2},{2,3},{3,3}};
+int kPosToZ[4][4];
+struct ZInit {
+  ZInit() {
+    for (int i = 0; i < 16; i++) kPosToZ[kZPos[i].y][kZPos[i].x] = i;
+  }
+} zinit;
+
+struct Engine {
+  const uint8_t* data;
+  int64_t pos;      // bit position
+  int64_t bit_len;
+  int32_t range, offset;
+  int64_t bins = 0;  // decoded bin counter (reference cabac/mod.rs:68)
+  int8_t p_state[kCtxCount];
+  int8_t val_mps[kCtxCount];
+
+  int read_bit() {
+    if (pos >= bit_len) { pos++; return 0; }
+    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    pos++;
+    return b;
+  }
+  int read_bits(int n) {
+    int v = 0;
+    while (n--) v = (v << 1) | read_bit();
+    return v;
+  }
+  void init_contexts(int qp, int mode) {
+    if (qp < 0) qp = 0;
+    if (qp > 51) qp = 51;
+    for (int i = 0; i < kCtxCount; i++) {
+      int m = kCtxInit[(i * 4 + mode) * 2];
+      int n = kCtxInit[(i * 4 + mode) * 2 + 1];
+      int pre = ((m * qp) >> 4) + n;
+      if (pre < 1) pre = 1;
+      if (pre > 126) pre = 126;
+      if (pre <= 63) { p_state[i] = 63 - pre; val_mps[i] = 0; }
+      else { p_state[i] = pre - 64; val_mps[i] = 1; }
+    }
+  }
+  void init_engine() {
+    range = 510;
+    offset = read_bits(9);
+  }
+  int decision(int ctx) {
+    bins++;
+    int state = p_state[ctx];
+    int lps = kRangeLps[state * 4 + ((range >> 6) & 3)];
+    range -= lps;
+    int bin;
+    if (offset >= range) {
+      bin = 1 - val_mps[ctx];
+      offset -= range;
+      range = lps;
+      if (state == 0) val_mps[ctx] = 1 - val_mps[ctx];
+      p_state[ctx] = kTransLps[state];
+    } else {
+      bin = val_mps[ctx];
+      p_state[ctx] = kTransMps[state];
+    }
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | read_bit();
+    }
+    return bin;
+  }
+  int bypass() {
+    bins++;
+    offset = (offset << 1) | read_bit();
+    if (offset >= range) { offset -= range; return 1; }
+    return 0;
+  }
+  int terminate() {
+    bins++;
+    range -= 2;
+    if (offset >= range) return 1;
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | read_bit();
+    }
+    return 0;
+  }
+  void byte_align() { pos = (pos + 7) & ~7LL; }
+};
+
+// Per-MB syntax state needed for neighbor contexts.
+struct MB {
+  int8_t kind = KIND_I4;
+  int8_t transform8 = 0;
+  int8_t chroma_mode = 0;
+  int8_t i16_mode = 0;
+  int16_t cbp = 0;
+  int16_t qp_delta = 0;
+  int16_t qp_y = 0;
+  int8_t modes4[16];
+  int8_t modes8[4];
+  uint8_t cbf[3][17];  // [comp][blk], 16 = DC
+};
+
+struct PicParams {
+  int32_t mb_w, mb_h;
+  int32_t chroma_array_type;
+  int32_t transform_8x8_mode_flag;
+  int32_t bit_depth_luma, bit_depth_chroma;
+};
+
+// dense outputs (SoA), caller-allocated
+struct Out {
+  int32_t* kind;        // [n]
+  int32_t* qp_y;        // [n]
+  int32_t* cbp;         // [n]
+  int32_t* i16_mode;    // [n]
+  int32_t* chroma_mode; // [n]
+  int32_t* modes4;      // [n*16]
+  int32_t* modes8;      // [n*4]
+  int32_t* luma4;       // [n*16*16]  scan order
+  int32_t* luma8;       // [n*4*64]
+  int32_t* luma_dc;     // [n*16]
+  int32_t* chroma_dc;   // [n*2*8]
+  int32_t* chroma_ac;   // [n*2*8*15]
+  int32_t* pcm_y;       // [n*256]
+  int32_t* pcm_c;       // [n*128]
+  int32_t* slice_id;    // [n] prefilled by caller
+  int64_t* bin_count;   // [n_slices] CABAC bins decoded per slice
+};
+
+struct SliceCtx {
+  Engine eng;
+  const PicParams* pp;
+  Out* out;
+  std::vector<MB>* mbs;
+  int slice_id;
+  int curr;
+  int prev_addr = -1;
+  int qpy_prev;
+
+  MB unavailable_intra;
+
+  SliceCtx() {
+    std::memset(&unavailable_intra, 0, sizeof(MB));
+    unavailable_intra.cbp = 0x0F;
+    std::memset(unavailable_intra.cbf, 1, sizeof(unavailable_intra.cbf));
+  }
+
+  MB* mb_at(int addr) {
+    if (addr < 0 || addr >= (int)mbs->size()) return &unavailable_intra;
+    if (out->slice_id[addr] != slice_id || addr >= curr ||
+        addr < 0)
+      return &unavailable_intra;
+    return &(*mbs)[addr];
+  }
+  bool mb_avail(int addr) { return mb_at(addr) != &unavailable_intra; }
+
+  MB* cur() { return &(*mbs)[curr]; }
+
+  MB* nb(char dir) {
+    int w = pp->mb_w;
+    int x = curr % w;
+    switch (dir) {
+      case 'A': return x > 0 ? mb_at(curr - 1) : &unavailable_intra;
+      case 'B': return mb_at(curr - w);
+      case 'C': return x + 1 < w ? mb_at(curr - w + 1) : &unavailable_intra;
+      default:  return x > 0 ? mb_at(curr - w - 1) : &unavailable_intra;
+    }
+  }
+
+  // 4x4 z-block neighbor: returns MB + blk index
+  MB* nb_blk4(char dir, int blk, int* nb_blk) {
+    int x = kZPos[blk].x, y = kZPos[blk].y;
+    if (dir == 'A') {
+      if (x > 0) { *nb_blk = kPosToZ[y][x - 1]; return cur(); }
+      *nb_blk = kPosToZ[y][3];
+      return nb('A');
+    }
+    if (y > 0) { *nb_blk = kPosToZ[y - 1][x]; return cur(); }
+    *nb_blk = kPosToZ[3][x];
+    return nb('B');
+  }
+  MB* nb_blk8(char dir, int blk, int* nb_blk) {
+    int x = blk & 1, y = blk >> 1;
+    if (dir == 'A') {
+      if (x > 0) { *nb_blk = y * 2; return cur(); }
+      *nb_blk = y * 2 + 1;
+      return nb('A');
+    }
+    if (y > 0) { *nb_blk = x; return cur(); }
+    *nb_blk = 2 + x;
+    return nb('B');
+  }
+  MB* nb_blkc(char dir, int blk, int* nb_blk) {
+    int h = 2 * pp->chroma_array_type;
+    int x = blk & 1, y = blk >> 1;
+    if (dir == 'A') {
+      if (x > 0) { *nb_blk = y * 2; return cur(); }
+      *nb_blk = y * 2 + 1;
+      return nb('A');
+    }
+    if (y > 0) { *nb_blk = (y - 1) * 2 + x; return cur(); }
+    *nb_blk = (h - 1) * 2 + x;
+    return nb('B');
+  }
+
+  // ---- syntax elements ------------------------------------------------
+  void mb_type_i(MB* mb) {
+    MB* a = nb('A');
+    MB* b = nb('B');
+    int inc = (a != &unavailable_intra && a->kind != KIND_I4 &&
+               a->kind != KIND_I8) +
+              (b != &unavailable_intra && b->kind != KIND_I4 &&
+               b->kind != KIND_I8);
+    if (eng.decision(CTX_MB_TYPE_I + inc) == 0) {
+      mb->kind = KIND_I4;  // refined by transform_size flag
+      return;
+    }
+    if (eng.terminate()) { mb->kind = KIND_PCM; return; }
+    mb->kind = KIND_I16;
+    int cbp_luma = eng.decision(CTX_MB_TYPE_I + 3);
+    int cbp_chroma = 0;
+    if (eng.decision(CTX_MB_TYPE_I + 4))
+      cbp_chroma = 1 + eng.decision(CTX_MB_TYPE_I + 5);
+    int hi = eng.decision(CTX_MB_TYPE_I + 6);
+    int lo = eng.decision(CTX_MB_TYPE_I + 7);
+    mb->i16_mode = (hi << 1) | lo;
+    mb->cbp = (cbp_chroma << 4) | (cbp_luma ? 0x0F : 0);
+  }
+
+  void transform_size_flag(MB* mb) {
+    int inc = nb('A')->transform8 + nb('B')->transform8;
+    mb->transform8 = eng.decision(CTX_TRANSFORM_SIZE_8X8_FLAG + inc);
+    if (mb->transform8) mb->kind = KIND_I8;
+  }
+
+  // neighbor intra mode; -1 = neighbor MB unavailable
+  int nb_mode4(char dir, int blk) {
+    int nbb;
+    MB* m = nb_blk4(dir, blk, &nbb);
+    if (m == cur()) return m->modes4[nbb];
+    if (m == &unavailable_intra) return -1;
+    if (m->kind != KIND_I4 && m->kind != KIND_I8) return 2;
+    if (m->kind == KIND_I8) return m->modes8[nbb >> 2];
+    return m->modes4[nbb];
+  }
+  int nb_mode8(char dir, int blk) {
+    int nbb;
+    MB* m = nb_blk8(dir, blk, &nbb);
+    if (m == cur()) return m->modes8[nbb];
+    if (m == &unavailable_intra) return -1;
+    if (m->kind != KIND_I4 && m->kind != KIND_I8) return 2;
+    if (m->kind == KIND_I8) return m->modes8[nbb];
+    return m->modes4[4 * nbb + (dir == 'A' ? 1 : 2)];
+  }
+
+  void intra4_modes(MB* mb) {
+    for (int blk = 0; blk < 16; blk++) {
+      int ma = nb_mode4('A', blk), mbv = nb_mode4('B', blk);
+      int pred = (ma < 0 || mbv < 0) ? 2 : (ma < mbv ? ma : mbv);
+      if (eng.decision(CTX_PREV_INTRA_PRED_MODE_FLAG)) {
+        mb->modes4[blk] = pred;
+      } else {
+        int rem = 0;
+        for (int i = 0; i < 3; i++)
+          rem |= eng.decision(CTX_REM_INTRA_PRED_MODE) << i;
+        mb->modes4[blk] = rem < pred ? rem : rem + 1;
+      }
+    }
+  }
+  void intra8_modes(MB* mb) {
+    for (int blk = 0; blk < 4; blk++) {
+      int ma = nb_mode8('A', blk), mbv = nb_mode8('B', blk);
+      int pred = (ma < 0 || mbv < 0) ? 2 : (ma < mbv ? ma : mbv);
+      int mode;
+      if (eng.decision(CTX_PREV_INTRA_PRED_MODE_FLAG)) {
+        mode = pred;
+      } else {
+        int rem = 0;
+        for (int i = 0; i < 3; i++)
+          rem |= eng.decision(CTX_REM_INTRA_PRED_MODE) << i;
+        mode = rem < pred ? rem : rem + 1;
+      }
+      mb->modes8[blk] = mode;
+      for (int s = 0; s < 4; s++) mb->modes4[4 * blk + s] = mode;
+    }
+  }
+
+  void chroma_mode(MB* mb) {
+    int inc = (nb('A')->chroma_mode != 0) + (nb('B')->chroma_mode != 0);
+    int v = 0;
+    while (v < 3 &&
+           eng.decision(v == 0 ? CTX_INTRA_CHROMA_PRED_MODE + inc
+                               : CTX_INTRA_CHROMA_PRED_MODE + 3))
+      v++;
+    mb->chroma_mode = v;
+  }
+
+  void cbp(MB* mb) {
+    int bits[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+      int ia, ib;
+      MB* a = nb_blk8('A', i, &ia);
+      MB* b = nb_blk8('B', i, &ib);
+      int bit_a = (a == cur()) ? bits[ia] : ((a->cbp >> ia) & 1);
+      int bit_b = (b == cur()) ? bits[ib] : ((b->cbp >> ib) & 1);
+      bits[i] = eng.decision(CTX_CBP_LUMA + (1 - bit_a) + 2 * (1 - bit_b));
+    }
+    if (pp->chroma_array_type == 1 || pp->chroma_array_type == 2) {
+      int ca = nb('A')->cbp >> 4, cb = nb('B')->cbp >> 4;
+      bits[4] = eng.decision(CTX_CBP_CHROMA + (ca > 0) + 2 * (cb > 0));
+      if (bits[4])
+        bits[5] = eng.decision(CTX_CBP_CHROMA + 4 + (ca > 1) + 2 * (cb > 1));
+    }
+    int v = bits[0] | bits[1] << 1 | bits[2] << 2 | bits[3] << 3;
+    if (bits[4]) v |= 0x10 << bits[5];
+    mb->cbp = v;
+  }
+
+  void qp_delta(MB* mb) {
+    MB* prev = (prev_addr >= 0 && out->slice_id[prev_addr] == slice_id)
+                   ? &(*mbs)[prev_addr] : nullptr;
+    int c0 = CTX_MB_QP_DELTA + ((prev && prev->qp_delta != 0) ? 1 : 0);
+    int tmp = 0;
+    while (eng.decision(tmp == 0 ? c0
+                        : (tmp == 1 ? CTX_MB_QP_DELTA + 2
+                                    : CTX_MB_QP_DELTA + 3))) {
+      if (++tmp > 87) break;
+    }
+    mb->qp_delta = (tmp & 1) ? (tmp + 1) >> 1 : -(tmp >> 1);
+  }
+
+  int coded_block_flag(int cat, int idx) {
+    MB* c = cur();
+    int comp, ridx = idx;
+    MB *a, *b;
+    int ia = 16, ib = 16;
+    switch (cat) {
+      case CAT_LUMA_DC:
+        comp = 0; a = nb('A'); b = nb('B'); break;
+      case CAT_LUMA_AC: case CAT_LUMA_4X4:
+        comp = 0; a = nb_blk4('A', idx, &ia); b = nb_blk4('B', idx, &ib);
+        break;
+      case CAT_LUMA_8X8:
+        comp = 0; a = nb_blk8('A', idx, &ia); b = nb_blk8('B', idx, &ib);
+        ia *= 4; ib *= 4; break;
+      case CAT_CHROMA_DC:
+        comp = idx + 1; a = nb('A'); b = nb('B'); break;
+      default:  // CAT_CHROMA_AC
+        comp = (idx >> 3) + 1; ridx = idx & 7;
+        a = nb_blkc('A', ridx, &ia); b = nb_blkc('B', ridx, &ib); break;
+    }
+    int cond = a->cbf[comp][ia] + 2 * b->cbf[comp][ib];
+    int v = eng.decision(kCbfBase[cat] + cond);
+    switch (cat) {
+      case CAT_LUMA_DC: c->cbf[0][16] = v; break;
+      case CAT_LUMA_AC: case CAT_LUMA_4X4: c->cbf[0][idx] = v; break;
+      case CAT_LUMA_8X8:
+        for (int k = 0; k < 4; k++) c->cbf[0][idx * 4 + k] = v;
+        break;
+      case CAT_CHROMA_DC: c->cbf[comp][16] = v; break;
+      default: c->cbf[comp][ridx] = v; break;
+    }
+    return v;
+  }
+
+  int sig_ctx(int cat, int i, bool last) {
+    int inc;
+    if (cat == CAT_CHROMA_DC) {
+      inc = i / pp->chroma_array_type;
+      if (inc > 2) inc = 2;
+    } else if (cat == CAT_LUMA_8X8) {
+      inc = kSig8x8[i * 3 + (last ? 2 : 0)];  // frame coding
+    } else {
+      inc = i;
+    }
+    return (last ? kLastFrame[cat] : kSigFrame[cat]) + inc;
+  }
+
+  void residual_block(int cat, int idx, int32_t* coeffs, int start, int end,
+                      int maxnumcoeff, bool coded) {
+    MB* c = cur();
+    int cbf;
+    if (coded) {
+      if (maxnumcoeff != 64 || pp->chroma_array_type == 3) {
+        cbf = coded_block_flag(cat, idx);
+      } else {
+        cbf = 1;
+        for (int k = 0; k < 4; k++) c->cbf[0][idx * 4 + k] = 1;
+      }
+    } else {
+      cbf = 0;
+      switch (cat) {
+        case CAT_LUMA_DC: c->cbf[0][16] = 0; break;
+        case CAT_LUMA_AC: case CAT_LUMA_4X4: c->cbf[0][idx] = 0; break;
+        case CAT_LUMA_8X8:
+          for (int k = 0; k < 4; k++) c->cbf[0][idx * 4 + k] = 0;
+          break;
+        case CAT_CHROMA_DC: c->cbf[idx + 1][16] = 0; break;
+        default: c->cbf[(idx >> 3) + 1][idx & 7] = 0; break;
+      }
+    }
+    std::memset(coeffs, 0, maxnumcoeff * sizeof(int32_t));
+    if (!cbf) return;
+
+    uint8_t sig[64] = {0};
+    int numcoeff = end + 1;
+    for (int i = start; i < numcoeff - 1; i++) {
+      if (eng.decision(sig_ctx(cat, i, false))) {
+        sig[i] = 1;
+        if (eng.decision(sig_ctx(cat, i, true))) numcoeff = i + 1;
+      }
+    }
+    sig[numcoeff - 1] = 1;
+    int num1 = 0, numgt1 = 0;
+    for (int i = numcoeff - 1; i >= start; i--) {
+      if (!sig[i]) continue;
+      int base = kAbsBase[cat];
+      int c0 = base + (numgt1 != 0 ? 0 : (num1 >= 4 ? 4 : num1 + 1));
+      int clampv = (cat == CAT_CHROMA_DC) ? 3 : 4;
+      int c1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
+      int pre = 0;
+      while (pre < 14 && eng.decision(pre == 0 ? c0 : c1)) pre++;
+      int mag = pre;
+      if (pre >= 14) {  // UEG0 suffix
+        int k = 0;
+        while (eng.bypass()) { mag += 1 << k; k++; }
+        while (k > 0) { k--; if (eng.bypass()) mag += 1 << k; }
+      }
+      int s = eng.bypass();
+      coeffs[i] = s ? -(mag + 1) : mag + 1;
+      if (mag != 0) numgt1++; else num1++;
+    }
+  }
+
+  void residual(MB* mb, int addr) {
+    Out* o = out;
+    int64_t a = addr;
+    if (mb->kind == KIND_I16) {
+      residual_block(CAT_LUMA_DC, 0, o->luma_dc + a * 16, 0, 15, 16, true);
+      for (int i = 0; i < 16; i++)
+        residual_block(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16, 0, 14,
+                       15, (mb->cbp >> (i >> 2)) & 1);
+    } else if (mb->kind == KIND_I8) {
+      mb->cbf[0][16] = 0;
+      for (int i = 0; i < 4; i++)
+        residual_block(CAT_LUMA_8X8, i, o->luma8 + (a * 4 + i) * 64, 0, 63,
+                       64, (mb->cbp >> i) & 1);
+    } else {
+      mb->cbf[0][16] = 0;
+      for (int i = 0; i < 16; i++)
+        residual_block(CAT_LUMA_4X4, i, o->luma4 + (a * 16 + i) * 16, 0, 15,
+                       16, (mb->cbp >> (i >> 2)) & 1);
+    }
+    int catc = pp->chroma_array_type;
+    if (catc == 1 || catc == 2) {
+      int nc = 4 * catc;
+      for (int c2 = 0; c2 < 2; c2++)
+        residual_block(CAT_CHROMA_DC, c2, o->chroma_dc + (a * 2 + c2) * 8, 0,
+                       nc - 1, nc, (mb->cbp & 0x30) != 0);
+      for (int c2 = 0; c2 < 2; c2++)
+        for (int j = 0; j < nc; j++)
+          residual_block(CAT_CHROMA_AC, c2 * 8 + j,
+                         o->chroma_ac + ((a * 2 + c2) * 8 + j) * 15, 0, 14,
+                         15, (mb->cbp & 0x20) != 0);
+    }
+  }
+
+  void pcm(MB* mb, int addr) {
+    eng.byte_align();
+    int bd_l = pp->bit_depth_luma;
+    int bd_c = pp->bit_depth_chroma;
+    for (int i = 0; i < 256; i++)
+      out->pcm_y[(int64_t)addr * 256 + i] = eng.read_bits(bd_l);
+    if (pp->chroma_array_type) {
+      // output stride is sized for 4:2:0 (128 samples); 4:2:2/4:4:4 PCM
+      // falls back to the Python entropy path
+      int n = 64 << pp->chroma_array_type;
+      for (int i = 0; i < n; i++) {
+        int v = eng.read_bits(bd_c);
+        if (i < 128) out->pcm_c[(int64_t)addr * 128 + i] = v;
+      }
+    }
+    eng.init_engine();
+    mb->qp_delta = 0;
+    mb->transform8 = 0;
+    mb->cbp = 0x2F;
+    mb->chroma_mode = 0;
+    std::memset(mb->cbf, 1, sizeof(mb->cbf));
+    for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
+    for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
+  }
+
+  void macroblock_layer(int addr) {
+    MB* mb = cur();
+    *mb = MB();
+    for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
+    for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
+    mb_type_i(mb);
+    if (mb->kind == KIND_PCM) {
+      pcm(mb, addr);
+    } else {
+      if ((mb->kind == KIND_I4 || mb->kind == KIND_I8) &&
+          pp->transform_8x8_mode_flag)
+        transform_size_flag(mb);
+      if (mb->kind == KIND_I8) intra8_modes(mb);
+      else if (mb->kind == KIND_I4) intra4_modes(mb);
+      if (pp->chroma_array_type == 1 || pp->chroma_array_type == 2)
+        chroma_mode(mb);
+      if (mb->kind != KIND_I16) cbp(mb);
+      if (mb->cbp != 0 || mb->kind == KIND_I16) qp_delta(mb);
+      else mb->qp_delta = 0;
+      residual(mb, addr);
+    }
+    int off = 6 * (pp->bit_depth_luma - 8);
+    mb->qp_y = ((qpy_prev + mb->qp_delta + 52 + 2 * off) % (52 + off)) - off;
+    qpy_prev = mb->qp_y;
+  }
+};
+
+void decode_one_slice(const uint8_t* rbsp, int64_t rbsp_bytes,
+                      int64_t bit_offset, int first_mb, int last_mb,
+                      int slice_qp, int slice_id, const PicParams* pp,
+                      Out* o, std::vector<MB>* mbs, int slice_index) {
+  SliceCtx s;
+  s.pp = pp;
+  s.out = o;
+  s.mbs = mbs;
+  s.slice_id = slice_id;
+  s.curr = first_mb;
+  s.qpy_prev = slice_qp;
+  s.eng.data = rbsp;
+  s.eng.pos = bit_offset;
+  s.eng.bit_len = rbsp_bytes * 8;
+  s.eng.init_contexts(slice_qp, 0);  // I slice: init mode 0
+  s.eng.init_engine();
+  int n = pp->mb_w * pp->mb_h;
+  while (true) {
+    s.macroblock_layer(s.curr);
+    // publish dense outputs
+    MB* mb = s.cur();
+    int a = s.curr;
+    o->kind[a] = mb->kind;
+    o->qp_y[a] = mb->qp_y;
+    o->cbp[a] = mb->cbp;
+    o->i16_mode[a] = mb->i16_mode;
+    o->chroma_mode[a] = mb->chroma_mode;
+    for (int i = 0; i < 16; i++) o->modes4[(int64_t)a * 16 + i] = mb->modes4[i];
+    for (int i = 0; i < 4; i++) o->modes8[(int64_t)a * 4 + i] = mb->modes8[i];
+    s.prev_addr = s.curr;
+    s.curr++;  // make current MB visible as neighbor (mb_at checks < curr)
+    int end = s.eng.terminate();
+    if (end || s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
+  }
+  if (o->bin_count) o->bin_count[slice_index] = s.eng.bins;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode all I slices of one picture. slice arrays are length n_slices.
+// rbsp_all: concatenated EPB-stripped slice rbsps; offsets/lengths per slice.
+// Returns 0 on success.
+int dt_decode_picture_islices(
+    const uint8_t* rbsp_all, const int64_t* rbsp_off,
+    const int64_t* rbsp_len, const int64_t* bit_off, const int32_t* first_mb,
+    const int32_t* slice_qp, int32_t n_slices, PicParams pp, Out o,
+    int32_t n_threads) {
+  int n = pp.mb_w * pp.mb_h;
+  std::vector<MB> mbs(n);
+  // prefill slice ids: slice k covers [first_mb[k], first_mb[k+1])
+  for (int k = 0; k < n_slices; k++) {
+    int lo = first_mb[k];
+    int hi = (k + 1 < n_slices) ? first_mb[k + 1] : n;
+    for (int a = lo; a < hi; a++) o.slice_id[a] = k;
+  }
+  auto work = [&](int k) {
+    int last = (k + 1 < n_slices) ? first_mb[k + 1] - 1 : n - 1;
+    decode_one_slice(rbsp_all + rbsp_off[k], rbsp_len[k], bit_off[k],
+                     first_mb[k], last, slice_qp[k], k, &pp, &o, &mbs, k);
+  };
+  if (n_threads <= 1 || n_slices == 1) {
+    for (int k = 0; k < n_slices; k++) work(k);
+  } else {
+    std::vector<std::thread> ts;
+    for (int k = 0; k < n_slices; k++) ts.emplace_back(work, k);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+}  // extern "C"

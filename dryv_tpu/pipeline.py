@@ -60,6 +60,48 @@ def reconstruct_frame_jax(fs: FrameSyntax, ls4=None, ls8=None):
     return np.asarray(y), np.asarray(cb), np.asarray(cr)
 
 
+def decode_annexb_fast(stream: bytes, max_frames: int = 0,
+                       n_threads: int = 0):
+    """Production path: C++ entropy stage + JAX device reconstruction."""
+    from .decoder import SyntaxDecoder, group_access_units, DecodedFrame
+    from .avc import split_annexb
+    from .avc.slice_header import SliceHeader
+    from .coeffs import pack_from_native
+    from .native.entropy import decode_picture_islices
+
+    sd = SyntaxDecoder()
+    nals = list(split_annexb(stream))
+    rest = sd.feed_parameter_sets(nals)
+    frames = []
+    for pic_nals in group_access_units(rest):
+        # parse headers only (cheap, Python); entropy decode in C++
+        slice_datas = None
+        sps = pps = None
+        for nal in pic_nals:
+            rbsp = nal.rbsp
+            probe_pps = next(iter(sd.pps_map.values()))
+            probe_sps = next(iter(sd.sps_map.values()))
+            h0 = SliceHeader.parse(rbsp, nal, probe_sps, probe_pps)
+            pps = sd.pps_map[h0.pic_parameter_set_id]
+            sps = sd.sps_map[pps.seq_parameter_set_id]
+            h = SliceHeader.parse(rbsp, nal, sps, pps)
+            if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag:
+                raise NotImplementedError("fast path: CABAC I slices only")
+            if slice_datas is None:
+                slice_datas = []
+            bitoff = (h.header_bit_len + 7) & ~7
+            slice_datas.append((rbsp, bitoff, h.first_mb_in_slice,
+                                h.slice_qp_y(pps)))
+        out = decode_picture_islices(slice_datas, sps, pps,
+                                     n_threads=n_threads)
+        fs = pack_from_native(out, sps, pps)
+        y, cb, cr = reconstruct_frame_jax(fs)
+        frames.append(DecodedFrame(y, cb, cr).crop(sps))
+        if max_frames and len(frames) >= max_frames:
+            break
+    return frames
+
+
 def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
     """Full decode using the device pipeline for reconstruction."""
     from .decoder import SyntaxDecoder, group_access_units, DecodedFrame
