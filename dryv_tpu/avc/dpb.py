@@ -1,0 +1,316 @@
+"""Decoded picture buffer bookkeeping (spec 8.2.1, 8.2.4, 8.2.5).
+
+Behavioural mirror of reference src/video/slice/dpb.rs (860 LoC): picture
+order count types 0/1/2, reference picture list construction for P/B with
+modification, and decoded reference picture marking (IDR, all six MMCO
+ops, sliding window).  Like the reference's `Picture` (dpb.rs:802-815),
+entries track POC/marking metadata; pixel storage lives with the frame
+pipeline (sharded HBM planes), not here.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .slice_header import SliceHeader, SliceType
+from .sps import SPS
+from .nal import NalUnit, NalUnitType
+
+
+@dataclass
+class Picture:
+    frame_num: int = 0
+    pic_num: int = 0
+    long_term_pic_num: int = 0
+    long_term_frame_idx: int = -1
+    pic_order_cnt: int = 0
+    top_field_order_cnt: int = 0
+    bottom_field_order_cnt: int = 0
+    is_long_term: bool = False
+    is_reference: bool = True
+    frame_idx: int = 0  # decode-order index, keys the pixel store
+
+
+class DecodedPictureBuffer:
+    """POC + reference bookkeeping (reference dpb.rs:9-757)."""
+
+    def __init__(self):
+        self.pictures: list[Picture] = []
+        # POC state (8.2.1)
+        self.prev_pic_order_cnt_msb = 0
+        self.prev_pic_order_cnt_lsb = 0
+        self.prev_frame_num = 0
+        self.prev_frame_num_offset = 0
+        self.max_long_term_frame_idx = -1
+        self.ref_list0: list[Picture] = []
+        self.ref_list1: list[Picture] = []
+        self._decode_count = 0
+
+    # -- POC decoding (spec 8.2.1; reference dpb.rs:592-757) -------------
+    def decode_poc(self, sps: SPS, header: SliceHeader, nal: NalUnit) -> int:
+        idr = nal.type == NalUnitType.IDR_SLICE
+        t = sps.pic_order_cnt_type
+        if t == 0:
+            return self._poc_type0(sps, header, idr)
+        if t == 1:
+            return self._poc_type1(sps, header, nal, idr)
+        return self._poc_type2(sps, header, nal, idr)
+
+    def _poc_type0(self, sps, h, idr):
+        max_lsb = sps.max_pic_order_cnt_lsb
+        if idr:
+            prev_msb, prev_lsb = 0, 0
+        else:
+            prev_msb = self.prev_pic_order_cnt_msb
+            prev_lsb = self.prev_pic_order_cnt_lsb
+        lsb = h.pic_order_cnt_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        top = msb + lsb
+        bottom = top + h.delta_pic_order_cnt_bottom
+        self.prev_pic_order_cnt_msb = msb
+        self.prev_pic_order_cnt_lsb = lsb
+        self._last_top, self._last_bottom = top, bottom
+        return min(top, bottom) if h.field_pic_flag == 0 else \
+            (bottom if h.bottom_field_flag else top)
+
+    def _frame_num_offset(self, sps, h, idr):
+        if idr:
+            return 0
+        prev = self.prev_frame_num_offset
+        if self.prev_frame_num > h.frame_num:
+            return prev + sps.max_frame_num
+        return prev
+
+    def _poc_type1(self, sps, h, nal, idr):
+        p1 = sps.poc_type1
+        off = self._frame_num_offset(sps, h, idr)
+        n_ref = len(p1.offset_for_ref_frame) if p1 else 0
+        abs_frame_num = off + h.frame_num if n_ref else 0
+        if nal.ref_idc == 0 and abs_frame_num > 0:
+            abs_frame_num -= 1
+        expected = 0
+        if abs_frame_num > 0 and p1:
+            cycle = (abs_frame_num - 1) // n_ref
+            in_cycle = (abs_frame_num - 1) % n_ref
+            expected_delta = sum(p1.offset_for_ref_frame)
+            expected = cycle * expected_delta + \
+                sum(p1.offset_for_ref_frame[:in_cycle + 1])
+        if nal.ref_idc == 0 and p1:
+            expected += p1.offset_for_non_ref_pic
+        d0, d1 = h.delta_pic_order_cnt
+        top = expected + d0
+        bottom = top + (p1.offset_for_top_to_bottom_field if p1 else 0) + d1
+        self.prev_frame_num = h.frame_num
+        self.prev_frame_num_offset = off
+        self._last_top, self._last_bottom = top, bottom
+        if h.field_pic_flag:
+            return bottom if h.bottom_field_flag else top
+        return min(top, bottom)
+
+    def _poc_type2(self, sps, h, nal, idr):
+        off = self._frame_num_offset(sps, h, idr)
+        if idr:
+            poc = 0
+        elif nal.ref_idc == 0:
+            poc = 2 * (off + h.frame_num) - 1
+        else:
+            poc = 2 * (off + h.frame_num)
+        self.prev_frame_num = h.frame_num
+        self.prev_frame_num_offset = off
+        self._last_top = self._last_bottom = poc
+        return poc
+
+    # -- picture numbers (spec 8.2.4.1; dpb.rs:48-68) --------------------
+    def _assign_pic_nums(self, sps: SPS, curr_frame_num: int):
+        max_fn = sps.max_frame_num
+        for p in self.pictures:
+            if p.is_long_term:
+                p.long_term_pic_num = p.long_term_frame_idx
+            else:
+                if p.frame_num > curr_frame_num:
+                    p.pic_num = p.frame_num - max_fn
+                else:
+                    p.pic_num = p.frame_num
+
+    # -- reference list construction (spec 8.2.4; dpb.rs:38-257) ---------
+    def build_ref_lists(self, sps: SPS, header: SliceHeader, poc: int):
+        st = header.slice_type
+        self.ref_list0 = []
+        self.ref_list1 = []
+        if st.is_intra:
+            return
+        self._assign_pic_nums(sps, header.frame_num)
+        short = [p for p in self.pictures
+                 if p.is_reference and not p.is_long_term]
+        long = sorted((p for p in self.pictures
+                       if p.is_reference and p.is_long_term),
+                      key=lambda p: p.long_term_pic_num)
+        if st.is_predictive:
+            l0 = sorted(short, key=lambda p: -p.pic_num) + long
+            self.ref_list0 = l0
+        else:  # B
+            before = sorted((p for p in short if p.pic_order_cnt <= poc),
+                            key=lambda p: -p.pic_order_cnt)
+            after = sorted((p for p in short if p.pic_order_cnt > poc),
+                           key=lambda p: p.pic_order_cnt)
+            l0 = before + after + long
+            l1 = after + before + long
+            if len(l1) > 1 and l0[:len(l1)] == l1[:len(l0)]:
+                l1[0], l1[1] = l1[1], l1[0]
+            self.ref_list0 = l0
+            self.ref_list1 = l1
+        # modification (spec 8.2.4.3)
+        self.ref_list0 = self._modify_list(
+            self.ref_list0, header.ref_pic_list_modification_l0, sps, header,
+            header.num_ref_idx_l0_active_minus1 + 1)
+        if st == SliceType.B:
+            self.ref_list1 = self._modify_list(
+                self.ref_list1, header.ref_pic_list_modification_l1, sps,
+                header, header.num_ref_idx_l1_active_minus1 + 1)
+        self.ref_list0 = self.ref_list0[:header.num_ref_idx_l0_active_minus1 + 1]
+        if st == SliceType.B:
+            self.ref_list1 = self.ref_list1[:header.num_ref_idx_l1_active_minus1 + 1]
+
+    def _modify_list(self, lst, mods, sps: SPS, header: SliceHeader,
+                     num_active: int):
+        if not mods:
+            return lst
+        lst = list(lst)
+        max_pic_num = sps.max_frame_num
+        curr_pic_num = header.frame_num
+        pred = curr_pic_num
+        ref_idx = 0
+        for m in mods:
+            if m.idc in (0, 1):
+                diff = m.value + 1
+                if m.idc == 0:
+                    pred = pred - diff
+                    if pred < 0:
+                        pred += max_pic_num
+                else:
+                    pred = pred + diff
+                    if pred >= max_pic_num:
+                        pred -= max_pic_num
+                pic_num = pred
+                if pic_num > curr_pic_num:
+                    pic_num -= max_pic_num
+                target = next((p for p in self.pictures
+                               if p.is_reference and not p.is_long_term
+                               and p.pic_num == pic_num), None)
+            else:  # long term
+                target = next((p for p in self.pictures
+                               if p.is_reference and p.is_long_term
+                               and p.long_term_pic_num == m.value), None)
+            if target is None:
+                continue
+            lst.insert(ref_idx, target)
+            ref_idx += 1
+            # remove later duplicate
+            for i in range(ref_idx, len(lst)):
+                if lst[i] is target:
+                    del lst[i]
+                    break
+        return lst
+
+    # -- marking (spec 8.2.5; dpb.rs:415-589) ----------------------------
+    def mark_and_store(self, sps: SPS, header: SliceHeader, nal: NalUnit,
+                       poc: int):
+        idr = nal.type == NalUnitType.IDR_SLICE
+        if nal.ref_idc == 0:
+            self._decode_count += 1
+            return None  # non-reference pictures are not stored
+        m = header.dec_ref_pic_marking
+        if idr:
+            self.pictures.clear()
+            self.max_long_term_frame_idx = -1
+            long_term = bool(m and m.long_term_reference_flag)
+            pic = self._new_pic(header, poc, long_term)
+            if long_term:
+                pic.long_term_frame_idx = 0
+                self.max_long_term_frame_idx = 0
+            self.pictures.append(pic)
+            return pic
+        if m and m.adaptive_ref_pic_marking_mode_flag:
+            self._adaptive_marking(sps, header, m.mmco_ops)
+            pic = self._new_pic(header, poc, False)
+            # MMCO6 may mark current as long-term
+            for op in m.mmco_ops:
+                if op.op == 6:
+                    pic.is_long_term = True
+                    pic.long_term_frame_idx = op.val1
+            self.pictures.append(pic)
+        else:
+            self._sliding_window(sps)
+            self.pictures.append(self._new_pic(header, poc, False))
+        return self.pictures[-1]
+
+    def _new_pic(self, header, poc, long_term):
+        p = Picture(frame_num=header.frame_num, pic_order_cnt=poc,
+                    top_field_order_cnt=self._last_top,
+                    bottom_field_order_cnt=self._last_bottom,
+                    is_long_term=long_term, frame_idx=self._decode_count)
+        self._decode_count += 1
+        return p
+
+    def _sliding_window(self, sps: SPS):
+        num_short = sum(1 for p in self.pictures
+                        if p.is_reference and not p.is_long_term)
+        num_long = sum(1 for p in self.pictures
+                       if p.is_reference and p.is_long_term)
+        max_refs = max(sps.max_num_ref_frames, 1)
+        while num_short + num_long >= max_refs and num_short > 0:
+            oldest = min((p for p in self.pictures
+                          if p.is_reference and not p.is_long_term),
+                         key=lambda p: p.frame_idx)
+            oldest.is_reference = False
+            self.pictures.remove(oldest)
+            num_short -= 1
+
+    def _adaptive_marking(self, sps: SPS, header: SliceHeader, ops):
+        curr = header.frame_num
+        max_fn = sps.max_frame_num
+        self._assign_pic_nums(sps, curr)
+        for op in ops:
+            if op.op == 1:  # unmark short-term
+                pic_num = curr - (op.val1 + 1)
+                if pic_num < 0:
+                    pic_num += max_fn
+                if pic_num > curr:
+                    pic_num -= max_fn
+                self.pictures = [p for p in self.pictures
+                                 if p.is_long_term or p.pic_num != pic_num]
+            elif op.op == 2:  # unmark long-term by long_term_pic_num
+                self.pictures = [p for p in self.pictures
+                                 if not (p.is_long_term and
+                                         p.long_term_pic_num == op.val1)]
+            elif op.op == 3:  # short -> long term
+                pic_num = curr - (op.val1 + 1)
+                if pic_num < 0:
+                    pic_num += max_fn
+                if pic_num > curr:
+                    pic_num -= max_fn
+                self.pictures = [p for p in self.pictures
+                                 if not (p.is_long_term and
+                                         p.long_term_frame_idx == op.val2)]
+                for p in self.pictures:
+                    if not p.is_long_term and p.pic_num == pic_num:
+                        p.is_long_term = True
+                        p.long_term_frame_idx = op.val2
+                        p.long_term_pic_num = op.val2
+            elif op.op == 4:  # max long term frame idx
+                self.max_long_term_frame_idx = op.val1 - 1
+                self.pictures = [
+                    p for p in self.pictures
+                    if not (p.is_long_term and
+                            p.long_term_frame_idx > self.max_long_term_frame_idx)]
+            elif op.op == 5:  # reset
+                self.pictures.clear()
+                self.max_long_term_frame_idx = -1
+                self.prev_pic_order_cnt_msb = 0
+                self.prev_pic_order_cnt_lsb = 0
+            # op 6 handled by caller (marks current picture)

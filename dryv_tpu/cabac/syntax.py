@@ -29,6 +29,74 @@ class MbKind(IntEnum):
     I_NXN = 0
     I_16X16 = 1
     I_PCM = 2
+    P = 3       # inter 16x16/16x8/8x16 partitions
+    P_8X8 = 4
+    P_SKIP = 5
+    B = 6
+    B_8X8 = 7
+    B_SKIP = 8
+    B_DIRECT = 9
+
+
+# inter prediction modes per partition
+PRED_L0, PRED_L1, PRED_BI, PRED_DIRECT, PRED_NONE = range(5)
+
+# P mb_types (Table 7-13): (partitions, (w,h), pred modes)
+P_MB_TYPES = [
+    ("P_L0_16x16", 1, (16, 16), [PRED_L0]),
+    ("P_L0_L0_16x8", 2, (16, 8), [PRED_L0, PRED_L0]),
+    ("P_L0_L0_8x16", 2, (8, 16), [PRED_L0, PRED_L0]),
+    ("P_8x8", 4, (8, 8), None),
+]
+# B mb_types (Table 7-14), in code order 0..22
+B_MB_TYPES = [
+    ("B_Direct_16x16", 1, (16, 16), [PRED_DIRECT]),
+    ("B_L0_16x16", 1, (16, 16), [PRED_L0]),
+    ("B_L1_16x16", 1, (16, 16), [PRED_L1]),
+    ("B_Bi_16x16", 1, (16, 16), [PRED_BI]),
+    ("B_L0_L0_16x8", 2, (16, 8), [PRED_L0, PRED_L0]),
+    ("B_L0_L0_8x16", 2, (8, 16), [PRED_L0, PRED_L0]),
+    ("B_L1_L1_16x8", 2, (16, 8), [PRED_L1, PRED_L1]),
+    ("B_L1_L1_8x16", 2, (8, 16), [PRED_L1, PRED_L1]),
+    ("B_L0_L1_16x8", 2, (16, 8), [PRED_L0, PRED_L1]),
+    ("B_L0_L1_8x16", 2, (8, 16), [PRED_L0, PRED_L1]),
+    ("B_L1_L0_16x8", 2, (16, 8), [PRED_L1, PRED_L0]),
+    ("B_L1_L0_8x16", 2, (8, 16), [PRED_L1, PRED_L0]),
+    ("B_L0_Bi_16x8", 2, (16, 8), [PRED_L0, PRED_BI]),
+    ("B_L0_Bi_8x16", 2, (8, 16), [PRED_L0, PRED_BI]),
+    ("B_L1_Bi_16x8", 2, (16, 8), [PRED_L1, PRED_BI]),
+    ("B_L1_Bi_8x16", 2, (8, 16), [PRED_L1, PRED_BI]),
+    ("B_Bi_L0_16x8", 2, (16, 8), [PRED_BI, PRED_L0]),
+    ("B_Bi_L0_8x16", 2, (8, 16), [PRED_BI, PRED_L0]),
+    ("B_Bi_L1_16x8", 2, (16, 8), [PRED_BI, PRED_L1]),
+    ("B_Bi_L1_8x16", 2, (8, 16), [PRED_BI, PRED_L1]),
+    ("B_Bi_Bi_16x8", 2, (16, 8), [PRED_BI, PRED_BI]),
+    ("B_Bi_Bi_8x16", 2, (8, 16), [PRED_BI, PRED_BI]),
+    ("B_8x8", 4, (8, 8), None),
+]
+# P sub_mb_types (Table 7-17): (parts, (w,h), pred)
+P_SUB_TYPES = [
+    ("P_L0_8x8", 1, (8, 8), PRED_L0),
+    ("P_L0_8x4", 2, (8, 4), PRED_L0),
+    ("P_L0_4x8", 2, (4, 8), PRED_L0),
+    ("P_L0_4x4", 4, (4, 4), PRED_L0),
+]
+# B sub_mb_types (Table 7-18)
+B_SUB_TYPES = [
+    ("B_Direct_8x8", 4, (4, 4), PRED_DIRECT),
+    ("B_L0_8x8", 1, (8, 8), PRED_L0),
+    ("B_L1_8x8", 1, (8, 8), PRED_L1),
+    ("B_Bi_8x8", 1, (8, 8), PRED_BI),
+    ("B_L0_8x4", 2, (8, 4), PRED_L0),
+    ("B_L0_4x8", 2, (4, 8), PRED_L0),
+    ("B_L1_8x4", 2, (8, 4), PRED_L1),
+    ("B_L1_4x8", 2, (4, 8), PRED_L1),
+    ("B_Bi_8x4", 2, (8, 4), PRED_BI),
+    ("B_Bi_4x8", 2, (4, 8), PRED_BI),
+    ("B_L0_4x4", 4, (4, 4), PRED_L0),
+    ("B_L1_4x4", 4, (4, 4), PRED_L1),
+    ("B_Bi_4x4", 4, (4, 4), PRED_BI),
+]
 
 
 @dataclass
@@ -47,6 +115,12 @@ class MBState:
     intra4x4_modes: np.ndarray = None  # [16] resolved modes
     intra8x8_modes: np.ndarray = None  # [4]
     cbf: np.ndarray = None  # [3][17]; [..][16] = DC
+    # inter state (P/B syntax parity; reconstruction is out of scope, as in
+    # the reference: frame/mod.rs:88 todo!("Inter prediction"))
+    mb_type_code: int = 0      # raw P/B mb_type value
+    sub_mb_type: np.ndarray = None  # [4]
+    ref_idx: np.ndarray = None      # [2][4] per 8x8 quadrant
+    mvd: np.ndarray = None          # [2][16][2] per 4x4 block (x, y)
     # coefficients, scan (zig-zag) order as coded
     luma_dc: np.ndarray = None      # [16]
     luma4: np.ndarray = None        # [16][16]  (AC blocks for I16x16: [..][15] used)
@@ -68,6 +142,9 @@ class MBState:
         m.luma8 = np.zeros((4, 64), dtype=np.int32)
         m.chroma_dc = np.zeros((2, 8), dtype=np.int32)
         m.chroma_ac = np.zeros((2, 8, 16), dtype=np.int32)
+        m.sub_mb_type = np.full(4, -1, dtype=np.int32)
+        m.ref_idx = np.zeros((2, 4), dtype=np.int32)
+        m.mvd = np.zeros((2, 16, 2), dtype=np.int32)
         return m
 
 
@@ -172,49 +249,289 @@ class SliceCoder:
         return (self.cur_mb(), nb) if same else (self.nb_mb(direction), nb)
 
     # -- syntax elements ------------------------------------------------
-    def mb_type_i(self, mb: MBState):
-        """mb_type for I slices (Table 9-36; ctx 9.3.3.1.1.3).
-
-        Decode: fills mb.kind / i16 fields.  Encode: emits from them."""
+    def _i_ctx_slots(self):
+        """ctx slots for the I mb_type tree in an I slice (9.3.3.1.1.3):
+        bin0 neighbor-conditioned, then terminate, then fixed incs 3..7."""
         a, b = self.nb_mb("A"), self.nb_mb("B")
-        inc = (1 if (a.available and a.kind != MbKind.I_NXN) else 0) + \
-              (1 if (b.available and b.kind != MbKind.I_NXN) else 0)
+        intra_nxn = (MbKind.I_NXN,)
+        inc = (1 if (a.available and a.kind not in intra_nxn) else 0) + \
+              (1 if (b.available and b.kind not in intra_nxn) else 0)
         base = T.CTX_MB_TYPE_I
+        return [base + inc, None, base + 3, base + 4, base + 5,
+                base + 6, base + 7]
+
+    # I mb_type suffix ctx slots inside P/B slices (reference bidx tables)
+    P_SUF_SLOTS = [17, None, 18, 19, 19, 20, 20]
+    B_SUF_SLOTS = [32, None, 33, 34, 34, 35, 35]
+
+    def mb_type_i(self, mb: MBState, slots=None):
+        """mb_type I tree (Table 9-36).  slots: ctx per tree position
+        (None = terminate bin); defaults to the I-slice layout."""
+        if slots is None:
+            slots = self._i_ctx_slots()
 
         if self.encoding:
             if mb.kind == MbKind.I_NXN:
-                self._bin(base + inc, 0)
+                self._bin(slots[0], 0)
                 return
-            self._bin(base + inc, 1)
+            self._bin(slots[0], 1)
             if mb.kind == MbKind.I_PCM:
                 self._terminate(1)
                 return
             self._terminate(0)
             cbp_luma = 1 if (mb.cbp & 0x0F) else 0
             cbp_chroma = mb.cbp >> 4
-            self._bin(base + 3, cbp_luma)
-            self._bin(base + 4, 1 if cbp_chroma > 0 else 0)
+            self._bin(slots[2], cbp_luma)
+            self._bin(slots[3], 1 if cbp_chroma > 0 else 0)
             if cbp_chroma > 0:
-                self._bin(base + 5, cbp_chroma - 1)
-            self._bin(base + 6, (mb.i16_pred_mode >> 1) & 1)
-            self._bin(base + 7, mb.i16_pred_mode & 1)
+                self._bin(slots[4], cbp_chroma - 1)
+            self._bin(slots[5], (mb.i16_pred_mode >> 1) & 1)
+            self._bin(slots[6], mb.i16_pred_mode & 1)
             return
 
-        if self._bin(base + inc) == 0:
+        if self._bin(slots[0]) == 0:
             mb.kind = MbKind.I_NXN
             return
         if self._terminate() == 1:
             mb.kind = MbKind.I_PCM
             return
         mb.kind = MbKind.I_16X16
-        cbp_luma = self._bin(base + 3)
+        cbp_luma = self._bin(slots[2])
         cbp_chroma = 0
-        if self._bin(base + 4):
-            cbp_chroma = 1 + self._bin(base + 5)
-        hi = self._bin(base + 6)
-        lo = self._bin(base + 7)
+        if self._bin(slots[3]):
+            cbp_chroma = 1 + self._bin(slots[4])
+        hi = self._bin(slots[5])
+        lo = self._bin(slots[6])
         mb.i16_pred_mode = (hi << 1) | lo
         mb.cbp = (cbp_chroma << 4) | (0x0F if cbp_luma else 0)
+
+    # -- P/B mb_type trees (Table 9-34/9-37/9-38) -----------------------
+    def mb_skip_flag(self, mb: MBState, val=None) -> int:
+        base = T.CTX_MB_SKIP_FLAG_P if self.header.slice_type.is_predictive \
+            else T.CTX_MB_SKIP_FLAG_B
+        skips = (MbKind.P_SKIP, MbKind.B_SKIP)
+        a, b = self.nb_mb("A"), self.nb_mb("B")
+        inc = (1 if (a.available and a.kind not in skips) else 0) + \
+              (1 if (b.available and b.kind not in skips) else 0)
+        return self._bin(base + inc, val)
+
+    def mb_type_p(self, mb: MBState):
+        """P-slice mb_type (prefix ctx 14..16, escape -> I tree base 17)."""
+        base = T.CTX_MB_TYPE_P_PRE
+        if self.encoding:
+            if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM):
+                self._bin(base, 1)
+                self.mb_type_i(mb, self.P_SUF_SLOTS)
+                return
+            code = mb.mb_type_code
+            if code == 0:    # P_L0_16x16: 000
+                self._bin(base, 0); self._bin(base + 1, 0); self._bin(base + 2, 0)
+            elif code == 3:  # P_8x8: 001
+                self._bin(base, 0); self._bin(base + 1, 0); self._bin(base + 2, 1)
+            elif code == 2:  # P_L0_L0_8x16: 010
+                self._bin(base, 0); self._bin(base + 1, 1); self._bin(base + 3, 0)
+            else:            # P_L0_L0_16x8: 011
+                self._bin(base, 0); self._bin(base + 1, 1); self._bin(base + 3, 1)
+            return
+        if self._bin(base):
+            self.mb_type_i(mb, self.P_SUF_SLOTS)
+            return
+        if self._bin(base + 1) == 0:
+            code = 3 if self._bin(base + 2) else 0
+        else:
+            code = 1 if self._bin(base + 3) else 2
+        mb.mb_type_code = code
+        mb.kind = MbKind.P_8X8 if code == 3 else MbKind.P
+
+    def mb_type_b(self, mb: MBState):
+        """B-slice mb_type (prefix ctx 27..32, escape -> I tree base 32)."""
+        base = T.CTX_MB_TYPE_B_PRE
+        skipdir = (MbKind.B_SKIP, MbKind.B_DIRECT)
+        a, b = self.nb_mb("A"), self.nb_mb("B")
+        inc = (1 if (a.available and a.kind not in skipdir) else 0) + \
+              (1 if (b.available and b.kind not in skipdir) else 0)
+
+        if self.encoding:
+            if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM):
+                # escape: '111' + tail '101' + I suffix
+                self._bin(base + inc, 1)
+                self._bin(base + 3, 1)
+                self._bin(base + 4, 1)
+                for bit in (1, 0, 1):
+                    self._bin(base + 5, bit)
+                self.mb_type_i(mb, self.B_SUF_SLOTS)
+                return
+            code = mb.mb_type_code
+            if code == 0:
+                self._bin(base + inc, 0)
+                return
+            self._bin(base + inc, 1)
+            if code in (1, 2):
+                self._bin(base + 3, 0)
+                self._bin(base + 5, code - 1)
+                return
+            self._bin(base + 3, 1)
+            if 3 <= code <= 10:
+                v = code - 3
+                self._bin(base + 4, 0)
+                for i in (2, 1, 0):
+                    self._bin(base + 5, (v >> i) & 1)
+                return
+            self._bin(base + 4, 1)
+            if 12 <= code <= 19:
+                v = code - 12
+                for b in (0, (v >> 2) & 1, (v >> 1) & 1, v & 1):
+                    self._bin(base + 5, b)
+            elif code in (20, 21):
+                for b in (1, 0, 0, code - 20):
+                    self._bin(base + 5, b)
+            elif code == 11:
+                for b in (1, 1, 0):
+                    self._bin(base + 5, b)
+            else:  # 22 = B_8x8
+                for b in (1, 1, 1):
+                    self._bin(base + 5, b)
+            return
+
+        # decode (Table 9-37; mirrors reference MB_TYPE_B_TABLE)
+        if self._bin(base + inc) == 0:
+            mb.mb_type_code = 0
+            mb.kind = MbKind.B_DIRECT
+            return
+        if self._bin(base + 3) == 0:
+            mb.mb_type_code = 1 + self._bin(base + 5)
+            mb.kind = MbKind.B
+            return
+        if self._bin(base + 4) == 0:
+            v = 0
+            for _ in range(3):
+                v = (v << 1) | self._bin(base + 5)
+            mb.mb_type_code = 3 + v
+            mb.kind = MbKind.B
+            return
+        if self._bin(base + 5) == 0:          # tail 0xxx -> 12..19
+            v = 0
+            for _ in range(3):
+                v = (v << 1) | self._bin(base + 5)
+            mb.mb_type_code = 12 + v
+            mb.kind = MbKind.B
+            return
+        if self._bin(base + 5) == 0:
+            if self._bin(base + 5) == 0:      # tail 100b -> 20, 21
+                mb.mb_type_code = 20 + self._bin(base + 5)
+                mb.kind = MbKind.B
+            else:                             # tail 101 -> I escape
+                self.mb_type_i(mb, self.B_SUF_SLOTS)
+            return
+        if self._bin(base + 5) == 0:          # tail 110 -> 11
+            mb.mb_type_code = 11
+            mb.kind = MbKind.B
+        else:                                 # tail 111 -> B_8x8
+            mb.mb_type_code = 22
+            mb.kind = MbKind.B_8X8
+
+    def sub_mb_types(self, mb: MBState):
+        if self.header.slice_type.is_predictive:
+            base = T.CTX_SUB_MB_TYPE_P
+            for i in range(4):
+                if self.encoding:
+                    code = int(mb.sub_mb_type[i])
+                    if code == 0:
+                        self._bin(base, 1)
+                    elif code == 1:
+                        self._bin(base, 0); self._bin(base + 1, 0)
+                    elif code == 3:
+                        self._bin(base, 0); self._bin(base + 1, 1)
+                        self._bin(base + 2, 0)
+                    else:
+                        self._bin(base, 0); self._bin(base + 1, 1)
+                        self._bin(base + 2, 1)
+                    continue
+                if self._bin(base):
+                    mb.sub_mb_type[i] = 0  # P_L0_8x8
+                elif self._bin(base + 1) == 0:
+                    mb.sub_mb_type[i] = 1  # P_L0_8x4
+                elif self._bin(base + 2):
+                    mb.sub_mb_type[i] = 2  # P_L0_4x8
+                else:
+                    mb.sub_mb_type[i] = 3  # P_L0_4x4
+        else:
+            base = T.CTX_SUB_MB_TYPE_B
+            for i in range(4):
+                if self.encoding:
+                    raise NotImplementedError("encode B sub_mb_type")
+                if self._bin(base) == 0:
+                    mb.sub_mb_type[i] = 0  # B_Direct_8x8
+                    continue
+                if self._bin(base + 1) == 0:
+                    mb.sub_mb_type[i] = 1 + self._bin(base + 3)
+                    continue
+                if self._bin(base + 2) == 0:
+                    v = (self._bin(base + 3) << 1) | self._bin(base + 3)
+                    mb.sub_mb_type[i] = 3 + v
+                    continue
+                if self._bin(base + 3) == 0:
+                    v = (self._bin(base + 3) << 1) | self._bin(base + 3)
+                    mb.sub_mb_type[i] = 7 + v
+                else:
+                    mb.sub_mb_type[i] = 11 + self._bin(base + 3)
+        # reference decodes sub types then clears chroma mode
+        return
+
+    # -- ref_idx / mvd --------------------------------------------------
+    def ref_idx(self, mb: MBState, blk8: int, which: int, max_ref: int,
+                val=None) -> int:
+        """ref_idx_lX for an 8x8 quadrant (9.3.3.1.1.6)."""
+        if max_ref == 0:
+            if not self.encoding:
+                mb.ref_idx[which][blk8] = 0
+            return 0
+        nb_a, ia = self.nb_blk8("A", blk8)
+        nb_b, ib = self.nb_blk8("B", blk8)
+        cond_a = 1 if nb_a.ref_idx[which][ia] > 0 else 0
+        cond_b = 1 if nb_b.ref_idx[which][ib] > 0 else 0
+        ctxs = [T.CTX_REF_IDX + cond_a + 2 * cond_b,
+                T.CTX_REF_IDX + 4, T.CTX_REF_IDX + 5]
+        if self.encoding:
+            v = val
+            for k in range(v):
+                self._bin(ctxs[min(k, 2)], 1)
+            self._bin(ctxs[min(v, 2)], 0)
+        else:
+            v = 0
+            while self._bin(ctxs[min(v, 2)]):
+                v += 1
+                if v > 63:
+                    raise ValueError("ref_idx overflow")
+            mb.ref_idx[which][blk8] = v
+        return v
+
+    def mvd(self, mb: MBState, blk4: int, comp: int, which: int,
+            val=None) -> int:
+        """mvd_lX component (9.3.3.1.1.7): UEG3, uCoff 9, signed."""
+        base = T.CTX_MVD_Y if comp else T.CTX_MVD_X
+        nb_a, ia = self.nb_blk4("A", blk4)
+        nb_b, ib = self.nb_blk4("B", blk4)
+        sum_abs = abs(int(nb_a.mvd[which][ia][comp])) + \
+            abs(int(nb_b.mvd[which][ib][comp]))
+        inc = 0 if sum_abs < 3 else (1 if sum_abs <= 32 else 2)
+        ctxs = [base + inc, base + 3, base + 4, base + 5, base + 6]
+        if self.encoding:
+            a = abs(val)
+            pre = min(a, 9)
+            for k in range(pre):
+                self._bin(ctxs[min(k, 4)], 1)
+            if pre < 9:
+                self._bin(ctxs[min(pre, 4)], 0)
+            self.engine.ueg_suffix(a, 9, 3, True, val)
+            mb.mvd[which][blk4][comp] = val
+            return val
+        pre = 0
+        while pre < 9 and self._bin(ctxs[min(pre, 4)]):
+            pre += 1
+        v = self.engine.ueg_suffix(pre, 9, 3, True)
+        mb.mvd[which][blk4][comp] = v
+        return v
 
     def transform_size_8x8_flag(self, mb: MBState):
         a, b = self.nb_mb("A"), self.nb_mb("B")
@@ -370,6 +687,107 @@ class SliceCoder:
                     raise ValueError("mb_qp_delta overflow")
             mb.qp_delta = (tmp + 1) >> 1 if (tmp & 1) else -(tmp >> 1)
 
+    # -- inter prediction syntax (mb_pred / sub_mb_pred) ----------------
+    # 16x8 partition p covers z-blocks rows; 8x16 covers columns
+    _PART_BLKS = {
+        (1, 0): list(range(16)),
+        (2, 0): [0, 1, 4, 5, 2, 3, 6, 7],      # 16x8 top
+        (2, 1): [8, 9, 12, 13, 10, 11, 14, 15],  # 16x8 bottom
+        (3, 0): [0, 2, 8, 10, 1, 3, 9, 11],    # 8x16 left
+        (3, 1): [4, 6, 12, 14, 5, 7, 13, 15],  # 8x16 right
+    }
+
+    def _part_layout(self, mb: MBState):
+        """Returns (n_parts, [(anchor_blk4, blk4s, quadrants, pred_mode)])."""
+        st = self.header.slice_type
+        if st.is_predictive:
+            name, n, wh, preds = P_MB_TYPES[mb.mb_type_code]
+        else:
+            name, n, wh, preds = B_MB_TYPES[mb.mb_type_code]
+        parts = []
+        for p in range(n):
+            if n == 1:
+                blks = list(range(16))
+                quads = [0, 1, 2, 3]
+            elif wh == (16, 8):
+                blks = self._PART_BLKS[(2, p)]
+                quads = [0, 1] if p == 0 else [2, 3]
+            else:
+                blks = self._PART_BLKS[(3, p)]
+                quads = [0, 2] if p == 0 else [1, 3]
+            parts.append((blks[0], blks, quads, preds[p]))
+        return parts
+
+    def mb_pred_inter(self, mb: MBState):
+        """ref_idx + mvd for 16x16/16x8/8x16 partitions (spec 7.3.5.1)."""
+        h = self.header
+        parts = self._part_layout(mb)
+        for which, nref in ((0, h.num_ref_idx_l0_active_minus1),
+                            (1, h.num_ref_idx_l1_active_minus1)):
+            for anchor, blks, quads, pred in parts:
+                uses = pred in ((PRED_L0, PRED_BI) if which == 0
+                                else (PRED_L1, PRED_BI))
+                if not uses:
+                    continue
+                v = self.ref_idx(mb, quads[0], which, nref,
+                                 int(mb.ref_idx[which][quads[0]])
+                                 if self.encoding else None)
+                for q in quads:
+                    mb.ref_idx[which][q] = v
+        for which in (0, 1):
+            for anchor, blks, quads, pred in parts:
+                uses = pred in ((PRED_L0, PRED_BI) if which == 0
+                                else (PRED_L1, PRED_BI))
+                if not uses:
+                    continue
+                for comp in (0, 1):
+                    v = self.mvd(mb, anchor, comp, which,
+                                 int(mb.mvd[which][anchor][comp])
+                                 if self.encoding else None)
+                    for blk in blks:
+                        mb.mvd[which][blk][comp] = v
+
+    # sub-part -> 4x4 blocks within quadrant (base z = 4*q)
+    _SUB_BLKS = {
+        (8, 8): [[0, 1, 2, 3]],
+        (8, 4): [[0, 1], [2, 3]],
+        (4, 8): [[0, 2], [1, 3]],
+        (4, 4): [[0], [1], [2], [3]],
+    }
+
+    def sub_mb_pred(self, mb: MBState):
+        """ref_idx + mvd for 8x8 sub-macroblock partitions (spec 7.3.5.2)."""
+        h = self.header
+        st = self.header.slice_type
+        table = P_SUB_TYPES if st.is_predictive else B_SUB_TYPES
+        for which, nref in ((0, h.num_ref_idx_l0_active_minus1),
+                            (1, h.num_ref_idx_l1_active_minus1)):
+            for q in range(4):
+                name, nparts, wh, pred = table[mb.sub_mb_type[q]]
+                uses = pred in ((PRED_L0, PRED_BI) if which == 0
+                                else (PRED_L1, PRED_BI))
+                if not uses:
+                    continue
+                v = self.ref_idx(mb, q, which, nref,
+                                 int(mb.ref_idx[which][q])
+                                 if self.encoding else None)
+                mb.ref_idx[which][q] = v
+        for which in (0, 1):
+            for q in range(4):
+                name, nparts, wh, pred = table[mb.sub_mb_type[q]]
+                uses = pred in ((PRED_L0, PRED_BI) if which == 0
+                                else (PRED_L1, PRED_BI))
+                if not uses:
+                    continue
+                for part in self._SUB_BLKS[wh][:nparts]:
+                    anchor = 4 * q + part[0]
+                    for comp in (0, 1):
+                        v = self.mvd(mb, anchor, comp, which,
+                                     int(mb.mvd[which][anchor][comp])
+                                     if self.encoding else None)
+                        for sub in part:
+                            mb.mvd[which][4 * q + sub][comp] = v
+
     # -- residual -------------------------------------------------------
     def coded_block_flag(self, cat: int, idx: int, val=None) -> int:
         """9.3.3.1.1.9: ctx from neighbor blocks' coded_block_flag."""
@@ -400,6 +818,13 @@ class SliceCoder:
         else:  # CAT_CHROMA_AC
             nb_a, idx_a = self.nb_blkc("A", idx)
             nb_b, idx_b = self.nb_blkc("B", idx)
+        # unavailable neighbors: cbf defaults to 1 for intra MBs, 0 for
+        # inter (reference MB_UNAVAILABLE_INTRA/INTER sentinels)
+        if cur.kind >= MbKind.P:
+            if nb_a is UNAVAIL_INTRA:
+                nb_a = UNAVAIL_INTER
+            if nb_b is UNAVAIL_INTRA:
+                nb_b = UNAVAIL_INTER
         cond_a = int(nb_a.cbf[comp][idx_a])
         cond_b = int(nb_b.cbf[comp][idx_b])
         ctx = T.CTX_CODED_BLOCK_FLAG[cat] + cond_a + 2 * cond_b
@@ -573,25 +998,53 @@ class SliceCoder:
     def macroblock_layer(self, mb: MBState):
         """Decode/encode one MB (reference macroblock_layer, mod.rs:89-210)."""
         sps, pps = self.sps, self.pps
+        st = self.header.slice_type
         mb.slice_id = self.slice_id
         self.mbs[self.curr] = mb
-        self.mb_type_i(mb)
+        if st.is_intra:
+            self.mb_type_i(mb)
+        elif st.is_predictive:
+            self.mb_type_p(mb)
+        else:
+            self.mb_type_b(mb)
 
         if mb.kind == MbKind.I_PCM:
             self._pcm(mb)
         else:
-            if mb.kind == MbKind.I_NXN and pps.transform_8x8_mode_flag:
-                self.transform_size_8x8_flag(mb)
-            # mb_pred (intra)
-            if mb.kind == MbKind.I_NXN:
-                if mb.transform8x8:
-                    self.intra8x8_pred_modes(mb)
-                else:
-                    self.intra4x4_pred_modes(mb)
-            if self.chroma_array_type in (1, 2):
-                self.intra_chroma_pred_mode(mb)
-            if mb.kind == MbKind.I_NXN:
+            intra = mb.kind in (MbKind.I_NXN, MbKind.I_16X16)
+            no_small_parts = True
+            if mb.kind in (MbKind.P_8X8, MbKind.B_8X8):
+                self.sub_mb_types(mb)
+                table = P_SUB_TYPES if st.is_predictive else B_SUB_TYPES
+                for q in range(4):
+                    name, nparts, wh, pred = table[mb.sub_mb_type[q]]
+                    if pred == PRED_DIRECT:
+                        if not sps.direct_8x8_inference_flag:
+                            no_small_parts = False
+                    elif wh != (8, 8):
+                        no_small_parts = False
+                self.sub_mb_pred(mb)
+                mb.chroma_mode = 0
+            else:
+                if mb.kind == MbKind.I_NXN and pps.transform_8x8_mode_flag:
+                    self.transform_size_8x8_flag(mb)
+                if mb.kind == MbKind.I_NXN:
+                    if mb.transform8x8:
+                        self.intra8x8_pred_modes(mb)
+                    else:
+                        self.intra4x4_pred_modes(mb)
+                if intra and self.chroma_array_type in (1, 2):
+                    self.intra_chroma_pred_mode(mb)
+                if mb.kind in (MbKind.P, MbKind.B):
+                    self.mb_pred_inter(mb)
+
+            if mb.kind != MbKind.I_16X16:
                 self.coded_block_pattern(mb)
+                if not intra and (mb.cbp & 0x0F) and \
+                        pps.transform_8x8_mode_flag and no_small_parts and \
+                        (mb.kind != MbKind.B_DIRECT or
+                         sps.direct_8x8_inference_flag):
+                    self.transform_size_8x8_flag(mb)
             if mb.cbp != 0 or mb.kind == MbKind.I_16X16:
                 self.mb_qp_delta(mb)
             else:
@@ -637,28 +1090,60 @@ class SliceCoder:
         mb.intra4x4_modes[:] = 2
         mb.intra8x8_modes[:] = 2
 
+    def _skip_mb(self, mb: MBState):
+        """Inferred state for P_Skip/B_Skip (reference infer_skip)."""
+        st = self.header.slice_type
+        mb.kind = MbKind.P_SKIP if st.is_predictive else MbKind.B_SKIP
+        mb.slice_id = self.slice_id
+        mb.cbp = 0
+        mb.qp_delta = 0
+        mb.qp_y = self.qpy_prev
+        self.mbs[self.curr] = mb
+
+    def _next_addr(self, sgmap):
+        if sgmap is None:
+            return self.curr + 1
+        from ..avc.slice_map import next_mb_addr
+        return next_mb_addr(sgmap, self.curr)
+
     # -- slice loop ------------------------------------------------------
-    def decode_slice_data(self):
-        """I-slice decode loop (reference Slice::data, slice/mod.rs:199-254)."""
+    def decode_slice_data(self, sgmap=None):
+        """Slice decode loop (reference Slice::data, slice/mod.rs:199-254).
+
+        sgmap: FMO slice-group map (next_mb_addr iteration) or None."""
         assert not self.encoding
+        st = self.header.slice_type
         n_mbs = self.mb_w * self.mb_h
         while True:
             mb = MBState.fresh()
-            self.macroblock_layer(mb)
+            if not st.is_intra and self.mb_skip_flag(mb):
+                self._skip_mb(mb)
+            else:
+                self.macroblock_layer(mb)
             self.prev_addr = self.curr
             end = self._terminate()
-            if end or self.curr + 1 >= n_mbs:
+            nxt = self._next_addr(sgmap)
+            if end or nxt >= n_mbs:
                 break
-            self.curr += 1
+            self.curr = nxt
         return self.curr
 
-    def encode_slice_data(self, mb_list):
+    def encode_slice_data(self, mb_list, sgmap=None):
         """Encode MBs [first_mb..] from pre-filled MBState records."""
         assert self.encoding
+        st = self.header.slice_type
         for k, mb in enumerate(mb_list):
-            self.macroblock_layer(mb)
+            if not st.is_intra:
+                skip = mb.kind in (MbKind.P_SKIP, MbKind.B_SKIP)
+                self.mb_skip_flag(mb, 1 if skip else 0)
+                if skip:
+                    self._skip_mb(mb)
+                else:
+                    self.macroblock_layer(mb)
+            else:
+                self.macroblock_layer(mb)
             self.prev_addr = self.curr
             last = k + 1 == len(mb_list)
             self._terminate(1 if last else 0)
             if not last:
-                self.curr += 1
+                self.curr = self._next_addr(sgmap)

@@ -155,41 +155,23 @@ def pack_frame(mbs, sps, pps) -> FrameSyntax:
 
 
 def pack_from_native(out: dict, sps, pps) -> FrameSyntax:
-    """Pack the native entropy stage's dense scan-order outputs (see
-    native/entropy.py) into FrameSyntax — fully vectorized numpy."""
+    """Pack the native entropy stage's dense outputs into FrameSyntax.
+
+    The C++ stage already emits raster-order coefficient blocks, so this
+    is reshapes + chroma-QP derivation + availability maps only."""
     mb_w = sps.pic_width_in_mbs
     mb_h = sps.frame_height_in_mbs
     n = mb_w * mb_h
     kind = out["kind"]
     qp_y = out["qp_y"]
 
-    # de-zigzag luma 4x4: I4 uses scan positions 0..15; I16 AC occupies
-    # positions 1..15 with DC slot zero
-    is16 = (kind == KIND_I16)[:, None]
-    scan = out["luma4"].reshape(n * 16, 16)
-    shifted = np.zeros_like(scan)
-    shifted[:, 1:] = scan[:, :15]
-    scan = np.where(np.repeat(is16, 16, axis=0), shifted, scan)
-    l4 = np.zeros((n * 16, 16), np.int32)
-    l4[:, ZIGZAG_4X4] = scan
-    luma4 = l4.reshape(n, 16, 4, 4)
-
-    l8 = np.zeros((n * 4, 64), np.int32)
-    l8[:, ZIGZAG_8X8] = out["luma8"].reshape(n * 4, 64)
-    luma8 = l8.reshape(n, 4, 8, 8)
-
-    dc = np.zeros((n, 16), np.int32)
-    dc[:, ZIGZAG_4X4] = out["luma_dc"]
-    luma_dc = dc.reshape(n, 4, 4)
-
-    cac_scan = out["chroma_ac"][:, :, :4, :]        # [n,2,4,15] (4:2:0)
-    cfull = np.zeros((n, 2, 4, 16), np.int32)
-    cfull[..., 1:] = cac_scan
-    cz = np.zeros((n, 2, 4, 16), np.int32)
-    cz[..., ZIGZAG_4X4] = cfull
-    chroma_ac = cz.reshape(n, 2, 4, 4, 4)
-
-    chroma_dc_arr = out["chroma_dc"][:, :, :4].reshape(n, 2, 2, 2)
+    luma4 = out["luma4"].reshape(n, 16, 4, 4)
+    luma8 = out["luma8"].reshape(n, 4, 8, 8)
+    luma_dc = out["luma_dc"].reshape(n, 4, 4)
+    chroma_ac = np.ascontiguousarray(
+        out["chroma_ac"][:, :, :4, :]).reshape(n, 2, 4, 4, 4)
+    chroma_dc_arr = np.ascontiguousarray(
+        out["chroma_dc"][:, :, :4]).reshape(n, 2, 2, 2)
 
     # vectorized chroma QP via Table 8-15
     def qpc_vec(qp, off):

@@ -113,13 +113,11 @@ def chroma_dc(c, qp, ls4):
     return ((f * ls00) << (qp // 6)[:, None, None]) >> 5
 
 
-def luma_residual_plane(kind, qp_y, luma4, luma8, luma_dc, mb_w, mb_h,
-                        ls4, ls8):
-    """Residual plane [H, W] int32 for all non-PCM MBs.
+def luma_residual_tiles(kind, qp_y, luma4, luma8, luma_dc, n, ls4, ls8):
+    """Per-MB residual tiles [n,16,16] int32 for all non-PCM MBs.
 
     kind [n], qp_y [n], luma4 [n,16,4,4] (z order), luma8 [n,4,8,8],
     luma_dc [n,4,4]."""
-    n = mb_w * mb_h
     is16 = kind == KIND_I16
     # 4x4 path (I4 + I16-AC): dequant all, DC passthrough for I16
     qp_rep = jnp.repeat(qp_y, 16)
@@ -147,23 +145,20 @@ def luma_residual_plane(kind, qp_y, luma4, luma8, luma_dc, mb_w, mb_h,
         bx, by = blk & 1, blk >> 1
         r8_spatial = r8_spatial.at[:, by * 8:by * 8 + 8,
                                    bx * 8:bx * 8 + 8].set(r8[:, blk])
-    r = jnp.where((kind == KIND_I8)[:, None, None], r8_spatial, r4_spatial)
-    # scatter to plane
-    return r.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
-            .reshape(mb_h * 16, mb_w * 16)
+    return jnp.where((kind == KIND_I8)[:, None, None], r8_spatial, r4_spatial)
 
 
-def chroma_residual_planes(qp_c, chroma_dc_lv, chroma_ac, mb_w, mb_h, ls4):
-    """One chroma component: qp_c [n], chroma_dc_lv [n,2,2],
-    chroma_ac [n,4,4,4] (blocks raster 2x2, DC slot zero) -> [H/2, W/2]."""
-    n = mb_w * mb_h
-    dcv = chroma_dc(chroma_dc_lv, qp_c, ls4)  # [n,2,2]
-    c = chroma_ac.reshape(n * 4, 4, 4)
-    dc_per_blk = dcv.reshape(n * 4)
-    c = c.at[:, 0, 0].set(dc_per_blk)
-    d = dequant4(c, jnp.repeat(qp_c, 4), ls4,
-                 dc_passthrough_mask=jnp.ones(n * 4, dtype=bool))
-    r = idct4(d).reshape(n, 2, 2, 4, 4)
-    rmb = r.transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
-    return rmb.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
-              .reshape(mb_h * 8, mb_w * 8)
+def chroma_residual_tiles(qp_cb, qp_cr, chroma_dc_lv, chroma_ac, n,
+                          ls4cb, ls4cr):
+    """Both chroma components: chroma_dc_lv [n,2,2,2], chroma_ac
+    [n,2,4,4,4] -> tiles [n,2,8,8]."""
+    outs = []
+    for ci, (qp_c, ls4) in enumerate(((qp_cb, ls4cb), (qp_cr, ls4cr))):
+        dcv = chroma_dc(chroma_dc_lv[:, ci], qp_c, ls4)  # [n,2,2]
+        c = chroma_ac[:, ci].reshape(n * 4, 4, 4)
+        c = c.at[:, 0, 0].set(dcv.reshape(n * 4))
+        d = dequant4(c, jnp.repeat(qp_c, 4), ls4,
+                     dc_passthrough_mask=jnp.ones(n * 4, dtype=bool))
+        r = idct4(d).reshape(n, 2, 2, 4, 4)
+        outs.append(r.transpose(0, 1, 3, 2, 4).reshape(n, 8, 8))
+    return jnp.stack(outs, axis=1)

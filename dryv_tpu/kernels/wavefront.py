@@ -4,14 +4,24 @@ The intra feedback loop (prediction reads already-reconstructed neighbor
 pixels, reference pred4x4.rs:62) forces sequential ordering; the exploitable
 parallelism is the classic H.264 wavefront: MB (x, y) depends on
 (x-1,y), (x,y-1), (x+1,y-1), (x-1,y-1), so all MBs with equal d = x + 2y
-are independent.  We lax.scan over d; each step reconstructs every MB on
-the diagonal in parallel (vmapped gathers -> branchless per-kind
-reconstruction -> batched scatter).  All arithmetic is exact int32: output
-is bit-identical to the scalar refimpl path.
+are independent.
+
+TPU-native state design ("frontier wavefront"): the scan carries only the
+dependency frontier — the bottom pixel row of the newest (and previous)
+completed MB per MB-column plus the right pixel column per MB-row (a few
+KB), NOT the frame planes.  Each diagonal step gathers its lanes' aprons
+from the frontier, reconstructs every MB of the diagonal in parallel
+(branchless per-kind compute), updates the frontier with small scatters,
+and emits the finished 16x16 tiles as scan outputs; the planes are
+assembled afterwards with one parallel gather.  This keeps the sequential
+loop free of full-plane scatter/gather traffic.
+
+All arithmetic is exact int32: output is bit-identical to the scalar
+refimpl path (and the libavcodec goldens).
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +38,23 @@ from . import intra_pred as ipk
 
 @lru_cache(maxsize=None)
 def diag_schedule(mb_w: int, mb_h: int):
-    """[n_diag, K] MB addresses per anti-diagonal (x + 2y = d), -1 padded."""
+    """Returns (sched [n_diag, K], d_of [n], k_of [n]): MB addresses per
+    anti-diagonal (x + 2y = d, -1 padded) and the inverse mapping."""
     diags = {}
     for my in range(mb_h):
         for mx in range(mb_w):
             diags.setdefault(mx + 2 * my, []).append(my * mb_w + mx)
     n_diag = mb_w + 2 * (mb_h - 1)
     K = max(len(v) for v in diags.values())
-    out = np.full((n_diag, K), -1, dtype=np.int32)
+    sched = np.full((n_diag, K), -1, dtype=np.int32)
+    d_of = np.zeros(mb_w * mb_h, dtype=np.int32)
+    k_of = np.zeros(mb_w * mb_h, dtype=np.int32)
     for d, addrs in diags.items():
-        out[d, :len(addrs)] = addrs
-    return out
+        sched[d, :len(addrs)] = addrs
+        for k, a in enumerate(addrs):
+            d_of[a] = d
+            k_of[a] = k
+    return sched, d_of, k_of
 
 
 # per-4x4-block availability source: 0=always True, 1=mb_a, 2=mb_b, 3=mb_c,
@@ -77,7 +93,6 @@ BLK8_D = np.array([4, 2, 1, 0])
 
 
 def _resolve_avail(src_code, mb_a, mb_b, mb_c, mb_d):
-    """src_code static int -> [K] bool."""
     if src_code == 0:
         return jnp.ones_like(mb_a)
     if src_code == 5:
@@ -85,151 +100,261 @@ def _resolve_avail(src_code, mb_a, mb_b, mb_c, mb_d):
     return [None, mb_a, mb_b, mb_c, mb_d][src_code]
 
 
-# ---------------------------------------------------------------------------
-# the wavefront step
-# ---------------------------------------------------------------------------
+def _avail_per_blk(src_codes, av_a, av_b, av_c, av_d):
+    rows = [_resolve_avail(int(c), av_a, av_b, av_c, av_d) for c in src_codes]
+    return jnp.stack(rows)
+
+
+_ZPOS_J = jnp.asarray([[p[0], p[1]] for p in ZSCAN_4X4_POS], dtype=jnp.int32)
 
 LW = 25   # luma window cols: x0-1 .. x0+23
 LH = 17   # luma window rows: y0-1 .. y0+15
 
 
-def _gather_window(plane_pad, ys, xs, h, w):
-    """vmapped dynamic_slice: plane_pad [Hp, Wp]; ys/xs [K] -> [K,h,w]."""
-    def one(y, x):
-        return jax.lax.dynamic_slice(plane_pad, (y, x), (h, w))
-    return jax.vmap(one)(ys, xs)
+# ---------------------------------------------------------------------------
+# per-diagonal MB batch reconstruction (shared by single-chip and banded)
+# ---------------------------------------------------------------------------
+
+def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
+                   bitdepth=8):
+    """Reconstruct a batch of MBs: all kinds computed branchlessly.
+
+    L: local luma windows [K,LH,LW] (row 0 / col 0 = the -1 apron; interior
+    initially arbitrary); resid: [K,16,16].  Returns out16 [K,16,16]."""
+    maxv = (1 << bitdepth) - 1
+    K = L.shape[0]
+
+    # ---- I16 path -----------------------------------------------------
+    above16 = L[:, 0, 1:17]
+    left16 = L[:, 1:17, 0]
+    corner = L[:, 0, 0]
+    p16 = ipk.pred16x16_batch(s["i16_mode"][a], above16, left16, corner,
+                              av_a, av_b, av_d, bitdepth)
+    o16 = jnp.clip(p16 + resid, 0, maxv)
+
+    # ---- I4 path (16 sequential sub-blocks on the local window) -------
+    aa4 = _avail_per_blk(BLK4_A, av_a, av_b, av_c, av_d)  # [16,K]
+    ab4 = _avail_per_blk(BLK4_B, av_a, av_b, av_c, av_d)
+    ac4 = _avail_per_blk(BLK4_C, av_a, av_b, av_c, av_d)
+    modes4 = s["modes4"][a]  # [K,16]
+
+    def i4_body(blk, L4):
+        bx = _ZPOS_J[blk, 0]
+        by = _ZPOS_J[blk, 1]
+        r0, c0 = 4 * by, 4 * bx
+        row = jax.lax.dynamic_slice(L4, (0, r0, c0), (K, 1, 9))[:, 0, :]
+        above8 = row[:, 1:9]
+        above8 = jnp.concatenate([
+            above8[:, :4],
+            jnp.where(ac4[blk][:, None], above8[:, 4:8], above8[:, 3:4]),
+        ], axis=1)
+        colblk = jax.lax.dynamic_slice(L4, (0, r0, c0), (K, 5, 1))[:, :, 0]
+        left4 = colblk[:, 1:5]
+        corn = row[:, 0]
+        pred = ipk.pred4x4_batch(modes4[:, blk], above8, left4, corn,
+                                 aa4[blk], ab4[blk], bitdepth)
+        rblk = jax.lax.dynamic_slice(resid, (0, 4 * by, 4 * bx), (K, 4, 4))
+        u = jnp.clip(pred + rblk, 0, maxv)
+        return jax.lax.dynamic_update_slice(L4, u, (0, r0 + 1, c0 + 1))
+
+    o4 = jax.lax.fori_loop(0, 16, i4_body, L)[:, 1:17, 1:17]
+
+    # ---- I8 path (4 sequential 8x8 blocks) ----------------------------
+    aa8 = _avail_per_blk(BLK8_A, av_a, av_b, av_c, av_d)
+    ab8 = _avail_per_blk(BLK8_B, av_a, av_b, av_c, av_d)
+    ac8 = _avail_per_blk(BLK8_C, av_a, av_b, av_c, av_d)
+    ad8 = _avail_per_blk(BLK8_D, av_a, av_b, av_c, av_d)
+    modes8 = s["modes8"][a]
+
+    def i8_body(blk, L8):
+        bx = blk & 1
+        by = blk >> 1
+        r0, c0 = 8 * by, 8 * bx
+        row = jax.lax.dynamic_slice(L8, (0, r0, c0), (K, 1, 17))[:, 0, :]
+        above = row[:, 1:17]
+        above = jnp.concatenate([
+            above[:, :8],
+            jnp.where(ac8[blk][:, None], above[:, 8:16], above[:, 7:8]),
+        ], axis=1)
+        colblk = jax.lax.dynamic_slice(L8, (0, r0, c0), (K, 9, 1))[:, :, 0]
+        left8 = colblk[:, 1:9]
+        corn = row[:, 0]
+        fa, fl, fz = ipk.filter8x8_batch(above, left8, corn,
+                                         aa8[blk], ab8[blk], ad8[blk])
+        pred = ipk.pred8x8_batch(modes8[:, blk], fa, fl, fz,
+                                 aa8[blk], ab8[blk], bitdepth)
+        rblk = jax.lax.dynamic_slice(resid, (0, 8 * by, 8 * bx), (K, 8, 8))
+        u = jnp.clip(pred + rblk, 0, maxv)
+        return jax.lax.dynamic_update_slice(L8, u, (0, r0 + 1, c0 + 1))
+
+    o8 = jax.lax.fori_loop(0, 4, i8_body, L)[:, 1:17, 1:17]
+
+    return jnp.where((kind == KIND_PCM)[:, None, None], s["pcm_y"][a],
+             jnp.where((kind == KIND_I16)[:, None, None], o16,
+               jnp.where((kind == KIND_I8)[:, None, None], o8, o4)))
+
+
+def recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
+                       bitdepth=8):
+    """Chroma for a diagonal batch; Cw [K,2,9,9] windows (cb, cr).
+
+    Returns [K,2,8,8]."""
+    maxv = (1 << bitdepth) - 1
+    outs = []
+    for ci in range(2):
+        W = Cw[:, ci]
+        pc = ipk.pred_chroma_batch(s["chroma_mode"][a], W[:, 0, 1:9],
+                                   W[:, 1:9, 0], W[:, 0, 0],
+                                   av_a, av_b, av_d, bitdepth)
+        oc = jnp.clip(pc + cresid[:, ci], 0, maxv)
+        oc = jnp.where((kind == KIND_PCM)[:, None, None],
+                       s["pcm_c"][a, ci], oc)
+        outs.append(oc)
+    return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# the frontier scan step (shared core)
+# ---------------------------------------------------------------------------
+
+def frontier_step(s, mb_w, diag_addrs, state, halo=None, bitdepth=8):
+    """One diagonal step over the frontier state.
+
+    state: dict with
+      bot_cur  [mb_w, LW-1] luma bottom rows (cols x0-1..x0+23 of each MB
+               column's newest completed MB; [:,0] is that MB's corner px)
+      -- layout detail: we store per column the MB's 16 bottom pixels
+      bot_cur [mb_w,16], bot_prev [mb_w,16], rcol [mb_h_local,16],
+      cbot_cur [mb_w,2,8], cbot_prev [mb_w,2,8], crcol [mb_h_local,2,8]
+    halo (banded mode): dict with bot_cur/bot_prev/cbot_cur/cbot_prev from
+    the band above, used for lanes on the band's first MB row.
+    Returns (new_state, out16 [K,16,16], outc [K,2,8,8], lane info)."""
+    addrs = diag_addrs
+    valid = addrs >= 0
+    a = jnp.maximum(addrs, 0)
+    mx = a % mb_w
+    my = a // mb_w  # local row
+
+    kind = s["kind"][a]
+    av_a = s["avail_a"][a] & valid
+    av_b = s["avail_b"][a] & valid
+    av_c = s["avail_c"][a] & valid
+    av_d = s["avail_d"][a] & valid
+
+    bot_cur, bot_prev = state["bot_cur"], state["bot_prev"]
+    rcol = state["rcol"]
+    cbot_cur, cbot_prev = state["cbot_cur"], state["cbot_prev"]
+    crcol = state["crcol"]
+
+    mxl = jnp.maximum(mx - 1, 0)
+    mxr = jnp.minimum(mx + 1, mb_w - 1)
+
+    def sel_row(local, halo_arr):
+        """Pick frontier row: halo for first-local-row lanes (banded)."""
+        if halo is None or halo_arr is None:
+            return local
+        return jnp.where((my == 0)[:, None], halo_arr, local)
+
+    above16 = sel_row(bot_cur[mx],
+                      None if halo is None else halo["bot_cur"][mx])
+    abover8 = sel_row(bot_cur[mxr][:, :8],
+                      None if halo is None else halo["bot_cur"][mxr][:, :8])
+    # corner: locally the column to the left was already overwritten by row
+    # `my` (bot_prev holds row my-1); across a band boundary the neighbor
+    # band's newest row IS its last row, so the halo corner uses bot_cur.
+    corner = sel_row(bot_prev[mxl][:, 15:16],
+                     None if halo is None else
+                     halo["bot_cur"][mxl][:, 15:16])[:, 0]
+    left16 = rcol[my]
+
+    K = a.shape[0]
+    L = jnp.zeros((K, LH, LW), dtype=jnp.int32)
+    L = L.at[:, 0, 0].set(corner)
+    L = L.at[:, 0, 1:17].set(above16)
+    L = L.at[:, 0, 17:25].set(abover8)
+    L = L.at[:, 1:17, 0].set(left16)
+
+    resid = s["y_resid"][a]          # [K,16,16] tiles
+    out16 = recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
+                           bitdepth)
+
+    # chroma windows
+    cab = sel_row(cbot_cur[mx].reshape(K, 16),
+                  None if halo is None else
+                  halo["cbot_cur"][mx].reshape(K, 16)).reshape(K, 2, 8)
+    ccorn = sel_row(cbot_prev[mxl][:, :, 7].reshape(K, 2),
+                    None if halo is None else
+                    halo["cbot_cur"][mxl][:, :, 7].reshape(K, 2))
+    cleft = crcol[my]                # [K,2,8]
+    Cw = jnp.zeros((K, 2, 9, 9), dtype=jnp.int32)
+    Cw = Cw.at[:, :, 0, 0].set(ccorn)
+    Cw = Cw.at[:, :, 0, 1:9].set(cab)
+    Cw = Cw.at[:, :, 1:9, 0].set(cleft)
+    cresid = s["c_resid"][a]         # [K,2,8,8]
+    outc = recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
+                              bitdepth)
+
+    # ---- frontier updates (small scatters; invalid lanes dropped) -----
+    smx = jnp.where(valid, mx, mb_w + 7)
+    smy = jnp.where(valid, my, rcol.shape[0] + 7)
+    new_state = dict(state)
+    new_state["bot_prev"] = bot_prev.at[smx].set(bot_cur[mx], mode="drop")
+    new_state["bot_cur"] = bot_cur.at[smx].set(out16[:, 15, :], mode="drop")
+    new_state["rcol"] = rcol.at[smy].set(out16[:, :, 15], mode="drop")
+    new_state["cbot_prev"] = cbot_prev.at[smx].set(cbot_cur[mx], mode="drop")
+    new_state["cbot_cur"] = cbot_cur.at[smx].set(outc[:, :, 7, :],
+                                                 mode="drop")
+    new_state["crcol"] = crcol.at[smy].set(outc[:, :, :, 7], mode="drop")
+    return new_state, out16, outc
+
+
+def init_frontier(mb_w: int, mb_h_local: int, zero=0):
+    """zero: a traced scalar 0 derived from the input data, so the initial
+    carry inherits any device-varying axes (shard_map vma tracking)."""
+    z = zero * jnp.int32(0)
+    return {
+        "bot_cur": jnp.zeros((mb_w, 16), jnp.int32) + z,
+        "bot_prev": jnp.zeros((mb_w, 16), jnp.int32) + z,
+        "rcol": jnp.zeros((mb_h_local, 16), jnp.int32) + z,
+        "cbot_cur": jnp.zeros((mb_w, 2, 8), jnp.int32) + z,
+        "cbot_prev": jnp.zeros((mb_w, 2, 8), jnp.int32) + z,
+        "crcol": jnp.zeros((mb_h_local, 2, 8), jnp.int32) + z,
+    }
+
+
+def tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h):
+    """tiles_y [n_diag,K,16,16], tiles_c [n_diag,K,2,8,8] -> planes."""
+    ty = tiles_y[d_of, k_of]          # [n,16,16]
+    y = ty.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
+          .reshape(mb_h * 16, mb_w * 16)
+    tc = tiles_c[d_of, k_of]          # [n,2,8,8]
+    c = tc.reshape(mb_h, mb_w, 2, 8, 8).transpose(2, 0, 3, 1, 4) \
+          .reshape(2, mb_h * 8, mb_w * 8)
+    return y, c[0], c[1]
 
 
 def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8):
-    """Builds the jit-able wavefront reconstruction for a frame geometry.
+    """Single-chip wavefront reconstruction.
 
-    Returns fn(syntax_dict, y_resid, cb_resid, cr_resid) -> (y, cb, cr)."""
-    H, W = mb_h * 16, mb_w * 16
-    sched = jnp.asarray(diag_schedule(mb_w, mb_h))
-    n_diag, K = sched.shape
-    maxv = (1 << bitdepth) - 1
+    Returns fn(syntax_dict, y_resid_tiles [n,16,16], c_resid_tiles
+    [n,2,8,8]) -> (y, cb, cr) planes."""
+    sched_np, d_of, k_of = diag_schedule(mb_w, mb_h)
+    sched = jnp.asarray(sched_np)
+    d_of = jnp.asarray(d_of)
+    k_of = jnp.asarray(k_of)
 
-    def step(carry, diag_addrs):
-        y_pad, cb_pad, cr_pad, s = carry
-        addrs = diag_addrs          # [K], -1 padded
-        valid = addrs >= 0
-        a = jnp.maximum(addrs, 0)
-        mx = a % mb_w
-        my = a // mb_w
-        x0 = mx * 16
-        y0 = my * 16
-
-        kind = s["kind"][a]
-        av_a = s["avail_a"][a] & valid
-        av_b = s["avail_b"][a] & valid
-        av_c = s["avail_c"][a] & valid
-        av_d = s["avail_d"][a] & valid
-
-        # gather local luma window: padded plane offset (+1,+1); window
-        # starts at (y0-1, x0-1) -> padded coords (y0, x0)
-        L = _gather_window(y_pad, y0, x0, LH, LW)  # [K,LH,LW] int32
-        resid = _gather_window(s["y_resid"], y0, x0, 16, 16)
-
-        # ---- I16 path -------------------------------------------------
-        above16 = L[:, 0, 1:17]
-        left16 = L[:, 1:17, 0]
-        corner = L[:, 0, 0]
-        p16 = ipk.pred16x16_batch(s["i16_mode"][a], above16, left16, corner,
-                                  av_a, av_b, av_d, bitdepth)
-        o16 = jnp.clip(p16 + resid, 0, maxv)
-
-        # ---- I4 path (16 sequential sub-blocks on the local window) ---
-        L4 = L
-        for blk in range(16):
-            bx, by = ZSCAN_4X4_POS[blk]
-            aa = _resolve_avail(int(BLK4_A[blk]), av_a, av_b, av_c, av_d)
-            ab = _resolve_avail(int(BLK4_B[blk]), av_a, av_b, av_c, av_d)
-            ac = _resolve_avail(int(BLK4_C[blk]), av_a, av_b, av_c, av_d)
-            r0, c0 = 4 * by, 4 * bx  # local coords of (y-1, x-1) corner
-            above8 = L4[:, r0, c0 + 1:c0 + 9]
-            above8 = jnp.concatenate([
-                above8[:, :4],
-                jnp.where(ac[:, None], above8[:, 4:8], above8[:, 3:4]),
-            ], axis=1)
-            left4 = L4[:, r0 + 1:r0 + 5, c0]
-            corn = L4[:, r0, c0]
-            pred = ipk.pred4x4_batch(s["modes4"][a, blk], above8, left4,
-                                     corn, aa, ab, bitdepth)
-            rblk = resid[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            u = jnp.clip(pred + rblk, 0, maxv)
-            L4 = L4.at[:, r0 + 1:r0 + 5, c0 + 1:c0 + 5].set(u)
-        o4 = L4[:, 1:17, 1:17]
-
-        # ---- I8 path (4 sequential 8x8 blocks) ------------------------
-        L8 = L
-        for blk in range(4):
-            bx, by = blk & 1, blk >> 1
-            aa = _resolve_avail(int(BLK8_A[blk]), av_a, av_b, av_c, av_d)
-            ab = _resolve_avail(int(BLK8_B[blk]), av_a, av_b, av_c, av_d)
-            ac = _resolve_avail(int(BLK8_C[blk]), av_a, av_b, av_c, av_d)
-            ad = _resolve_avail(int(BLK8_D[blk]), av_a, av_b, av_c, av_d)
-            r0, c0 = 8 * by, 8 * bx
-            above16 = L8[:, r0, c0 + 1:c0 + 17]
-            above16 = jnp.concatenate([
-                above16[:, :8],
-                jnp.where(ac[:, None], above16[:, 8:16], above16[:, 7:8]),
-            ], axis=1)
-            left8 = L8[:, r0 + 1:r0 + 9, c0]
-            corn = L8[:, r0, c0]
-            fa, fl, fz = ipk.filter8x8_batch(above16, left8, corn, aa, ab, ad)
-            pred = ipk.pred8x8_batch(s["modes8"][a, blk], fa, fl, fz,
-                                     aa, ab, bitdepth)
-            rblk = resid[:, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            u = jnp.clip(pred + rblk, 0, maxv)
-            L8 = L8.at[:, r0 + 1:r0 + 9, c0 + 1:c0 + 9].set(u)
-        o8 = L8[:, 1:17, 1:17]
-
-        # ---- select + scatter luma -------------------------------------
-        out16 = jnp.where((kind == KIND_PCM)[:, None, None], s["pcm_y"][a],
-                  jnp.where((kind == KIND_I16)[:, None, None], o16,
-                    jnp.where((kind == KIND_I8)[:, None, None], o8, o4)))
-        ys = jnp.where(valid, y0 + 1, H + 64)
-        iy = ys[:, None, None] + jnp.arange(16, dtype=jnp.int32)[None, :, None]
-        ix = (x0 + 1)[:, None, None] + jnp.arange(16, dtype=jnp.int32)[None, None, :]
-        y_pad = y_pad.at[iy, ix].set(out16, mode="drop")
-
-        # ---- chroma ----------------------------------------------------
-        cx0 = mx * 8
-        cy0 = my * 8
-        for ci, (plane, resid_key, dump) in enumerate(
-                ((cb_pad, "cb_resid", 0), (cr_pad, "cr_resid", 0))):
-            Cw = _gather_window(plane, cy0, cx0, 9, 9)
-            cresid = _gather_window(s[resid_key], cy0, cx0, 8, 8)
-            abv = Cw[:, 0, 1:9]
-            lft = Cw[:, 1:9, 0]
-            crn = Cw[:, 0, 0]
-            pc = ipk.pred_chroma_batch(s["chroma_mode"][a], abv, lft, crn,
-                                       av_a, av_b, av_d, bitdepth)
-            oc = jnp.clip(pc + cresid, 0, maxv)
-            oc = jnp.where((kind == KIND_PCM)[:, None, None],
-                           s["pcm_c"][a, ci], oc)
-            cys = jnp.where(valid, cy0 + 1, H // 2 + 64)
-            jy = cys[:, None, None] + jnp.arange(8, dtype=jnp.int32)[None, :, None]
-            jx = (cx0 + 1)[:, None, None] + jnp.arange(8, dtype=jnp.int32)[None, None, :]
-            plane = plane.at[jy, jx].set(oc, mode="drop")
-            if ci == 0:
-                cb_pad = plane
-            else:
-                cr_pad = plane
-
-        return (y_pad, cb_pad, cr_pad, s), None
-
-    def run(syntax, y_resid, cb_resid, cr_resid):
+    def run(syntax, y_resid_tiles, c_resid_tiles=None):
         s = dict(syntax)
-        s["y_resid"] = y_resid
-        s["cb_resid"] = cb_resid
-        s["cr_resid"] = cr_resid
-        y_pad = jnp.zeros((H + 1 + 80, W + 1 + 80), dtype=jnp.int32)
-        cb_pad = jnp.zeros((H // 2 + 1 + 80, W // 2 + 1 + 80), dtype=jnp.int32)
-        cr_pad = jnp.zeros_like(cb_pad)
-        (y_pad, cb_pad, cr_pad, _), _ = jax.lax.scan(
-            step, (y_pad, cb_pad, cr_pad, s), sched)
-        return (y_pad[1:H + 1, 1:W + 1], cb_pad[1:H // 2 + 1, 1:W // 2 + 1],
-                cr_pad[1:H // 2 + 1, 1:W // 2 + 1])
+        s["y_resid"] = y_resid_tiles
+        s["c_resid"] = c_resid_tiles
+
+        def step(state, diag_addrs):
+            state, out16, outc = frontier_step(s, mb_w, diag_addrs, state,
+                                               None, bitdepth)
+            return state, (out16, outc)
+
+        _, (tiles_y, tiles_c) = jax.lax.scan(
+            step, init_frontier(mb_w, mb_h, s["kind"][0]), sched)
+        return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h)
 
     return run

@@ -57,6 +57,23 @@ struct ZInit {
   }
 } zinit;
 
+// zig-zag scans (spec 8.5.6/8.5.7): scan position -> raster index.
+// Coefficients are emitted de-zigzagged (raster order) so the device
+// pipeline consumes them without a host repack pass.
+const int kZig4[16] = {0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15};
+const int kZig8[64] = {
+  0,1,8,16,9,2,3,10,17,24,32,25,18,11,4,5,
+  12,19,26,33,40,48,41,34,27,20,13,6,7,14,21,28,
+  35,42,49,56,57,50,43,36,29,22,15,23,30,37,44,51,
+  58,59,52,45,38,31,39,46,53,60,61,54,47,55,62,63};
+// identity map for chroma DC (coded raster)
+const int kIdent8[8] = {0,1,2,3,4,5,6,7};
+// AC maps: scan position i -> raster of zigzag index i+1
+struct AcMaps {
+  int ac4[15];
+  AcMaps() { for (int i = 0; i < 15; i++) ac4[i] = kZig4[i + 1]; }
+} kAc;
+
 struct Engine {
   const uint8_t* data;
   int64_t pos;      // bit position
@@ -165,11 +182,11 @@ struct Out {
   int32_t* chroma_mode; // [n]
   int32_t* modes4;      // [n*16]
   int32_t* modes8;      // [n*4]
-  int32_t* luma4;       // [n*16*16]  scan order
-  int32_t* luma8;       // [n*4*64]
-  int32_t* luma_dc;     // [n*16]
-  int32_t* chroma_dc;   // [n*2*8]
-  int32_t* chroma_ac;   // [n*2*8*15]
+  int32_t* luma4;       // [n*16*16]  raster 4x4 blocks (I16 AC: slot 0 zero)
+  int32_t* luma8;       // [n*4*64]   raster 8x8 blocks
+  int32_t* luma_dc;     // [n*16]     raster 4x4 DC grid
+  int32_t* chroma_dc;   // [n*2*8]    raster
+  int32_t* chroma_ac;   // [n*2*8*16] raster 4x4 blocks, slot 0 zero
   int32_t* pcm_y;       // [n*256]
   int32_t* pcm_c;       // [n*128]
   int32_t* slice_id;    // [n] prefilled by caller
@@ -425,8 +442,9 @@ struct SliceCtx {
     return (last ? kLastFrame[cat] : kSigFrame[cat]) + inc;
   }
 
-  void residual_block(int cat, int idx, int32_t* coeffs, int start, int end,
-                      int maxnumcoeff, bool coded) {
+  void residual_block(int cat, int idx, int32_t* coeffs, const int* remap,
+                      int out_size, int start, int end, int maxnumcoeff,
+                      bool coded) {
     MB* c = cur();
     int cbf;
     if (coded) {
@@ -448,7 +466,7 @@ struct SliceCtx {
         default: c->cbf[(idx >> 3) + 1][idx & 7] = 0; break;
       }
     }
-    std::memset(coeffs, 0, maxnumcoeff * sizeof(int32_t));
+    std::memset(coeffs, 0, out_size * sizeof(int32_t));
     if (!cbf) return;
 
     uint8_t sig[64] = {0};
@@ -476,7 +494,7 @@ struct SliceCtx {
         while (k > 0) { k--; if (eng.bypass()) mag += 1 << k; }
       }
       int s = eng.bypass();
-      coeffs[i] = s ? -(mag + 1) : mag + 1;
+      coeffs[remap[i]] = s ? -(mag + 1) : mag + 1;
       if (mag != 0) numgt1++; else num1++;
     }
   }
@@ -485,32 +503,33 @@ struct SliceCtx {
     Out* o = out;
     int64_t a = addr;
     if (mb->kind == KIND_I16) {
-      residual_block(CAT_LUMA_DC, 0, o->luma_dc + a * 16, 0, 15, 16, true);
+      residual_block(CAT_LUMA_DC, 0, o->luma_dc + a * 16, kZig4, 16, 0, 15,
+                     16, true);
       for (int i = 0; i < 16; i++)
-        residual_block(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16, 0, 14,
-                       15, (mb->cbp >> (i >> 2)) & 1);
+        residual_block(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16,
+                       kAc.ac4, 16, 0, 14, 15, (mb->cbp >> (i >> 2)) & 1);
     } else if (mb->kind == KIND_I8) {
       mb->cbf[0][16] = 0;
       for (int i = 0; i < 4; i++)
-        residual_block(CAT_LUMA_8X8, i, o->luma8 + (a * 4 + i) * 64, 0, 63,
-                       64, (mb->cbp >> i) & 1);
+        residual_block(CAT_LUMA_8X8, i, o->luma8 + (a * 4 + i) * 64, kZig8,
+                       64, 0, 63, 64, (mb->cbp >> i) & 1);
     } else {
       mb->cbf[0][16] = 0;
       for (int i = 0; i < 16; i++)
-        residual_block(CAT_LUMA_4X4, i, o->luma4 + (a * 16 + i) * 16, 0, 15,
-                       16, (mb->cbp >> (i >> 2)) & 1);
+        residual_block(CAT_LUMA_4X4, i, o->luma4 + (a * 16 + i) * 16, kZig4,
+                       16, 0, 15, 16, (mb->cbp >> (i >> 2)) & 1);
     }
     int catc = pp->chroma_array_type;
     if (catc == 1 || catc == 2) {
       int nc = 4 * catc;
       for (int c2 = 0; c2 < 2; c2++)
-        residual_block(CAT_CHROMA_DC, c2, o->chroma_dc + (a * 2 + c2) * 8, 0,
-                       nc - 1, nc, (mb->cbp & 0x30) != 0);
+        residual_block(CAT_CHROMA_DC, c2, o->chroma_dc + (a * 2 + c2) * 8,
+                       kIdent8, 8, 0, nc - 1, nc, (mb->cbp & 0x30) != 0);
       for (int c2 = 0; c2 < 2; c2++)
         for (int j = 0; j < nc; j++)
           residual_block(CAT_CHROMA_AC, c2 * 8 + j,
-                         o->chroma_ac + ((a * 2 + c2) * 8 + j) * 15, 0, 14,
-                         15, (mb->cbp & 0x20) != 0);
+                         o->chroma_ac + ((a * 2 + c2) * 8 + j) * 16,
+                         kAc.ac4, 16, 0, 14, 15, (mb->cbp & 0x20) != 0);
     }
   }
 

@@ -83,11 +83,11 @@ def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0):
         "chroma_mode": np.zeros(n, np.int32),
         "modes4": np.zeros((n, 16), np.int32),
         "modes8": np.zeros((n, 4), np.int32),
-        "luma4": np.zeros((n, 16, 16), np.int32),
-        "luma8": np.zeros((n, 4, 64), np.int32),
-        "luma_dc": np.zeros((n, 16), np.int32),
+        "luma4": np.zeros((n, 16, 16), np.int32),   # raster 4x4 blocks
+        "luma8": np.zeros((n, 4, 64), np.int32),    # raster 8x8 blocks
+        "luma_dc": np.zeros((n, 16), np.int32),     # raster DC grid
         "chroma_dc": np.zeros((n, 2, 8), np.int32),
-        "chroma_ac": np.zeros((n, 2, 8, 15), np.int32),
+        "chroma_ac": np.zeros((n, 2, 8, 16), np.int32),  # raster, slot 0 zero
         "pcm_y": np.zeros((n, 256), np.int32),
         "pcm_c": np.zeros((n, 128), np.int32),
         "slice_id": np.zeros(n, np.int32),

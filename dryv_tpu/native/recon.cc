@@ -74,14 +74,11 @@ void idct4(int64_t d[4][4], int64_t r[4][4]) {
   }
 }
 
-void dequant4(const int32_t* scan, int qp, bool i16_shift, int64_t out[4][4],
+void dequant4(const int32_t* raster, int qp, bool i16_shift, int64_t out[4][4],
               int64_t dc_override, bool has_dc) {
-  // scan: raster-deziged? No - scan order; dezigzag here
-  int64_t c[16] = {0};
-  for (int k = 0; k < 16; k++) c[kZig4[k]] = scan[k];
   for (int i = 0; i < 4; i++)
     for (int j = 0; j < 4; j++) {
-      int64_t v = c[i * 4 + j];
+      int64_t v = raster[i * 4 + j];
       int64_t d;
       if (qp >= 24) d = (v * ls4(qp % 6, i, j)) << (qp / 6 - 4);
       else d = (v * ls4(qp % 6, i, j) + (1 << (3 - qp / 6))) >> (4 - qp / 6);
@@ -334,11 +331,9 @@ struct Recon {
         for (int y = 1; y < 7; y++) fl[y] = (l[y-1] + 2*l[y] + l[y+1] + 2) >> 2;
         fl[7] = (l[6] + 3*l[7] + 2) >> 2;
       }
-      // dequant + idct8
+      // dequant + idct8 (coefficients arrive raster order)
       int64_t d[8][8];
-      const int32_t* scan = luma8 + ((int64_t)addr * 4 + blk) * 64;
-      int64_t c[64] = {0};
-      for (int k = 0; k < 64; k++) c[kZig8[k]] = scan[k];
+      const int32_t* c = luma8 + ((int64_t)addr * 4 + blk) * 64;
       for (int i = 0; i < 8; i++)
         for (int j = 0; j < 8; j++) {
           int64_t v = c[i * 8 + j];
@@ -391,9 +386,9 @@ struct Recon {
         for (int x = 0; x < 16; x++)
           pred[y][x] = clip255((av + b * (x - 7) + cc * (y - 7) + 16) >> 5);
     }
-    // DC hadamard
-    int64_t dcz[16] = {0};
-    for (int k = 0; k < 16; k++) dcz[kZig4[k]] = luma_dc[addr * 16 + k];
+    // DC hadamard (levels arrive raster order)
+    int64_t dcz[16];
+    for (int k = 0; k < 16; k++) dcz[k] = luma_dc[(int64_t)addr * 16 + k];
     int64_t t[4][4], dcv[4][4];
     static const int H[4][4] = {{1,1,1,1},{1,1,-1,-1},{1,-1,-1,1},{1,-1,1,-1}};
     for (int i = 0; i < 4; i++)
@@ -408,12 +403,9 @@ struct Recon {
       }
     for (int blk = 0; blk < 16; blk++) {
       int bx = kZ[blk].x, by = kZ[blk].y;
-      int32_t scan[16];
-      scan[0] = 0;
-      for (int k = 0; k < 15; k++)
-        scan[k + 1] = luma4[((int64_t)addr * 16 + blk) * 16 + k];
       int64_t d[4][4], r[4][4];
-      dequant4(scan, qp, true, d, dcv[by][bx], true);
+      dequant4(luma4 + ((int64_t)addr * 16 + blk) * 16, qp, true, d,
+               dcv[by][bx], true);
       idct4(d, r);
       for (int i = 0; i < 4; i++)
         for (int j = 0; j < 4; j++) {
@@ -487,12 +479,9 @@ struct Recon {
         ((f10 * ls00) << (qpc / 6)) >> 5, ((f11 * ls00) << (qpc / 6)) >> 5};
       for (int j = 0; j < 4; j++) {
         int bx = j & 1, by = j >> 1;
-        int32_t scan[16];
-        scan[0] = 0;
-        for (int k = 0; k < 15; k++)
-          scan[k + 1] = chroma_ac[(((int64_t)addr * 2 + ci) * 8 + j) * 15 + k];
         int64_t d[4][4], r[4][4];
-        dequant4(scan, qpc, true, d, dcv[j], true);
+        dequant4(chroma_ac + (((int64_t)addr * 2 + ci) * 8 + j) * 16, qpc,
+                 true, d, dcv[j], true);
         idct4(d, r);
         for (int i = 0; i < 4; i++)
           for (int jj = 0; jj < 4; jj++)

@@ -15,8 +15,8 @@ from .coeffs import FrameSyntax
 from .kernels.transform import (
     LS4_FLAT,
     LS8_FLAT,
-    chroma_residual_planes,
-    luma_residual_plane,
+    chroma_residual_tiles,
+    luma_residual_tiles,
 )
 from .kernels.wavefront import make_wavefront_fn
 
@@ -31,19 +31,17 @@ def _build(mb_w: int, mb_h: int):
     wavefront = make_wavefront_fn(mb_w, mb_h)
 
     def recon(s, ls4y, ls4cb, ls4cr, ls8y):
-        y_resid = luma_residual_plane(
+        n = mb_w * mb_h
+        y_resid = luma_residual_tiles(
             s["kind"], s["qp_y"], s["luma4"], s["luma8"], s["luma_dc"],
-            mb_w, mb_h, ls4y, ls8y)
-        cb_resid = chroma_residual_planes(
-            s["qp_cb"], s["chroma_dc"][:, 0], s["chroma_ac"][:, 0],
-            mb_w, mb_h, ls4cb)
-        cr_resid = chroma_residual_planes(
-            s["qp_cr"], s["chroma_dc"][:, 1], s["chroma_ac"][:, 1],
-            mb_w, mb_h, ls4cr)
+            n, ls4y, ls8y)
+        c_resid = chroma_residual_tiles(
+            s["qp_cb"], s["qp_cr"], s["chroma_dc"], s["chroma_ac"], n,
+            ls4cb, ls4cr)
         wf = {k: s[k] for k in SYNTAX_KEYS if k not in
               ("qp_y", "qp_cb", "qp_cr", "luma4", "luma8", "luma_dc",
                "chroma_dc", "chroma_ac")}
-        return wavefront(wf, y_resid, cb_resid, cr_resid)
+        return wavefront(wf, y_resid, c_resid)
 
     return jax.jit(recon)
 

@@ -2,12 +2,18 @@
 tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4.3)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the axon TPU plugin in this image overrides JAX_PLATFORMS from the
+# environment; the config knob wins
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
