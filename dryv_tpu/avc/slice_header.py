@@ -289,7 +289,11 @@ class SliceHeader:
             if pps.bottom_field_pic_order_in_frame_present_flag and not self.field_pic_flag:
                 w.se(self.delta_pic_order_cnt_bottom)
         st = self.slice_type
-        assert st.is_intra, "fixture writer emits intra slices only"
+        assert st in (SliceType.I, SliceType.P), \
+            "fixture writer emits I/P slices"
+        if st == SliceType.P:
+            w.bit(0)  # num_ref_idx_active_override_flag
+            w.bit(0)  # ref_pic_list_modification_flag_l0
         if nal_ref_idc != 0:
             if idr:
                 w.bit(self.dec_ref_pic_marking.no_output_of_prior_pics_flag
@@ -298,6 +302,8 @@ class SliceHeader:
                       if self.dec_ref_pic_marking else 0)
             else:
                 w.bit(0)  # adaptive_ref_pic_marking_mode_flag
+        if st == SliceType.P:
+            w.ue(self.cabac_init_idc)
         w.se(self.slice_qp_delta)
         if pps.deblocking_filter_control_present_flag:
             d = self.deblocking or DeblockingFilterControl()

@@ -89,20 +89,22 @@ class SyntaxDecoder:
             sps = self.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             headers.append(h)
-            if not h.slice_type.is_intra:
-                raise NotImplementedError(
-                    "P/B slice reconstruction (reference frame/mod.rs:88 "
-                    "todo!('Inter prediction'))")
             if mbs is None:
                 mbs = [None] * (sps.pic_width_in_mbs * sps.frame_height_in_mbs)
             if not pps.entropy_coding_mode_flag:
                 raise NotImplementedError(
                     "CAVLC macroblock layer (reference slice/mod.rs:299 todo!)")
             entropy_start = (h.header_bit_len + 7) & ~7  # cabac alignment
+            init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
             eng = CabacDecoder(rbsp, entropy_start, h.slice_qp_y(pps),
-                               init_mode=0)
+                               init_mode)
             coder = SliceCoder(eng, sps, pps, h, mbs, sid)
-            coder.decode_slice_data()
+            sgmap = None
+            if pps.slice_groups is not None:
+                from .avc.slice_map import map_units_to_sgmap
+                sgmap = map_units_to_sgmap(pps, sps,
+                                           h.slice_group_change_cycle)
+            coder.decode_slice_data(sgmap)
         return sps, pps, mbs, headers
 
 
@@ -130,19 +132,50 @@ def _first_mb_is_zero(nal) -> bool:
 
 
 def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
-    """Full scalar decode of an Annex-B stream (correctness path)."""
+    """Full scalar decode of an Annex-B stream (correctness path).
+
+    Maintains the DPB across pictures; P slices reconstruct against
+    reference list 0 (integer-MV scope; the upstream reference decoder
+    cannot reconstruct inter at all)."""
+    from .avc.dpb import DecodedPictureBuffer
+    from .cabac.syntax import MbKind
+    from .refimpl.inter import MotionState, recon_inter_mb
+
     sd = SyntaxDecoder()
     nals = list(split_annexb(stream))
     rest = sd.feed_parameter_sets(nals)
     frames = []
+    dpb = DecodedPictureBuffer()
+    stored = {}  # frame_idx -> (y, cb, cr) uncropped
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
+        h0 = headers[0]
+        nal0 = pic_nals[0]
+        poc = dpb.decode_poc(sps, h0, nal0)
+        dpb.build_ref_lists(sps, h0, poc)
+        ref = None
+        if not h0.slice_type.is_intra:
+            if not dpb.ref_list0:
+                raise ValueError("P slice without reference pictures")
+            ref = stored[dpb.ref_list0[0].frame_idx]
         recon = FrameRecon(sps, pps)
+        ms = MotionState(recon.mb_w, recon.mb_h)
         for addr, mb in enumerate(mbs):
             if mb is None:
                 raise ValueError(f"macroblock {addr} not covered by any slice")
-            recon.recon_mb(mb, addr, mb.slice_id)
-        frames.append(DecodedFrame(recon.y, recon.cb, recon.cr).crop(sps))
+            if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM):
+                recon.recon_mb(mb, addr, mb.slice_id)
+            else:
+                recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
+                               ref[0], ref[1], ref[2])
+        pic = dpb.mark_and_store(sps, h0, nal0, poc)
+        if pic is not None:
+            stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)
+            # retain only pixel data still referenced
+            live = {p.frame_idx for p in dpb.pictures}
+            stored = {k: v for k, v in stored.items() if k in live}
+        frames.append(DecodedFrame(recon.y, recon.cb, recon.cr,
+                                   poc).crop(sps))
         if max_frames and len(frames) >= max_frames:
             break
     return frames

@@ -42,15 +42,16 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
 def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       slice_id: int, *, qp_delta: int = 0, idr: bool = True,
                       frame_num: int = 0, idr_pic_id: int = 0,
-                      pic_order_cnt_lsb: int = 0) -> NalUnit:
-    """Encode one I slice covering `mb_list` starting at `first_mb`.
+                      pic_order_cnt_lsb: int = 0,
+                      slice_type_code: int = 7) -> NalUnit:
+    """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
-    cross-slice unavailability)."""
+    cross-slice unavailability).  slice_type_code: 7 = I, 5 = P."""
     from ..avc.slice_header import DeblockingFilterControl
     h = SliceHeader(
         first_mb_in_slice=first_mb,
-        slice_type_code=7,  # I, all_slices_same_type
+        slice_type_code=slice_type_code,
         pic_parameter_set_id=pps.pic_parameter_set_id,
         frame_num=frame_num,
         idr_pic_id=idr_pic_id,
@@ -62,7 +63,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
     h.write(w, sps, pps, idr, nal_ref_idc=3)
     w.byte_align(fill=1)  # cabac_alignment_one_bit
 
-    eng = CabacEncoder(h.slice_qp_y(pps), init_mode=0)
+    init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
+    eng = CabacEncoder(h.slice_qp_y(pps), init_mode)
     coder = SliceCoder(eng, sps, pps, h, mbs_frame, slice_id)
     coder.encode_slice_data(mb_list)
     for b in eng.get_bits():
@@ -71,6 +73,26 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
     rbsp = w.bytes()
     typ = NalUnitType.IDR_SLICE if idr else NalUnitType.NON_IDR_SLICE
     return NalUnit.build(3, typ, rbsp)
+
+
+def encode_sequence_annexb(sps: SPS, pps: PPS, frames) -> bytes:
+    """Assemble an IDR+P sequence.
+
+    frames: list of (mb_list, slice_type_code, idr_flag, frame_num)."""
+    mb_w = sps.pic_width_in_mbs
+    mb_h = sps.frame_height_in_mbs
+    n = mb_w * mb_h
+    nals = [
+        NalUnit.build(3, NalUnitType.SPS, sps.write()),
+        NalUnit.build(3, NalUnitType.PPS, pps.write()),
+    ]
+    for mb_list, st_code, idr, frame_num in frames:
+        assert len(mb_list) == n
+        mbs_frame = [None] * n
+        nals.append(encode_islice_nal(
+            sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
+            frame_num=frame_num, slice_type_code=st_code))
+    return to_annexb(nals)
 
 
 def encode_frame_annexb(sps: SPS, pps: PPS, mb_rows_per_slice, mb_list,

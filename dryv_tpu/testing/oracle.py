@@ -109,13 +109,45 @@ def decode_annexb(stream: bytes, max_frames: int = 0):
                 return
             frames.append((y, plane(1, cw, chh), plane(2, cw, chh)))
 
-    data = ct.create_string_buffer(stream, len(stream))
-    p = pkt.contents
-    p.data = ct.cast(data, ct.POINTER(ct.c_uint8))
-    p.size = len(stream)
-    rc = _avcodec.avcodec_send_packet(ct.c_void_p(ctx), pkt)
-    assert rc == 0, f"send_packet: {rc}"
-    drain()
+    _bufs = []  # keep packet buffers alive until decoding finishes
+
+    def yield_pkt(payload: bytearray):
+        data = ct.create_string_buffer(bytes(payload), len(payload))
+        _bufs.append(data)
+        p = pkt.contents
+        p.data = ct.cast(data, ct.POINTER(ct.c_uint8))
+        p.size = len(payload)
+        rc = _avcodec.avcodec_send_packet(ct.c_void_p(ctx), pkt)
+        assert rc == 0, f"send_packet: {rc}"
+        drain()
+
+    # split into access units (one packet each): a VCL NAL with
+    # first_mb_in_slice == 0 starts a new picture
+    from ..avc import split_annexb
+    from ..bitio import BitReader
+
+    units = []
+    cur = bytearray()
+    for nal in split_annexb(stream):
+        is_vcl = int(nal.type) in (1, 5)
+        starts_pic = False
+        if is_vcl:
+            r = BitReader(nal.rbsp)
+            starts_pic = r.ue() == 0
+        if is_vcl and starts_pic and any(
+                int(n.type) in (1, 5) for n in units):
+            cur = bytearray()
+            for n in units:
+                cur += b"\x00\x00\x00\x01" + n.to_bytes()
+            yield_pkt(cur)
+            units = []
+        units.append(nal)
+    if units:
+        cur = bytearray()
+        for n in units:
+            cur += b"\x00\x00\x00\x01" + n.to_bytes()
+        yield_pkt(cur)
+
     _avcodec.avcodec_send_packet(ct.c_void_p(ctx), None)  # flush
     drain()
     return frames

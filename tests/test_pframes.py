@@ -1,0 +1,57 @@
+"""IDR+P sequence conformance: motion-compensated P frames vs oracle.
+
+This exceeds the upstream reference, which parses but cannot reconstruct
+inter (frame/mod.rs:88 todo!)."""
+import numpy as np
+import pytest
+
+from dryv_tpu.cabac.syntax import MbKind
+from dryv_tpu.decoder import decode_annexb_scalar
+from dryv_tpu.encoder import default_sps_pps
+from dryv_tpu.encoder.p_frame import SequenceEncoder
+from dryv_tpu.encoder.slices import encode_sequence_annexb
+from dryv_tpu.testing.oracle import decode_annexb
+
+
+@pytest.fixture(scope="module")
+def p_sequence():
+    rng = np.random.RandomState(5)
+    mb_w, mb_h = 6, 4
+    W, H = mb_w * 16, mb_h * 16
+    base_y = np.clip(np.linspace(30, 220, W)[None, :]
+                     + rng.randint(-10, 11, (H, W)), 0, 255).astype(np.int64)
+    base_cb = np.clip(100 + rng.randint(-8, 9, (H // 2, W // 2)),
+                      0, 255).astype(np.int64)
+    base_cr = np.clip(140 + rng.randint(-8, 9, (H // 2, W // 2)),
+                      0, 255).astype(np.int64)
+
+    def frame_at(shift):
+        y = np.roll(base_y, shift * 2, axis=1).copy()
+        y[20:40, 30 + shift * 4:60 + shift * 4] = 210
+        return y, base_cb.copy(), base_cr.copy()
+
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=28)
+    se = SequenceEncoder(sps, pps, 28)
+    frames = [(se.encode_idr(*frame_at(0)), 7, True, 0),
+              (se.encode_p(*frame_at(1)), 5, False, 1),
+              (se.encode_p(*frame_at(2)), 5, False, 2)]
+    stream = encode_sequence_annexb(sps, pps, frames)
+    return stream, frames
+
+
+def test_p_mb_kind_mix(p_sequence):
+    _, frames = p_sequence
+    kinds = [m.kind for m in frames[1][0]]
+    assert MbKind.P_SKIP in kinds
+    assert MbKind.P in kinds  # real motion-compensated MBs
+
+
+def test_p_sequence_bit_exact(p_sequence):
+    stream, _ = p_sequence
+    oracle = decode_annexb(stream)
+    assert len(oracle) == 3
+    ours = decode_annexb_scalar(stream)
+    for i, (oy, ocb, ocr) in enumerate(oracle):
+        assert np.array_equal(oy, ours[i].y), f"frame {i} luma"
+        assert np.array_equal(ocb, ours[i].cb), f"frame {i} cb"
+        assert np.array_equal(ocr, ours[i].cr), f"frame {i} cr"
