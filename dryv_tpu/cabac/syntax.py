@@ -20,6 +20,7 @@ from enum import IntEnum
 import numpy as np
 
 from ..avc.neighbors import blk4x4_neighbor, blk8x8_neighbor, chroma_blk_neighbor
+from ..avc.slice_header import SliceType
 from . import tables as T
 from .engine import CabacDecoder
 from .encoder import CabacEncoder
@@ -36,6 +37,7 @@ class MbKind(IntEnum):
     B_8X8 = 7
     B_SKIP = 8
     B_DIRECT = 9
+    SI = 10     # SI-slice special intra 4x4 (QS-quantized transform)
 
 
 # inter prediction modes per partition
@@ -110,6 +112,7 @@ class MBState:
     cbp: int = 0x0F  # unavailable-intra default (consts.rs sentinel)
     qp_delta: int = 0
     qp_y: int = 0
+    qs_y: int = 0  # SP/SI switching quantizer (spec 8.5.12 QSY)
     i16_pred_mode: int = 0
     chroma_mode: int = 0
     intra4x4_modes: np.ndarray = None  # [16] resolved modes
@@ -188,6 +191,7 @@ class SliceCoder:
         self.chroma_array_type = sps.chroma_array_type
         self.qp_bd_offset_y = 6 * sps.bit_depth_luma_minus8
         self.qpy_prev = header.slice_qp_y(pps)
+        self.qsy = 26 + pps.pic_init_qs_minus26 + header.slice_qs_delta
         self.curr = header.first_mb_in_slice
         self.prev_addr = -1
         self.field_flag = 0  # progressive only
@@ -314,6 +318,24 @@ class SliceCoder:
         inc = (1 if (a.available and a.kind not in skips) else 0) + \
               (1 if (b.available and b.kind not in skips) else 0)
         return self._bin(base + inc, val)
+
+    def mb_type_si(self, mb: MBState):
+        """SI-slice mb_type (Table 9-36 SI row): one prefix bin, then the
+        I tree (reference mod.rs SliceType::SI branch)."""
+        a, b = self.nb_mb("A"), self.nb_mb("B")
+        inc = (1 if (a.available and a.kind != MbKind.SI) else 0) + \
+              (1 if (b.available and b.kind != MbKind.SI) else 0)
+        if self.encoding:
+            if mb.kind == MbKind.SI:
+                self._bin(T.CTX_MB_TYPE_SI_PRE + inc, 0)
+                return
+            self._bin(T.CTX_MB_TYPE_SI_PRE + inc, 1)
+            self.mb_type_i(mb)
+            return
+        if self._bin(T.CTX_MB_TYPE_SI_PRE + inc) == 0:
+            mb.kind = MbKind.SI
+            return
+        self.mb_type_i(mb)
 
     def mb_type_p(self, mb: MBState):
         """P-slice mb_type (prefix ctx 14..16, escape -> I tree base 17)."""
@@ -820,7 +842,8 @@ class SliceCoder:
             nb_b, idx_b = self.nb_blkc("B", idx)
         # unavailable neighbors: cbf defaults to 1 for intra MBs, 0 for
         # inter (reference MB_UNAVAILABLE_INTRA/INTER sentinels)
-        if cur.kind >= MbKind.P:
+        if cur.kind in (MbKind.P, MbKind.P_8X8, MbKind.P_SKIP, MbKind.B,
+                        MbKind.B_8X8, MbKind.B_SKIP, MbKind.B_DIRECT):
             if nb_a is UNAVAIL_INTRA:
                 nb_a = UNAVAIL_INTER
             if nb_b is UNAVAIL_INTRA:
@@ -1002,7 +1025,10 @@ class SliceCoder:
         mb.slice_id = self.slice_id
         self.mbs[self.curr] = mb
         if st.is_intra:
-            self.mb_type_i(mb)
+            if st == SliceType.SI:
+                self.mb_type_si(mb)
+            else:
+                self.mb_type_i(mb)
         elif st.is_predictive:
             self.mb_type_p(mb)
         else:
@@ -1011,7 +1037,7 @@ class SliceCoder:
         if mb.kind == MbKind.I_PCM:
             self._pcm(mb)
         else:
-            intra = mb.kind in (MbKind.I_NXN, MbKind.I_16X16)
+            intra = mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.SI)
             no_small_parts = True
             if mb.kind in (MbKind.P_8X8, MbKind.B_8X8):
                 self.sub_mb_types(mb)
@@ -1028,7 +1054,7 @@ class SliceCoder:
             else:
                 if mb.kind == MbKind.I_NXN and pps.transform_8x8_mode_flag:
                     self.transform_size_8x8_flag(mb)
-                if mb.kind == MbKind.I_NXN:
+                if mb.kind in (MbKind.I_NXN, MbKind.SI):
                     if mb.transform8x8:
                         self.intra8x8_pred_modes(mb)
                     else:
@@ -1055,6 +1081,7 @@ class SliceCoder:
         off = self.qp_bd_offset_y
         mb.qp_y = ((self.qpy_prev + mb.qp_delta + 52 + 2 * off) % (52 + off)) - off
         self.qpy_prev = mb.qp_y
+        mb.qs_y = self.qsy
         # propagate resolved 8x8 modes into 4x4 slots for neighbor prediction
         if mb.kind == MbKind.I_NXN and mb.transform8x8:
             mb.intra4x4_modes[:] = np.repeat(mb.intra8x8_modes, 4)

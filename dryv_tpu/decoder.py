@@ -163,7 +163,8 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         for addr, mb in enumerate(mbs):
             if mb is None:
                 raise ValueError(f"macroblock {addr} not covered by any slice")
-            if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM):
+            if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM,
+                           MbKind.SI):
                 recon.recon_mb(mb, addr, mb.slice_id)
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,

@@ -109,7 +109,11 @@ class FrameRecon:
             self.mb_done[my, mx] = True
             return
 
-        if mb.kind == MbKind.I_16X16:
+        if mb.kind == MbKind.SI:
+            # SI macroblocks dequantize with the switching quantizer QSY
+            # (spec 8.5.12; reference transform.rs:125-136 s_mb_flag path)
+            self._recon_i4(mb, mx, my, slice_id, mb.qs_y, maxv)
+        elif mb.kind == MbKind.I_16X16:
             self._recon_i16(mb, mx, my, slice_id, qpy, maxv)
         elif mb.transform8x8:
             self._recon_i8(mb, mx, my, slice_id, qpy, maxv)
@@ -231,7 +235,8 @@ class FrameRecon:
         for ci, plane in ((0, self.cb), (1, self.cr)):
             qp_off = (self.pps.chroma_qp_index_offset if ci == 0
                       else self.pps.second_chroma_qp_offset)
-            qpc = qpc_from_qpy(mb.qp_y, qp_off, self.qp_bd_offset_c)
+            qp_base = mb.qs_y if mb.kind == MbKind.SI else mb.qp_y
+            qpc = qpc_from_qpy(qp_base, qp_off, self.qp_bd_offset_c)
             ls4 = self.ls4[1 + ci]
             if cat == 1:
                 dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
