@@ -10,6 +10,74 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
+    """Table-driven 4x4 prediction: one gather + multiply-add evaluates all
+    directional modes; DC computed separately; per-MB select.
+
+    mode [K]; above [K,8] (above-right substituted); left [K,4]; corner [K]
+    -> [K,4,4].  Bit-identical to pred4x4_batch (verified in tests)."""
+    from .pred_tables import tables_4x4
+    IDX, W, R, S = (jnp.asarray(t) for t in tables_4x4())
+    s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,13]
+    taps = s[:, IDX]                       # [K,9,16,3]
+    vals = (jnp.sum(taps * W, axis=-1) + R) >> S   # [K,9,16]
+    sel = jnp.take_along_axis(vals, mode[:, None, None].astype(jnp.int32)
+                              .clip(0, 8).repeat(16, axis=2), axis=1)[:, 0]
+    # DC (mode 2)
+    suma = jnp.sum(above[:, :4], axis=1)
+    suml = jnp.sum(left, axis=1)
+    dc = jnp.where(avail_a & avail_b, (suma + suml + 4) >> 3,
+                   jnp.where(avail_a, (suml + 2) >> 2,
+                             jnp.where(avail_b, (suma + 2) >> 2,
+                                       jnp.full_like(suma,
+                                                     1 << (bitdepth - 1)))))
+    out = jnp.where((mode == 2)[:, None], dc[:, None], sel)
+    return out.reshape(-1, 4, 4)
+
+
+def pred8x8_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
+    """Table-driven 8x8 prediction on FILTERED samples.
+
+    above [K,16], left [K,8], corner [K] -> [K,8,8]."""
+    from .pred_tables import tables_8x8
+    IDX, W, R, S = (jnp.asarray(t) for t in tables_8x8())
+    s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
+    taps = s[:, IDX]                       # [K,9,64,3]
+    vals = (jnp.sum(taps * W, axis=-1) + R) >> S   # [K,9,64]
+    sel = jnp.take_along_axis(vals, mode[:, None, None].astype(jnp.int32)
+                              .clip(0, 8).repeat(64, axis=2), axis=1)[:, 0]
+    suma = jnp.sum(above[:, :8], axis=1)
+    suml = jnp.sum(left, axis=1)
+    dc = jnp.where(avail_a & avail_b, (suma + suml + 8) >> 4,
+                   jnp.where(avail_a, (suml + 4) >> 3,
+                             jnp.where(avail_b, (suma + 4) >> 3,
+                                       jnp.full_like(suma,
+                                                     1 << (bitdepth - 1)))))
+    out = jnp.where((mode == 2)[:, None], dc[:, None], sel)
+    return out.reshape(-1, 8, 8)
+
+
+def filter8x8_fast(above, left, corner, avail_a, avail_b, avail_d):
+    """Table-driven reference filter (8.3.2.2.1): returns (fa [K,16],
+    fl [K,8], fz [K])."""
+    from .pred_tables import filter_tables_8x8
+    (I1, W1, R1, S1), (I0, W0, R0, S0) = filter_tables_8x8()
+    I1, W1 = jnp.asarray(I1), jnp.asarray(W1)
+    I0, W0 = jnp.asarray(I0), jnp.asarray(W0)
+    s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
+    f_d = (jnp.sum(s[:, I1] * W1, axis=-1) + 2) >> 2
+    f_nd = (jnp.sum(s[:, I0] * W0, axis=-1) + 2) >> 2
+    f = jnp.where(avail_d[:, None], f_d, f_nd)
+    a0, l0, z = above[:, 0], left[:, 0], corner
+    fz = jnp.where(avail_a & avail_b, (a0 + 2 * z + l0 + 2) >> 2,
+                   jnp.where(avail_b, (3 * z + a0 + 2) >> 2,
+                             jnp.where(avail_a, (3 * z + l0 + 2) >> 2, z)))
+    fz = jnp.where(avail_d, fz, z)
+    fa = jnp.where(avail_b[:, None], f[:, 1:17], above)
+    fl = jnp.where(avail_a[:, None], f[:, 17:25], left)
+    return fa, fl, fz
+
+
 def _sel(preds, mode, n_modes):
     """preds: list of [K,...]; mode: [K] -> [K,...]."""
     stack = jnp.stack(preds)  # [M,K,...]

@@ -151,8 +151,8 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
         colblk = jax.lax.dynamic_slice(L4, (0, r0, c0), (K, 5, 1))[:, :, 0]
         left4 = colblk[:, 1:5]
         corn = row[:, 0]
-        pred = ipk.pred4x4_batch(modes4[:, blk], above8, left4, corn,
-                                 aa4[blk], ab4[blk], bitdepth)
+        pred = ipk.pred4x4_fast(modes4[:, blk], above8, left4, corn,
+                                aa4[blk], ab4[blk], bitdepth)
         rblk = jax.lax.dynamic_slice(resid, (0, 4 * by, 4 * bx), (K, 4, 4))
         u = jnp.clip(pred + rblk, 0, maxv)
         return jax.lax.dynamic_update_slice(L4, u, (0, r0 + 1, c0 + 1))
@@ -179,10 +179,10 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
         colblk = jax.lax.dynamic_slice(L8, (0, r0, c0), (K, 9, 1))[:, :, 0]
         left8 = colblk[:, 1:9]
         corn = row[:, 0]
-        fa, fl, fz = ipk.filter8x8_batch(above, left8, corn,
-                                         aa8[blk], ab8[blk], ad8[blk])
-        pred = ipk.pred8x8_batch(modes8[:, blk], fa, fl, fz,
-                                 aa8[blk], ab8[blk], bitdepth)
+        fa, fl, fz = ipk.filter8x8_fast(above, left8, corn,
+                                        aa8[blk], ab8[blk], ad8[blk])
+        pred = ipk.pred8x8_fast(modes8[:, blk], fa, fl, fz,
+                                aa8[blk], ab8[blk], bitdepth)
         rblk = jax.lax.dynamic_slice(resid, (0, 8 * by, 8 * bx), (K, 8, 8))
         u = jnp.clip(pred + rblk, 0, maxv)
         return jax.lax.dynamic_update_slice(L8, u, (0, r0 + 1, c0 + 1))
