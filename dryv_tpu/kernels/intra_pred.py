@@ -6,23 +6,40 @@ refimpl.intra) and the per-MB mode selects via one-hot.  Exact int32.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
 
+def _mode_select(vals, mode, n_modes):
+    """vals [K, M, P], mode [K] -> [K, P] via one-hot multiply-add (TPU
+    gathers are slow; this stays on the VPU)."""
+    oh = (jnp.arange(n_modes, dtype=jnp.int32)[None, :] ==
+          mode[:, None]).astype(vals.dtype)
+    return jnp.einsum("km,kmp->kp", oh, vals)
+
+
+@lru_cache(maxsize=None)
+def _mat4():
+    from .pred_tables import tables_4x4, to_matrix
+    IDX, W, R, S = tables_4x4()
+    return (jnp.asarray(to_matrix(IDX, W, 13)), jnp.asarray(R.reshape(-1)),
+            jnp.asarray(S.reshape(-1)))
+
+
 def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
-    """Table-driven 4x4 prediction: one gather + multiply-add evaluates all
-    directional modes; DC computed separately; per-MB select.
+    """Matrix-form 4x4 prediction: one [K,13]x[13,144] matmul evaluates all
+    directional modes (exact in f32); DC computed separately; per-MB select.
 
     mode [K]; above [K,8] (above-right substituted); left [K,4]; corner [K]
     -> [K,4,4].  Bit-identical to pred4x4_batch (verified in tests)."""
-    from .pred_tables import tables_4x4
-    IDX, W, R, S = (jnp.asarray(t) for t in tables_4x4())
+    M, R, S = _mat4()
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,13]
-    taps = s[:, IDX]                       # [K,9,16,3]
-    vals = (jnp.sum(taps * W, axis=-1) + R) >> S   # [K,9,16]
-    sel = jnp.take_along_axis(vals, mode[:, None, None].astype(jnp.int32)
-                              .clip(0, 8).repeat(16, axis=2), axis=1)[:, 0]
+    acc = jnp.dot(s.astype(jnp.float32), M,
+                  preferred_element_type=jnp.float32)
+    vals = ((acc.astype(jnp.int32) + R) >> S).reshape(-1, 9, 16)
+    sel = _mode_select(vals, mode.astype(jnp.int32), 9)
     # DC (mode 2)
     suma = jnp.sum(above[:, :4], axis=1)
     suml = jnp.sum(left, axis=1)
@@ -35,17 +52,24 @@ def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
     return out.reshape(-1, 4, 4)
 
 
+@lru_cache(maxsize=None)
+def _mat8():
+    from .pred_tables import tables_8x8, to_matrix
+    IDX, W, R, S = tables_8x8()
+    return (jnp.asarray(to_matrix(IDX, W, 25)), jnp.asarray(R.reshape(-1)),
+            jnp.asarray(S.reshape(-1)))
+
+
 def pred8x8_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
-    """Table-driven 8x8 prediction on FILTERED samples.
+    """Matrix-form 8x8 prediction on FILTERED samples.
 
     above [K,16], left [K,8], corner [K] -> [K,8,8]."""
-    from .pred_tables import tables_8x8
-    IDX, W, R, S = (jnp.asarray(t) for t in tables_8x8())
+    M, R, S = _mat8()
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
-    taps = s[:, IDX]                       # [K,9,64,3]
-    vals = (jnp.sum(taps * W, axis=-1) + R) >> S   # [K,9,64]
-    sel = jnp.take_along_axis(vals, mode[:, None, None].astype(jnp.int32)
-                              .clip(0, 8).repeat(64, axis=2), axis=1)[:, 0]
+    acc = jnp.dot(s.astype(jnp.float32), M,
+                  preferred_element_type=jnp.float32)
+    vals = ((acc.astype(jnp.int32) + R) >> S).reshape(-1, 9, 64)
+    sel = _mode_select(vals, mode.astype(jnp.int32), 9)
     suma = jnp.sum(above[:, :8], axis=1)
     suml = jnp.sum(left, axis=1)
     dc = jnp.where(avail_a & avail_b, (suma + suml + 8) >> 4,
@@ -57,16 +81,25 @@ def pred8x8_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
     return out.reshape(-1, 8, 8)
 
 
+@lru_cache(maxsize=None)
+def _fmat8():
+    from .pred_tables import filter_tables_8x8, to_matrix
+    (I1, W1, _, _), (I0, W0, _, _) = filter_tables_8x8()
+    m1 = to_matrix(I1[None], W1[None], 25)
+    m0 = to_matrix(I0[None], W0[None], 25)
+    return jnp.asarray(m1), jnp.asarray(m0)
+
+
 def filter8x8_fast(above, left, corner, avail_a, avail_b, avail_d):
-    """Table-driven reference filter (8.3.2.2.1): returns (fa [K,16],
+    """Matrix-form reference filter (8.3.2.2.1): returns (fa [K,16],
     fl [K,8], fz [K])."""
-    from .pred_tables import filter_tables_8x8
-    (I1, W1, R1, S1), (I0, W0, R0, S0) = filter_tables_8x8()
-    I1, W1 = jnp.asarray(I1), jnp.asarray(W1)
-    I0, W0 = jnp.asarray(I0), jnp.asarray(W0)
+    M1, M0 = _fmat8()
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
-    f_d = (jnp.sum(s[:, I1] * W1, axis=-1) + 2) >> 2
-    f_nd = (jnp.sum(s[:, I0] * W0, axis=-1) + 2) >> 2
+    sf = s.astype(jnp.float32)
+    f_d = (jnp.dot(sf, M1, preferred_element_type=jnp.float32)
+           .astype(jnp.int32) + 2) >> 2
+    f_nd = (jnp.dot(sf, M0, preferred_element_type=jnp.float32)
+            .astype(jnp.int32) + 2) >> 2
     f = jnp.where(avail_d[:, None], f_d, f_nd)
     a0, l0, z = above[:, 0], left[:, 0], corner
     fz = jnp.where(avail_a & avail_b, (a0 + 2 * z + l0 + 2) >> 2,

@@ -83,8 +83,12 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             pps = sd.pps_map[h0.pic_parameter_set_id]
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
-            if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag:
-                raise NotImplementedError("fast path: CABAC I slices only")
+            if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag \
+                    or sps.chroma_array_type != 1:
+                # C++ entropy stage covers CABAC 4:2:0 intra; everything
+                # else takes the Python scalar path
+                from .decoder import decode_annexb_scalar
+                return decode_annexb_scalar(stream, max_frames)
             if slice_datas is None:
                 slice_datas = []
             bitoff = (h.header_bit_len + 7) & ~7
@@ -114,6 +118,10 @@ def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
     frames = []
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, _ = sd.decode_picture_syntax(pic_nals)
+        if sps.chroma_array_type != 1:
+            # device pipeline is 4:2:0; mono/4:2:2 use the scalar path
+            from .decoder import decode_annexb_scalar
+            return decode_annexb_scalar(stream, max_frames)
         fs = pack_frame(mbs, sps, pps)
         sl = pps.resolve_active_scaling_lists(sps)
         ls4 = [np.asarray(level_scale_4x4(dezigzag4(sl.l4x4[i])), np.int32)

@@ -52,6 +52,7 @@ FIXTURE_SPECS = [
     ("slices_qp28", 4, 4, 28, "mix", False, 1, None),
     ("crop_qp28", 4, 4, 28, "i16", False, None, (0, 2, 0, 3)),
     ("big_qp30", 8, 6, 30, "mix8", True, 2, None),
+    ("mono_qp26", 4, 3, 26, "mix", False, None, None),  # 4:0:0
 ]
 
 
@@ -60,8 +61,14 @@ def get_fixture(name: str):
     """Returns (stream_bytes, (y, cb, cr) golden from oracle, sps, pps)."""
     spec = next(s for s in FIXTURE_SPECS if s[0] == name)
     _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
+    mono = name.startswith("mono")
     src = make_source(mb_w, mb_h)
-    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8, crop=crop)
+    if mono:
+        src = (src[0], None, None)
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8,
+                               crop=crop, profile=100 if mono else 66)
+    if mono:
+        sps.chroma_format_idc = 0
     enc = IntraEncoder(sps, pps, qp, mb_kind_policy=POLICIES[policy])
     if rps:
         bounds = list(range(0, mb_w * mb_h, rps * mb_w))

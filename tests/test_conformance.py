@@ -16,8 +16,12 @@ def test_scalar_decode_bit_exact(name):
     stream, (gy, gcb, gcr), sps, pps = get_fixture(name)
     frame = decode_annexb_scalar(stream)[0]
     assert np.array_equal(frame.y, gy), f"{name}: luma mismatch"
-    assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
-    assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
+    if frame.cb is None:
+        # monochrome: libavcodec synthesizes constant-128 chroma planes
+        assert gcb is None or (gcb == 128).all()
+    else:
+        assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
+        assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
 
 
 def test_parameter_set_roundtrip():
