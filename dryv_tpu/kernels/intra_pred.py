@@ -22,10 +22,10 @@ def _mode_select(vals, mode, n_modes):
 
 @lru_cache(maxsize=None)
 def _mat4():
+    # cache numpy only: jnp constants created during tracing would leak
     from .pred_tables import tables_4x4, to_matrix
     IDX, W, R, S = tables_4x4()
-    return (jnp.asarray(to_matrix(IDX, W, 13)), jnp.asarray(R.reshape(-1)),
-            jnp.asarray(S.reshape(-1)))
+    return to_matrix(IDX, W, 13), R.reshape(-1), S.reshape(-1)
 
 
 def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
@@ -34,7 +34,7 @@ def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
 
     mode [K]; above [K,8] (above-right substituted); left [K,4]; corner [K]
     -> [K,4,4].  Bit-identical to pred4x4_batch (verified in tests)."""
-    M, R, S = _mat4()
+    M, R, S = (jnp.asarray(t) for t in _mat4())
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,13]
     acc = jnp.dot(s.astype(jnp.float32), M,
                   preferred_element_type=jnp.float32)
@@ -56,15 +56,14 @@ def pred4x4_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
 def _mat8():
     from .pred_tables import tables_8x8, to_matrix
     IDX, W, R, S = tables_8x8()
-    return (jnp.asarray(to_matrix(IDX, W, 25)), jnp.asarray(R.reshape(-1)),
-            jnp.asarray(S.reshape(-1)))
+    return to_matrix(IDX, W, 25), R.reshape(-1), S.reshape(-1)
 
 
 def pred8x8_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
     """Matrix-form 8x8 prediction on FILTERED samples.
 
     above [K,16], left [K,8], corner [K] -> [K,8,8]."""
-    M, R, S = _mat8()
+    M, R, S = (jnp.asarray(t) for t in _mat8())
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
     acc = jnp.dot(s.astype(jnp.float32), M,
                   preferred_element_type=jnp.float32)
@@ -85,15 +84,13 @@ def pred8x8_fast(mode, above, left, corner, avail_a, avail_b, bitdepth=8):
 def _fmat8():
     from .pred_tables import filter_tables_8x8, to_matrix
     (I1, W1, _, _), (I0, W0, _, _) = filter_tables_8x8()
-    m1 = to_matrix(I1[None], W1[None], 25)
-    m0 = to_matrix(I0[None], W0[None], 25)
-    return jnp.asarray(m1), jnp.asarray(m0)
+    return to_matrix(I1[None], W1[None], 25), to_matrix(I0[None], W0[None], 25)
 
 
 def filter8x8_fast(above, left, corner, avail_a, avail_b, avail_d):
     """Matrix-form reference filter (8.3.2.2.1): returns (fa [K,16],
     fl [K,8], fz [K])."""
-    M1, M0 = _fmat8()
+    M1, M0 = (jnp.asarray(t) for t in _fmat8())
     s = jnp.concatenate([corner[:, None], above, left], axis=1)  # [K,25]
     sf = s.astype(jnp.float32)
     f_d = (jnp.dot(sf, M1, preferred_element_type=jnp.float32)
