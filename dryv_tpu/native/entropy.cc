@@ -80,18 +80,52 @@ struct Engine {
   int64_t bit_len;
   int32_t range, offset;
   int64_t bins = 0;  // decoded bin counter (reference cabac/mod.rs:68)
+  // windowed bit cache: high bits of `win` hold the next unread bits
+  uint64_t win = 0;
+  int win_bits = 0;
   int8_t p_state[kCtxCount];
   int8_t val_mps[kCtxCount];
 
+  void refill() {
+    // rebuild the 56-bit window from `pos`; past-the-end reads are zero
+    int64_t nbytes = (bit_len + 7) >> 3;
+    int64_t byte_pos = pos >> 3;
+    if (byte_pos + 8 <= nbytes) {
+      uint64_t v;
+      std::memcpy(&v, data + byte_pos, 8);
+      win = __builtin_bswap64(v);
+    } else {
+      win = 0;
+      int sh = 56;
+      for (int i = 0; i < 8 && sh >= 0; i++, sh -= 8) {
+        uint64_t b = (byte_pos + i < nbytes) ? data[byte_pos + i] : 0;
+        win |= b << sh;
+      }
+    }
+    int drop = (int)(pos & 7);
+    win <<= drop;
+    win_bits = 56 - drop;  // guaranteed valid bits in the window
+  }
+
   int read_bit() {
-    if (pos >= bit_len) { pos++; return 0; }
-    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
-    pos++;
+    if (win_bits < 1) refill();
+    int b = (int)(win >> 63);
+    win <<= 1;
+    win_bits -= 1;
+    pos += 1;
     return b;
   }
   int read_bits(int n) {
     int v = 0;
-    while (n--) v = (v << 1) | read_bit();
+    while (n > 0) {
+      if (win_bits < 1) refill();
+      int take = n < win_bits ? n : win_bits;
+      v = (v << take) | (int)(win >> (64 - take));
+      win <<= take;
+      win_bits -= take;
+      pos += take;
+      n -= take;
+    }
     return v;
   }
   void init_contexts(int qp, int mode) {
@@ -108,8 +142,16 @@ struct Engine {
     }
   }
   void init_engine() {
+    win_bits = 0;  // invalidate window (pos may have been set externally)
     range = 510;
     offset = read_bits(9);
+  }
+  inline void renorm() {
+    if (range >= 256) return;
+    // shift count via count-leading-zeros: range in [2, 255]
+    int n = __builtin_clz((unsigned)range) - 23;
+    range <<= n;
+    offset = (offset << n) | read_bits(n);
   }
   int decision(int ctx) {
     bins++;
@@ -127,10 +169,7 @@ struct Engine {
       bin = val_mps[ctx];
       p_state[ctx] = kTransMps[state];
     }
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
-    }
+    renorm();
     return bin;
   }
   int bypass() {
@@ -143,13 +182,13 @@ struct Engine {
     bins++;
     range -= 2;
     if (offset >= range) return 1;
-    while (range < 256) {
-      range <<= 1;
-      offset = (offset << 1) | read_bit();
-    }
+    renorm();
     return 0;
   }
-  void byte_align() { pos = (pos + 7) & ~7LL; }
+  void byte_align() {
+    pos = (pos + 7) & ~7LL;
+    win_bits = 0;  // window no longer aligned with pos
+  }
 };
 
 // Per-MB syntax state needed for neighbor contexts.
