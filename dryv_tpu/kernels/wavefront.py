@@ -115,7 +115,7 @@ LH = 17   # luma window rows: y0-1 .. y0+15
 # per-diagonal MB batch reconstruction (shared by single-chip and banded)
 # ---------------------------------------------------------------------------
 
-def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
+def recon_mb_batch(x, kind, av_a, av_b, av_c, av_d, L, resid,
                    bitdepth=8):
     """Reconstruct a batch of MBs: all kinds computed branchlessly.
 
@@ -128,7 +128,7 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
     above16 = L[:, 0, 1:17]
     left16 = L[:, 1:17, 0]
     corner = L[:, 0, 0]
-    p16 = ipk.pred16x16_batch(s["i16_mode"][a], above16, left16, corner,
+    p16 = ipk.pred16x16_batch(x["i16_mode"], above16, left16, corner,
                               av_a, av_b, av_d, bitdepth)
     o16 = jnp.clip(p16 + resid, 0, maxv)
 
@@ -136,7 +136,7 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
     aa4 = _avail_per_blk(BLK4_A, av_a, av_b, av_c, av_d)  # [16,K]
     ab4 = _avail_per_blk(BLK4_B, av_a, av_b, av_c, av_d)
     ac4 = _avail_per_blk(BLK4_C, av_a, av_b, av_c, av_d)
-    modes4 = s["modes4"][a]  # [K,16]
+    modes4 = x["modes4"]  # [K,16]
 
     def i4_body(blk, L4):
         bx = _ZPOS_J[blk, 0]
@@ -164,7 +164,7 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
     ab8 = _avail_per_blk(BLK8_B, av_a, av_b, av_c, av_d)
     ac8 = _avail_per_blk(BLK8_C, av_a, av_b, av_c, av_d)
     ad8 = _avail_per_blk(BLK8_D, av_a, av_b, av_c, av_d)
-    modes8 = s["modes8"][a]
+    modes8 = x["modes8"]
 
     def i8_body(blk, L8):
         bx = blk & 1
@@ -189,12 +189,12 @@ def recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
 
     o8 = jax.lax.fori_loop(0, 4, i8_body, L)[:, 1:17, 1:17]
 
-    return jnp.where((kind == KIND_PCM)[:, None, None], s["pcm_y"][a],
+    return jnp.where((kind == KIND_PCM)[:, None, None], x["pcm_y"],
              jnp.where((kind == KIND_I16)[:, None, None], o16,
                jnp.where((kind == KIND_I8)[:, None, None], o8, o4)))
 
 
-def recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
+def recon_chroma_batch(x, kind, av_a, av_b, av_d, Cw, cresid,
                        bitdepth=8):
     """Chroma for a diagonal batch; Cw [K,2,9,9] windows (cb, cr).
 
@@ -203,12 +203,12 @@ def recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
     outs = []
     for ci in range(2):
         W = Cw[:, ci]
-        pc = ipk.pred_chroma_batch(s["chroma_mode"][a], W[:, 0, 1:9],
+        pc = ipk.pred_chroma_batch(x["chroma_mode"], W[:, 0, 1:9],
                                    W[:, 1:9, 0], W[:, 0, 0],
                                    av_a, av_b, av_d, bitdepth)
         oc = jnp.clip(pc + cresid[:, ci], 0, maxv)
         oc = jnp.where((kind == KIND_PCM)[:, None, None],
-                       s["pcm_c"][a, ci], oc)
+                       x["pcm_c"][:, ci], oc)
         outs.append(oc)
     return jnp.stack(outs, axis=1)
 
@@ -217,29 +217,42 @@ def recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
 # the frontier scan step (shared core)
 # ---------------------------------------------------------------------------
 
-def frontier_step(s, mb_w, diag_addrs, state, halo=None, bitdepth=8):
+DIAG_KEYS = ["kind", "i16_mode", "chroma_mode", "modes4", "modes8",
+             "pcm_y", "pcm_c", "avail_a", "avail_b", "avail_c", "avail_d",
+             "y_resid", "c_resid"]
+
+
+def pack_diagonal(s, sched, mb_w):
+    """Pre-gather per-MB arrays into diagonal order [n_diag, K, ...] so the
+    sequential scan consumes them as xs — no gathers in the hot loop."""
+    addrs = jnp.maximum(sched, 0)
+    xs = {k: s[k][addrs] for k in DIAG_KEYS}
+    xs["valid"] = sched >= 0
+    xs["mx"] = addrs % mb_w
+    xs["my"] = addrs // mb_w
+    return xs
+
+
+def frontier_step(x, mb_w, state, halo=None, bitdepth=8):
     """One diagonal step over the frontier state.
 
+    x: this diagonal's pre-packed lane data (see pack_diagonal) — all
+    [K, ...], no dynamic indexing needed.
     state: dict with
-      bot_cur  [mb_w, LW-1] luma bottom rows (cols x0-1..x0+23 of each MB
-               column's newest completed MB; [:,0] is that MB's corner px)
-      -- layout detail: we store per column the MB's 16 bottom pixels
       bot_cur [mb_w,16], bot_prev [mb_w,16], rcol [mb_h_local,16],
       cbot_cur [mb_w,2,8], cbot_prev [mb_w,2,8], crcol [mb_h_local,2,8]
-    halo (banded mode): dict with bot_cur/bot_prev/cbot_cur/cbot_prev from
-    the band above, used for lanes on the band's first MB row.
-    Returns (new_state, out16 [K,16,16], outc [K,2,8,8], lane info)."""
-    addrs = diag_addrs
-    valid = addrs >= 0
-    a = jnp.maximum(addrs, 0)
-    mx = a % mb_w
-    my = a // mb_w  # local row
+    halo (banded mode): dict with bot_cur/cbot_cur from the band above,
+    used for lanes on the band's first MB row.
+    Returns (new_state, out16 [K,16,16], outc [K,2,8,8])."""
+    valid = x["valid"]
+    mx = x["mx"]
+    my = x["my"]
 
-    kind = s["kind"][a]
-    av_a = s["avail_a"][a] & valid
-    av_b = s["avail_b"][a] & valid
-    av_c = s["avail_c"][a] & valid
-    av_d = s["avail_d"][a] & valid
+    kind = x["kind"]
+    av_a = x["avail_a"] & valid
+    av_b = x["avail_b"] & valid
+    av_c = x["avail_c"] & valid
+    av_d = x["avail_d"] & valid
 
     bot_cur, bot_prev = state["bot_cur"], state["bot_prev"]
     rcol = state["rcol"]
@@ -267,15 +280,15 @@ def frontier_step(s, mb_w, diag_addrs, state, halo=None, bitdepth=8):
                      halo["bot_cur"][mxl][:, 15:16])[:, 0]
     left16 = rcol[my]
 
-    K = a.shape[0]
+    K = mx.shape[0]
     L = jnp.zeros((K, LH, LW), dtype=jnp.int32)
     L = L.at[:, 0, 0].set(corner)
     L = L.at[:, 0, 1:17].set(above16)
     L = L.at[:, 0, 17:25].set(abover8)
     L = L.at[:, 1:17, 0].set(left16)
 
-    resid = s["y_resid"][a]          # [K,16,16] tiles
-    out16 = recon_mb_batch(s, a, kind, av_a, av_b, av_c, av_d, L, resid,
+    resid = x["y_resid"]             # [K,16,16] tiles
+    out16 = recon_mb_batch(x, kind, av_a, av_b, av_c, av_d, L, resid,
                            bitdepth)
 
     # chroma windows
@@ -290,8 +303,8 @@ def frontier_step(s, mb_w, diag_addrs, state, halo=None, bitdepth=8):
     Cw = Cw.at[:, :, 0, 0].set(ccorn)
     Cw = Cw.at[:, :, 0, 1:9].set(cab)
     Cw = Cw.at[:, :, 1:9, 0].set(cleft)
-    cresid = s["c_resid"][a]         # [K,2,8,8]
-    outc = recon_chroma_batch(s, a, kind, av_a, av_b, av_d, Cw, cresid,
+    cresid = x["c_resid"]            # [K,2,8,8]
+    outc = recon_chroma_batch(x, kind, av_a, av_b, av_d, Cw, cresid,
                               bitdepth)
 
     # ---- frontier updates (small scatters; invalid lanes dropped) -----
@@ -347,14 +360,15 @@ def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8):
         s = dict(syntax)
         s["y_resid"] = y_resid_tiles
         s["c_resid"] = c_resid_tiles
+        xs = pack_diagonal(s, sched, mb_w)
 
-        def step(state, diag_addrs):
-            state, out16, outc = frontier_step(s, mb_w, diag_addrs, state,
-                                               None, bitdepth)
+        def step(state, x):
+            state, out16, outc = frontier_step(x, mb_w, state, None,
+                                               bitdepth)
             return state, (out16, outc)
 
         _, (tiles_y, tiles_c) = jax.lax.scan(
-            step, init_frontier(mb_w, mb_h, s["kind"][0]), sched)
+            step, init_frontier(mb_w, mb_h, s["kind"][0]), xs)
         return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h)
 
     return run

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels.wavefront import (
-    diag_schedule, frontier_step, init_frontier, tiles_to_planes)
+    diag_schedule, frontier_step, init_frontier, pack_diagonal,
+    tiles_to_planes)
 
 
 @lru_cache(maxsize=None)
@@ -93,10 +94,10 @@ def make_banded_frame_fn(mesh, mb_w: int, mb_h: int, axis: str = "band",
             return jax.tree.map(
                 lambda x: jax.lax.pcast(x, axis, to="varying"), tree)
 
-        def step(carry, diag_addrs):
+        def step(carry, x):
             state, halo = carry
             state, out16, outc = frontier_step(
-                s, mb_w, diag_addrs, state, halo, bitdepth)
+                x, mb_w, state, halo, bitdepth)
             # exchange frontier bottom rows to the next band over ICI
             halo = {
                 "bot_cur": jax.lax.ppermute(state["bot_cur"], axis, perm),
@@ -104,8 +105,9 @@ def make_banded_frame_fn(mesh, mb_w: int, mb_h: int, axis: str = "band",
             }
             return (state, halo), (out16, outc)
 
+        xs = pack_diagonal(s, sched, mb_w)
         (_, _), (tiles_y, tiles_c) = jax.lax.scan(
-            step, mark_varying((init_frontier(mb_w, rows), halo0)), sched)
+            step, mark_varying((init_frontier(mb_w, rows), halo0)), xs)
         return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, rows)
 
     spec = P(axis)

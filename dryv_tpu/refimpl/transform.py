@@ -118,14 +118,19 @@ def idct_chroma_dc(c: np.ndarray, qp: int, ls4: np.ndarray,
         b = np.array([[1, 1], [1, -1]], dtype=np.int64)
         f = b @ c @ b
         return ((f * ls00) * (1 << (qp // 6))) >> 5
-    # 4:2:2: c is [...,4,2]; qp here is QPc + 3 per 8.5.11.2
+    # 4:2:2 (spec 8.5.11.2): c is [...,4,2]; qp here is qP_DC = QPc + 3.
+    # Note: the reference (trans_chroma.rs:448-452) shifts by (6 - QPc/6)
+    # instead of (6 - qP_DC/6) in the low-QP branch; we follow the spec.
     a = np.array([[1, 1, 1, 1],
                   [1, 1, -1, -1],
                   [1, -1, -1, 1],
                   [1, -1, 1, -1]], dtype=np.int64)
     b = np.array([[1, 1], [1, -1]], dtype=np.int64)
     f = a @ c @ b
-    return ((f * ls00) * (1 << (qp // 6))) >> 5
+    ls00 = np.int64(ls00)
+    if qp >= 36:
+        return (f * ls00) << (qp // 6 - 6)
+    return (f * ls00 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
 def dequant_idct_8x8(c: np.ndarray, qp: int, ls8: np.ndarray) -> np.ndarray:
