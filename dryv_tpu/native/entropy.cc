@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread entropy.cc -o libdryv_entropy.so
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -22,7 +23,19 @@ constexpr int kCtxCount = 1031;
 
 // ctxIdx bases (spec Table 9-11 layout; see cabac/tables.py)
 enum : int {
+  CTX_MB_TYPE_SI_PRE = 0,
   CTX_MB_TYPE_I = 3,
+  CTX_MB_SKIP_P = 11,
+  CTX_MB_TYPE_P_PRE = 14,
+  CTX_MB_TYPE_P_SUF = 17,
+  CTX_SUB_MB_TYPE_P = 21,
+  CTX_MB_SKIP_B = 24,
+  CTX_MB_TYPE_B_PRE = 27,
+  CTX_MB_TYPE_B_SUF = 32,
+  CTX_SUB_MB_TYPE_B = 36,
+  CTX_MVD_X = 40,
+  CTX_MVD_Y = 47,
+  CTX_REF_IDX = 54,
   CTX_MB_QP_DELTA = 60,
   CTX_INTRA_CHROMA_PRED_MODE = 64,
   CTX_PREV_INTRA_PRED_MODE_FLAG = 68,
@@ -33,6 +46,9 @@ enum : int {
   CTX_TRANSFORM_SIZE_8X8_FLAG = 399,
 };
 
+// slice types (SliceType enum)
+enum : int { ST_P = 0, ST_B = 1, ST_I = 2, ST_SP = 3, ST_SI = 4 };
+
 // residual categories
 enum : int { CAT_LUMA_DC = 0, CAT_LUMA_AC, CAT_LUMA_4X4, CAT_CHROMA_DC,
              CAT_CHROMA_AC, CAT_LUMA_8X8 };
@@ -42,8 +58,19 @@ const int kSigFrame[6] = {105, 120, 134, 149, 152, 402};
 const int kLastFrame[6] = {166, 181, 195, 210, 213, 417};
 const int kAbsBase[6] = {227, 237, 247, 257, 266, 426};
 
-// MB kinds (matches coeffs.py)
-enum : int { KIND_I4 = 0, KIND_I8 = 1, KIND_I16 = 2, KIND_PCM = 3 };
+// MB kinds: 0..3 match the device numbering (coeffs.py: I4, I8, I16, PCM;
+// transform8x8 folded into the I8 kind); 4+ extend it for inter/SI.
+enum : int { KIND_I4 = 0, KIND_I8 = 1, KIND_I16 = 2, KIND_PCM = 3,
+             KIND_P = 4, KIND_P8X8 = 5, KIND_P_SKIP = 6,
+             KIND_B = 7, KIND_B8X8 = 8, KIND_B_SKIP = 9,
+             KIND_B_DIRECT = 10, KIND_SI = 11 };
+
+inline bool kind_is_intra(int k) {
+  return k <= KIND_PCM || k == KIND_SI;
+}
+inline bool kind_is_inter(int k) {
+  return k >= KIND_P && k <= KIND_B_DIRECT;
+}
 
 // z-scan 4x4 position tables
 struct ZPos { int x, y; };
@@ -203,6 +230,11 @@ struct MB {
   int8_t modes4[16];
   int8_t modes8[4];
   uint8_t cbf[3][17];  // [comp][blk], 16 = DC
+  // inter syntax state (neighbor contexts)
+  int8_t mb_type_code = 0;
+  int8_t sub_mb_type[4] = {-1, -1, -1, -1};
+  int8_t ref_idx[2][4] = {};
+  int16_t mvd[2][16][2] = {};
 };
 
 struct PicParams {
@@ -210,7 +242,45 @@ struct PicParams {
   int32_t chroma_array_type;
   int32_t transform_8x8_mode_flag;
   int32_t bit_depth_luma, bit_depth_chroma;
+  int32_t direct_8x8_inference_flag;
 };
+
+// partition tables (Table 7-13/7-14): pred modes per partition
+enum : int { PRED_L0 = 0, PRED_L1 = 1, PRED_BI = 2, PRED_DIRECT = 3 };
+struct PartInfo { int n; int wh; int pred[2]; };  // wh: 0=16x16,1=16x8,2=8x16
+const PartInfo kPParts[4] = {
+  {1, 0, {PRED_L0, PRED_L0}}, {2, 1, {PRED_L0, PRED_L0}},
+  {2, 2, {PRED_L0, PRED_L0}}, {4, 0, {PRED_L0, PRED_L0}}};
+const PartInfo kBParts[23] = {
+  {1, 0, {PRED_DIRECT, 0}}, {1, 0, {PRED_L0, 0}}, {1, 0, {PRED_L1, 0}},
+  {1, 0, {PRED_BI, 0}},
+  {2, 1, {PRED_L0, PRED_L0}}, {2, 2, {PRED_L0, PRED_L0}},
+  {2, 1, {PRED_L1, PRED_L1}}, {2, 2, {PRED_L1, PRED_L1}},
+  {2, 1, {PRED_L0, PRED_L1}}, {2, 2, {PRED_L0, PRED_L1}},
+  {2, 1, {PRED_L1, PRED_L0}}, {2, 2, {PRED_L1, PRED_L0}},
+  {2, 1, {PRED_L0, PRED_BI}}, {2, 2, {PRED_L0, PRED_BI}},
+  {2, 1, {PRED_L1, PRED_BI}}, {2, 2, {PRED_L1, PRED_BI}},
+  {2, 1, {PRED_BI, PRED_L0}}, {2, 2, {PRED_BI, PRED_L0}},
+  {2, 1, {PRED_BI, PRED_L1}}, {2, 2, {PRED_BI, PRED_L1}},
+  {2, 1, {PRED_BI, PRED_BI}}, {2, 2, {PRED_BI, PRED_BI}},
+  {4, 0, {PRED_L0, PRED_L0}}};
+// sub types (Table 7-17/7-18): n parts, shape (0=8x8,1=8x4,2=4x8,3=4x4), pred
+struct SubInfo { int n; int shape; int pred; };
+const SubInfo kPSub[4] = {
+  {1, 0, PRED_L0}, {2, 1, PRED_L0}, {2, 2, PRED_L0}, {4, 3, PRED_L0}};
+const SubInfo kBSub[13] = {
+  {4, 3, PRED_DIRECT}, {1, 0, PRED_L0}, {1, 0, PRED_L1}, {1, 0, PRED_BI},
+  {2, 1, PRED_L0}, {2, 2, PRED_L0}, {2, 1, PRED_L1}, {2, 2, PRED_L1},
+  {2, 1, PRED_BI}, {2, 2, PRED_BI}, {4, 3, PRED_L0}, {4, 3, PRED_L1},
+  {4, 3, PRED_BI}};
+// partition -> covered 4x4 z-blocks
+const int kPart16x8[2][8] = {{0, 1, 4, 5, 2, 3, 6, 7},
+                             {8, 9, 12, 13, 10, 11, 14, 15}};
+const int kPart8x16[2][8] = {{0, 2, 8, 10, 1, 3, 9, 11},
+                             {4, 6, 12, 14, 5, 7, 13, 15}};
+// sub-part -> blocks within quadrant (offsets from 4*q)
+const int kSub8x4[2][2] = {{0, 1}, {2, 3}};
+const int kSub4x8[2][2] = {{0, 2}, {1, 3}};
 
 // dense outputs (SoA), caller-allocated
 struct Out {
@@ -230,6 +300,11 @@ struct Out {
   int32_t* pcm_c;       // [n*128]
   int32_t* slice_id;    // [n] prefilled by caller
   int64_t* bin_count;   // [n_slices] CABAC bins decoded per slice
+  // inter syntax outputs (may be null for intra-only decode)
+  int32_t* mb_type_code;  // [n]
+  int32_t* sub_mb_type;   // [n*4]
+  int32_t* ref_idx;       // [n*2*4]
+  int32_t* mvd;           // [n*2*16*2]
 };
 
 struct SliceCtx {
@@ -241,13 +316,17 @@ struct SliceCtx {
   int curr;
   int prev_addr = -1;
   int qpy_prev;
+  int slice_type = ST_I;
+  int nref_l0 = 0, nref_l1 = 0;  // num_ref_idx_lX_active_minus1
 
   MB unavailable_intra;
+  MB unavailable_inter;
 
   SliceCtx() {
     std::memset(&unavailable_intra, 0, sizeof(MB));
     unavailable_intra.cbp = 0x0F;
     std::memset(unavailable_intra.cbf, 1, sizeof(unavailable_intra.cbf));
+    std::memset(&unavailable_inter, 0, sizeof(MB));
   }
 
   MB* mb_at(int addr) {
@@ -309,27 +388,271 @@ struct SliceCtx {
   }
 
   // ---- syntax elements ------------------------------------------------
-  void mb_type_i(MB* mb) {
+  void mb_type_i(MB* mb, const int* slots /* 7 entries, [1] unused */) {
+    if (eng.decision(slots[0]) == 0) {
+      mb->kind = KIND_I4;  // refined by transform_size flag
+      return;
+    }
+    if (eng.terminate()) { mb->kind = KIND_PCM; return; }
+    mb->kind = KIND_I16;
+    int cbp_luma = eng.decision(slots[2]);
+    int cbp_chroma = 0;
+    if (eng.decision(slots[3]))
+      cbp_chroma = 1 + eng.decision(slots[4]);
+    int hi = eng.decision(slots[5]);
+    int lo = eng.decision(slots[6]);
+    mb->i16_mode = (hi << 1) | lo;
+    mb->cbp = (cbp_chroma << 4) | (cbp_luma ? 0x0F : 0);
+  }
+
+  void i_slots(int* slots) {
     MB* a = nb('A');
     MB* b = nb('B');
     int inc = (a != &unavailable_intra && a->kind != KIND_I4 &&
                a->kind != KIND_I8) +
               (b != &unavailable_intra && b->kind != KIND_I4 &&
                b->kind != KIND_I8);
-    if (eng.decision(CTX_MB_TYPE_I + inc) == 0) {
-      mb->kind = KIND_I4;  // refined by transform_size flag
+    int s[7] = {CTX_MB_TYPE_I + inc, -1, CTX_MB_TYPE_I + 3,
+                CTX_MB_TYPE_I + 4, CTX_MB_TYPE_I + 5, CTX_MB_TYPE_I + 6,
+                CTX_MB_TYPE_I + 7};
+    std::memcpy(slots, s, sizeof(s));
+  }
+
+  int mb_skip_flag() {
+    int base = (slice_type == ST_P || slice_type == ST_SP) ? CTX_MB_SKIP_P
+                                                           : CTX_MB_SKIP_B;
+    MB* a = nb('A');
+    MB* b = nb('B');
+    int inc = (a != &unavailable_intra && a->kind != KIND_P_SKIP &&
+               a->kind != KIND_B_SKIP) +
+              (b != &unavailable_intra && b->kind != KIND_P_SKIP &&
+               b->kind != KIND_B_SKIP);
+    return eng.decision(base + inc);
+  }
+
+  void mb_type_p(MB* mb) {
+    const int base = CTX_MB_TYPE_P_PRE;
+    static const int psuf[7] = {CTX_MB_TYPE_P_SUF, -1, CTX_MB_TYPE_P_SUF + 1,
+                                CTX_MB_TYPE_P_SUF + 2, CTX_MB_TYPE_P_SUF + 2,
+                                CTX_MB_TYPE_P_SUF + 3, CTX_MB_TYPE_P_SUF + 3};
+    if (eng.decision(base)) { mb_type_i(mb, psuf); return; }
+    int code;
+    if (eng.decision(base + 1) == 0)
+      code = eng.decision(base + 2) ? 3 : 0;
+    else
+      code = eng.decision(base + 3) ? 1 : 2;
+    mb->mb_type_code = code;
+    mb->kind = (code == 3) ? KIND_P8X8 : KIND_P;
+  }
+
+  void mb_type_b(MB* mb) {
+    const int base = CTX_MB_TYPE_B_PRE;
+    static const int bsuf[7] = {CTX_MB_TYPE_B_SUF, -1, CTX_MB_TYPE_B_SUF + 1,
+                                CTX_MB_TYPE_B_SUF + 2, CTX_MB_TYPE_B_SUF + 2,
+                                CTX_MB_TYPE_B_SUF + 3, CTX_MB_TYPE_B_SUF + 3};
+    MB* a = nb('A');
+    MB* b = nb('B');
+    int inc = (a != &unavailable_intra && a->kind != KIND_B_SKIP &&
+               a->kind != KIND_B_DIRECT) +
+              (b != &unavailable_intra && b->kind != KIND_B_SKIP &&
+               b->kind != KIND_B_DIRECT);
+    if (eng.decision(base + inc) == 0) {
+      mb->mb_type_code = 0;
+      mb->kind = KIND_B_DIRECT;
       return;
     }
-    if (eng.terminate()) { mb->kind = KIND_PCM; return; }
-    mb->kind = KIND_I16;
-    int cbp_luma = eng.decision(CTX_MB_TYPE_I + 3);
-    int cbp_chroma = 0;
-    if (eng.decision(CTX_MB_TYPE_I + 4))
-      cbp_chroma = 1 + eng.decision(CTX_MB_TYPE_I + 5);
-    int hi = eng.decision(CTX_MB_TYPE_I + 6);
-    int lo = eng.decision(CTX_MB_TYPE_I + 7);
-    mb->i16_mode = (hi << 1) | lo;
-    mb->cbp = (cbp_chroma << 4) | (cbp_luma ? 0x0F : 0);
+    if (eng.decision(base + 3) == 0) {
+      mb->mb_type_code = 1 + eng.decision(base + 5);
+      mb->kind = KIND_B;
+      return;
+    }
+    if (eng.decision(base + 4) == 0) {
+      int v = 0;
+      for (int i = 0; i < 3; i++) v = (v << 1) | eng.decision(base + 5);
+      mb->mb_type_code = 3 + v;
+      mb->kind = KIND_B;
+      return;
+    }
+    if (eng.decision(base + 5) == 0) {  // tail 0xxx -> 12..19
+      int v = 0;
+      for (int i = 0; i < 3; i++) v = (v << 1) | eng.decision(base + 5);
+      mb->mb_type_code = 12 + v;
+      mb->kind = KIND_B;
+      return;
+    }
+    if (eng.decision(base + 5) == 0) {
+      if (eng.decision(base + 5) == 0) {  // tail 100b
+        mb->mb_type_code = 20 + eng.decision(base + 5);
+        mb->kind = KIND_B;
+      } else {  // tail 101 -> I escape
+        mb_type_i(mb, bsuf);
+      }
+      return;
+    }
+    if (eng.decision(base + 5) == 0) {
+      mb->mb_type_code = 11;
+      mb->kind = KIND_B;
+    } else {
+      mb->mb_type_code = 22;
+      mb->kind = KIND_B8X8;
+    }
+  }
+
+  void sub_mb_types(MB* mb) {
+    if (slice_type == ST_P || slice_type == ST_SP) {
+      const int base = CTX_SUB_MB_TYPE_P;
+      for (int i = 0; i < 4; i++) {
+        if (eng.decision(base)) mb->sub_mb_type[i] = 0;
+        else if (eng.decision(base + 1) == 0) mb->sub_mb_type[i] = 1;
+        else if (eng.decision(base + 2)) mb->sub_mb_type[i] = 2;
+        else mb->sub_mb_type[i] = 3;
+      }
+    } else {
+      const int base = CTX_SUB_MB_TYPE_B;
+      for (int i = 0; i < 4; i++) {
+        if (eng.decision(base) == 0) { mb->sub_mb_type[i] = 0; continue; }
+        if (eng.decision(base + 1) == 0) {
+          mb->sub_mb_type[i] = 1 + eng.decision(base + 3);
+          continue;
+        }
+        if (eng.decision(base + 2) == 0) {
+          int v = (eng.decision(base + 3) << 1) | eng.decision(base + 3);
+          mb->sub_mb_type[i] = 3 + v;
+          continue;
+        }
+        if (eng.decision(base + 3) == 0) {
+          int v = (eng.decision(base + 3) << 1) | eng.decision(base + 3);
+          mb->sub_mb_type[i] = 7 + v;
+        } else {
+          mb->sub_mb_type[i] = 11 + eng.decision(base + 3);
+        }
+      }
+    }
+  }
+
+  int ref_idx_se(MB* mb, int blk8, int which, int max_ref) {
+    if (max_ref == 0) { mb->ref_idx[which][blk8] = 0; return 0; }
+    int ia, ib;
+    MB* a = nb_blk8('A', blk8, &ia);
+    MB* b = nb_blk8('B', blk8, &ib);
+    int cond = (a->ref_idx[which][ia] > 0) + 2 * (b->ref_idx[which][ib] > 0);
+    int ctx0 = CTX_REF_IDX + cond;
+    int v = 0;
+    while (eng.decision(v == 0 ? ctx0 : (v == 1 ? CTX_REF_IDX + 4
+                                                : CTX_REF_IDX + 5))) {
+      if (++v > 63) break;
+    }
+    mb->ref_idx[which][blk8] = (int8_t)v;
+    return v;
+  }
+
+  int mvd_se(MB* mb, int blk4, int comp, int which) {
+    int base = comp ? CTX_MVD_Y : CTX_MVD_X;
+    int ia, ib;
+    MB* a = nb_blk4('A', blk4, &ia);
+    MB* b = nb_blk4('B', blk4, &ib);
+    int sum = std::abs((int)a->mvd[which][ia][comp]) +
+              std::abs((int)b->mvd[which][ib][comp]);
+    int inc = sum < 3 ? 0 : (sum <= 32 ? 1 : 2);
+    int ctxs[5] = {base + inc, base + 3, base + 4, base + 5, base + 6};
+    int pre = 0;
+    while (pre < 9 && eng.decision(ctxs[pre < 4 ? pre : 4])) pre++;
+    int v = pre;
+    if (pre >= 9) {  // UEG3 suffix
+      int k = 3;
+      while (eng.bypass()) { v += 1 << k; k++; }
+      while (k > 0) { k--; if (eng.bypass()) v += 1 << k; }
+    }
+    if (v != 0 && eng.bypass()) v = -v;
+    mb->mvd[which][blk4][comp] = (int16_t)v;
+    return v;
+  }
+
+  void mb_pred_inter(MB* mb) {
+    const PartInfo& pi = (slice_type == ST_B) ? kBParts[mb->mb_type_code]
+                                              : kPParts[mb->mb_type_code];
+    for (int which = 0; which < 2; which++) {
+      int nref = which ? nref_l1 : nref_l0;
+      for (int p = 0; p < pi.n; p++) {
+        int pred = pi.pred[p];
+        bool uses = which == 0 ? (pred == PRED_L0 || pred == PRED_BI)
+                               : (pred == PRED_L1 || pred == PRED_BI);
+        if (!uses) continue;
+        int q0 = pi.wh == 0 ? 0 : (pi.wh == 1 ? (p ? 2 : 0) : (p ? 1 : 0));
+        int v = ref_idx_se(mb, q0, which, nref);
+        if (pi.wh == 0) {
+          for (int q = 0; q < 4; q++) mb->ref_idx[which][q] = (int8_t)v;
+        } else if (pi.wh == 1) {
+          mb->ref_idx[which][p * 2] = (int8_t)v;
+          mb->ref_idx[which][p * 2 + 1] = (int8_t)v;
+        } else {
+          mb->ref_idx[which][p] = (int8_t)v;
+          mb->ref_idx[which][p + 2] = (int8_t)v;
+        }
+      }
+    }
+    for (int which = 0; which < 2; which++) {
+      for (int p = 0; p < pi.n; p++) {
+        int pred = pi.pred[p];
+        bool uses = which == 0 ? (pred == PRED_L0 || pred == PRED_BI)
+                               : (pred == PRED_L1 || pred == PRED_BI);
+        if (!uses) continue;
+        const int* blks;
+        int nblk, anchor;
+        static const int all16[16] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                      12, 13, 14, 15};
+        if (pi.wh == 0) { blks = all16; nblk = 16; anchor = 0; }
+        else if (pi.wh == 1) { blks = kPart16x8[p]; nblk = 8; anchor = blks[0]; }
+        else { blks = kPart8x16[p]; nblk = 8; anchor = blks[0]; }
+        for (int comp = 0; comp < 2; comp++) {
+          int v = mvd_se(mb, anchor, comp, which);
+          for (int i = 0; i < nblk; i++)
+            mb->mvd[which][blks[i]][comp] = (int16_t)v;
+        }
+      }
+    }
+  }
+
+  void sub_mb_pred(MB* mb) {
+    bool isb = slice_type == ST_B;
+    for (int which = 0; which < 2; which++) {
+      int nref = which ? nref_l1 : nref_l0;
+      for (int q = 0; q < 4; q++) {
+        const SubInfo& si = isb ? kBSub[mb->sub_mb_type[q]]
+                                : kPSub[mb->sub_mb_type[q]];
+        bool uses = which == 0 ? (si.pred == PRED_L0 || si.pred == PRED_BI)
+                               : (si.pred == PRED_L1 || si.pred == PRED_BI);
+        if (!uses) continue;
+        ref_idx_se(mb, q, which, nref);
+      }
+    }
+    for (int which = 0; which < 2; which++) {
+      for (int q = 0; q < 4; q++) {
+        const SubInfo& si = isb ? kBSub[mb->sub_mb_type[q]]
+                                : kPSub[mb->sub_mb_type[q]];
+        bool uses = which == 0 ? (si.pred == PRED_L0 || si.pred == PRED_BI)
+                               : (si.pred == PRED_L1 || si.pred == PRED_BI);
+        if (!uses) continue;
+        for (int part = 0; part < si.n; part++) {
+          int sub0;
+          int subs[4];
+          int nsub;
+          if (si.shape == 0) { subs[0] = 0; subs[1] = 1; subs[2] = 2;
+            subs[3] = 3; nsub = 4; }
+          else if (si.shape == 1) { subs[0] = kSub8x4[part][0];
+            subs[1] = kSub8x4[part][1]; nsub = 2; }
+          else if (si.shape == 2) { subs[0] = kSub4x8[part][0];
+            subs[1] = kSub4x8[part][1]; nsub = 2; }
+          else { subs[0] = part; nsub = 1; }
+          sub0 = 4 * q + subs[0];
+          for (int comp = 0; comp < 2; comp++) {
+            int v = mvd_se(mb, sub0, comp, which);
+            for (int i = 0; i < nsub; i++)
+              mb->mvd[which][4 * q + subs[i]][comp] = (int16_t)v;
+          }
+        }
+      }
+    }
   }
 
   void transform_size_flag(MB* mb) {
@@ -454,6 +777,10 @@ struct SliceCtx {
         comp = (idx >> 3) + 1; ridx = idx & 7;
         a = nb_blkc('A', ridx, &ia); b = nb_blkc('B', ridx, &ib); break;
     }
+    if (kind_is_inter(cur()->kind)) {
+      if (a == &unavailable_intra) a = &unavailable_inter;
+      if (b == &unavailable_intra) b = &unavailable_inter;
+    }
     int cond = a->cbf[comp][ia] + 2 * b->cbf[comp][ib];
     int v = eng.decision(kCbfBase[cat] + cond);
     switch (cat) {
@@ -547,7 +874,7 @@ struct SliceCtx {
       for (int i = 0; i < 16; i++)
         residual_block(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16,
                        kAc.ac4, 16, 0, 14, 15, (mb->cbp >> (i >> 2)) & 1);
-    } else if (mb->kind == KIND_I8) {
+    } else if (mb->kind == KIND_I8 || mb->transform8) {
       mb->cbf[0][16] = 0;
       for (int i = 0; i < 4; i++)
         residual_block(CAT_LUMA_8X8, i, o->luma8 + (a * 4 + i) * 64, kZig8,
@@ -602,18 +929,69 @@ struct SliceCtx {
     *mb = MB();
     for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
     for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
-    mb_type_i(mb);
+    if (slice_type == ST_I) {
+      int slots[7];
+      i_slots(slots);
+      mb_type_i(mb, slots);
+    } else if (slice_type == ST_SI) {
+      MB* a = nb('A');
+      MB* b = nb('B');
+      int inc = (a != &unavailable_intra && a->kind != KIND_SI) +
+                (b != &unavailable_intra && b->kind != KIND_SI);
+      if (eng.decision(CTX_MB_TYPE_SI_PRE + inc) == 0) {
+        mb->kind = KIND_SI;
+      } else {
+        int slots[7];
+        i_slots(slots);
+        mb_type_i(mb, slots);
+      }
+    } else if (slice_type == ST_P || slice_type == ST_SP) {
+      mb_type_p(mb);
+    } else {
+      mb_type_b(mb);
+    }
+
     if (mb->kind == KIND_PCM) {
       pcm(mb, addr);
     } else {
-      if ((mb->kind == KIND_I4 || mb->kind == KIND_I8) &&
-          pp->transform_8x8_mode_flag)
-        transform_size_flag(mb);
-      if (mb->kind == KIND_I8) intra8_modes(mb);
-      else if (mb->kind == KIND_I4) intra4_modes(mb);
-      if (pp->chroma_array_type == 1 || pp->chroma_array_type == 2)
-        chroma_mode(mb);
-      if (mb->kind != KIND_I16) cbp(mb);
+      bool intra = kind_is_intra(mb->kind);
+      bool no_small = true;
+      if (mb->kind == KIND_P8X8 || mb->kind == KIND_B8X8) {
+        sub_mb_types(mb);
+        bool isb = slice_type == ST_B;
+        for (int q = 0; q < 4; q++) {
+          const SubInfo& si = isb ? kBSub[mb->sub_mb_type[q]]
+                                  : kPSub[mb->sub_mb_type[q]];
+          if (si.pred == PRED_DIRECT) {
+            if (!pp->direct_8x8_inference_flag) no_small = false;
+          } else if (si.shape != 0) {
+            no_small = false;
+          }
+        }
+        sub_mb_pred(mb);
+        mb->chroma_mode = 0;
+      } else {
+        if ((mb->kind == KIND_I4 || mb->kind == KIND_I8) &&
+            pp->transform_8x8_mode_flag)
+          transform_size_flag(mb);
+        if (mb->kind == KIND_I8) intra8_modes(mb);
+        else if (mb->kind == KIND_I4 || mb->kind == KIND_SI)
+          intra4_modes(mb);
+        if (intra &&
+            (pp->chroma_array_type == 1 || pp->chroma_array_type == 2))
+          chroma_mode(mb);
+        if (mb->kind == KIND_P || mb->kind == KIND_B) mb_pred_inter(mb);
+      }
+
+      if (mb->kind != KIND_I16) {
+        cbp(mb);
+        if (!intra && (mb->cbp & 0x0F) && pp->transform_8x8_mode_flag &&
+            no_small &&
+            (mb->kind != KIND_B_DIRECT || pp->direct_8x8_inference_flag)) {
+          int inc = nb('A')->transform8 + nb('B')->transform8;
+          mb->transform8 = eng.decision(CTX_TRANSFORM_SIZE_8X8_FLAG + inc);
+        }
+      }
       if (mb->cbp != 0 || mb->kind == KIND_I16) qp_delta(mb);
       else mb->qp_delta = 0;
       residual(mb, addr);
@@ -624,25 +1002,46 @@ struct SliceCtx {
   }
 };
 
-void decode_one_slice(const uint8_t* rbsp, int64_t rbsp_bytes,
-                      int64_t bit_offset, int first_mb, int last_mb,
-                      int slice_qp, int slice_id, const PicParams* pp,
+struct SliceParams {
+  int64_t rbsp_off, rbsp_len, bit_off;
+  int32_t first_mb, slice_qp, slice_type, cabac_init_idc;
+  int32_t nref_l0, nref_l1;
+};
+
+void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
+                      int last_mb, int slice_id, const PicParams* pp,
                       Out* o, std::vector<MB>* mbs, int slice_index) {
   SliceCtx s;
   s.pp = pp;
   s.out = o;
   s.mbs = mbs;
   s.slice_id = slice_id;
-  s.curr = first_mb;
-  s.qpy_prev = slice_qp;
+  s.curr = sp.first_mb;
+  s.qpy_prev = sp.slice_qp;
+  s.slice_type = sp.slice_type;
+  s.nref_l0 = sp.nref_l0;
+  s.nref_l1 = sp.nref_l1;
   s.eng.data = rbsp;
-  s.eng.pos = bit_offset;
-  s.eng.bit_len = rbsp_bytes * 8;
-  s.eng.init_contexts(slice_qp, 0);  // I slice: init mode 0
+  s.eng.pos = sp.bit_off;
+  s.eng.bit_len = sp.rbsp_len * 8;
+  bool is_intra = sp.slice_type == ST_I || sp.slice_type == ST_SI;
+  s.eng.init_contexts(sp.slice_qp,
+                      is_intra ? 0 : 1 + sp.cabac_init_idc);
   s.eng.init_engine();
   int n = pp->mb_w * pp->mb_h;
   while (true) {
-    s.macroblock_layer(s.curr);
+    bool skipped = false;
+    if (!is_intra && s.mb_skip_flag()) {
+      MB* mb = s.cur();
+      *mb = MB();
+      for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
+      for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
+      mb->kind = (sp.slice_type == ST_B) ? KIND_B_SKIP : KIND_P_SKIP;
+      mb->qp_y = (int16_t)s.qpy_prev;
+      skipped = true;
+    } else {
+      s.macroblock_layer(s.curr);
+    }
     // publish dense outputs
     MB* mb = s.cur();
     int a = s.curr;
@@ -653,6 +1052,20 @@ void decode_one_slice(const uint8_t* rbsp, int64_t rbsp_bytes,
     o->chroma_mode[a] = mb->chroma_mode;
     for (int i = 0; i < 16; i++) o->modes4[(int64_t)a * 16 + i] = mb->modes4[i];
     for (int i = 0; i < 4; i++) o->modes8[(int64_t)a * 4 + i] = mb->modes8[i];
+    if (o->mb_type_code) {
+      o->mb_type_code[a] = mb->mb_type_code;
+      for (int i = 0; i < 4; i++)
+        o->sub_mb_type[(int64_t)a * 4 + i] = mb->sub_mb_type[i];
+      for (int w = 0; w < 2; w++)
+        for (int q = 0; q < 4; q++)
+          o->ref_idx[((int64_t)a * 2 + w) * 4 + q] = mb->ref_idx[w][q];
+      for (int w = 0; w < 2; w++)
+        for (int b = 0; b < 16; b++)
+          for (int c = 0; c < 2; c++)
+            o->mvd[(((int64_t)a * 2 + w) * 16 + b) * 2 + c] =
+                mb->mvd[w][b][c];
+    }
+    (void)skipped;
     s.prev_addr = s.curr;
     s.curr++;  // make current MB visible as neighbor (mb_at checks < curr)
     int end = s.eng.terminate();
@@ -665,26 +1078,24 @@ void decode_one_slice(const uint8_t* rbsp, int64_t rbsp_bytes,
 
 extern "C" {
 
-// Decode all I slices of one picture. slice arrays are length n_slices.
-// rbsp_all: concatenated EPB-stripped slice rbsps; offsets/lengths per slice.
+// Decode all slices of one picture (I/SI/P/B CABAC syntax).
+// rbsp_all: concatenated EPB-stripped slice rbsps; sp: per-slice params.
 // Returns 0 on success.
-int dt_decode_picture_islices(
-    const uint8_t* rbsp_all, const int64_t* rbsp_off,
-    const int64_t* rbsp_len, const int64_t* bit_off, const int32_t* first_mb,
-    const int32_t* slice_qp, int32_t n_slices, PicParams pp, Out o,
-    int32_t n_threads) {
+int dt_decode_picture_slices(
+    const uint8_t* rbsp_all, const SliceParams* sp, int32_t n_slices,
+    PicParams pp, Out o, int32_t n_threads) {
   int n = pp.mb_w * pp.mb_h;
   std::vector<MB> mbs(n);
   // prefill slice ids: slice k covers [first_mb[k], first_mb[k+1])
   for (int k = 0; k < n_slices; k++) {
-    int lo = first_mb[k];
-    int hi = (k + 1 < n_slices) ? first_mb[k + 1] : n;
+    int lo = sp[k].first_mb;
+    int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
     for (int a = lo; a < hi; a++) o.slice_id[a] = k;
   }
   auto work = [&](int k) {
-    int last = (k + 1 < n_slices) ? first_mb[k + 1] - 1 : n - 1;
-    decode_one_slice(rbsp_all + rbsp_off[k], rbsp_len[k], bit_off[k],
-                     first_mb[k], last, slice_qp[k], k, &pp, &o, &mbs, k);
+    int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
+    decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp, &o,
+                     &mbs, k);
   };
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);

@@ -1,8 +1,9 @@
 """ctypes bindings for the native CABAC entropy stage.
 
-decode_picture_islices(slices, sps, pps) -> FrameSyntax-compatible dense
-arrays (same contract as the Python SliceCoder + pack_frame path, verified
-identical in tests)."""
+decode_picture_slices(slices, sps, pps) -> dense syntax arrays (raster
+coefficient blocks + inter motion syntax), covering I/SI/P/B CABAC slices.
+Output contract matches the Python SliceCoder path (verified in tests).
+"""
 from __future__ import annotations
 
 import ctypes as ct
@@ -11,13 +12,33 @@ import numpy as np
 
 from .build import build
 
+# native kind codes (entropy.cc): extends the device numbering
+NK_I4, NK_I8, NK_I16, NK_PCM = 0, 1, 2, 3
+NK_P, NK_P8X8, NK_P_SKIP = 4, 5, 6
+NK_B, NK_B8X8, NK_B_SKIP, NK_B_DIRECT = 7, 8, 9, 10
+NK_SI = 11
+
+# map native kind -> (python MbKind value, transform8x8-folded)
+_MBKIND_OF_NATIVE = {NK_I4: 0, NK_I8: 0, NK_I16: 1, NK_PCM: 2, NK_P: 3,
+                     NK_P8X8: 4, NK_P_SKIP: 5, NK_B: 6, NK_B8X8: 7,
+                     NK_B_SKIP: 8, NK_B_DIRECT: 9, NK_SI: 10}
+
 
 class PicParams(ct.Structure):
     _fields_ = [("mb_w", ct.c_int32), ("mb_h", ct.c_int32),
                 ("chroma_array_type", ct.c_int32),
                 ("transform_8x8_mode_flag", ct.c_int32),
                 ("bit_depth_luma", ct.c_int32),
-                ("bit_depth_chroma", ct.c_int32)]
+                ("bit_depth_chroma", ct.c_int32),
+                ("direct_8x8_inference_flag", ct.c_int32)]
+
+
+class SliceParams(ct.Structure):
+    _fields_ = [("rbsp_off", ct.c_int64), ("rbsp_len", ct.c_int64),
+                ("bit_off", ct.c_int64), ("first_mb", ct.c_int32),
+                ("slice_qp", ct.c_int32), ("slice_type", ct.c_int32),
+                ("cabac_init_idc", ct.c_int32), ("nref_l0", ct.c_int32),
+                ("nref_l1", ct.c_int32)]
 
 
 _P = ct.POINTER(ct.c_int32)
@@ -29,7 +50,9 @@ class Out(ct.Structure):
                 ("luma4", _P), ("luma8", _P), ("luma_dc", _P),
                 ("chroma_dc", _P), ("chroma_ac", _P), ("pcm_y", _P),
                 ("pcm_c", _P), ("slice_id", _P),
-                ("bin_count", ct.POINTER(ct.c_int64))]
+                ("bin_count", ct.POINTER(ct.c_int64)),
+                ("mb_type_code", _P), ("sub_mb_type", _P),
+                ("ref_idx", _P), ("mvd", _P)]
 
 
 _lib = None
@@ -39,11 +62,10 @@ def lib():
     global _lib
     if _lib is None:
         _lib = ct.CDLL(str(build()))
-        fn = _lib.dt_decode_picture_islices
+        fn = _lib.dt_decode_picture_slices
         fn.restype = ct.c_int
-        fn.argtypes = [ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int64),
-                       ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
-                       _P, _P, ct.c_int32, PicParams, Out, ct.c_int32]
+        fn.argtypes = [ct.POINTER(ct.c_uint8), ct.POINTER(SliceParams),
+                       ct.c_int32, PicParams, Out, ct.c_int32]
         rf = _lib.dt_reconstruct_islices
         rf.restype = ct.c_int
         rf.argtypes = [_P] * 15 + [ct.c_int32] * 4 + \
@@ -56,24 +78,29 @@ def _ptr(a):
 
 
 def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0):
-    """slice_datas: list of (rbsp_bytes, bit_offset, first_mb, slice_qp).
+    """Back-compat intra entry: slice_datas = [(rbsp, bit_off, first_mb,
+    slice_qp)]."""
+    full = [(rbsp, bitoff, first, qp, 2, 0, 0, 0)
+            for rbsp, bitoff, first, qp in slice_datas]
+    return decode_picture_slices(full, sps, pps, n_threads)
 
-    Returns dict of dense arrays (scan-order coefficients, like MBState)."""
+
+def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0):
+    """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
+    cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict."""
     mb_w = sps.pic_width_in_mbs
     mb_h = sps.frame_height_in_mbs
     n = mb_w * mb_h
     ns = len(slice_datas)
 
     rbsp_all = b"".join(s[0] for s in slice_datas)
-    offs, lens, bitoffs, firsts, qps = [], [], [], [], []
-    o = 0
-    for rbsp, bitoff, first, qp in slice_datas:
-        offs.append(o)
-        lens.append(len(rbsp))
-        bitoffs.append(bitoff)
-        firsts.append(first)
-        qps.append(qp)
-        o += len(rbsp)
+    sp_arr = (SliceParams * ns)()
+    off = 0
+    for k, (rbsp, bitoff, first, qp, st, cinit, n0, n1) in \
+            enumerate(slice_datas):
+        sp_arr[k] = SliceParams(off, len(rbsp), bitoff, first, qp, st,
+                                cinit, n0, n1)
+        off += len(rbsp)
 
     out = {
         "kind": np.zeros(n, np.int32),
@@ -92,6 +119,10 @@ def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0):
         "pcm_c": np.zeros((n, 128), np.int32),
         "slice_id": np.zeros(n, np.int32),
         "bin_count": np.zeros(ns, np.int64),
+        "mb_type_code": np.zeros(n, np.int32),
+        "sub_mb_type": np.zeros((n, 4), np.int32),
+        "ref_idx": np.zeros((n, 2, 4), np.int32),
+        "mvd": np.zeros((n, 2, 16, 2), np.int32),
     }
 
     ostruct = Out(
@@ -100,28 +131,25 @@ def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0):
         _ptr(out["modes8"]), _ptr(out["luma4"]), _ptr(out["luma8"]),
         _ptr(out["luma_dc"]), _ptr(out["chroma_dc"]), _ptr(out["chroma_ac"]),
         _ptr(out["pcm_y"]), _ptr(out["pcm_c"]), _ptr(out["slice_id"]),
-        out["bin_count"].ctypes.data_as(ct.POINTER(ct.c_int64)))
+        out["bin_count"].ctypes.data_as(ct.POINTER(ct.c_int64)),
+        _ptr(out["mb_type_code"]), _ptr(out["sub_mb_type"]),
+        _ptr(out["ref_idx"]), _ptr(out["mvd"]))
     pp = PicParams(mb_w, mb_h, sps.chroma_array_type,
                    pps.transform_8x8_mode_flag,
                    8 + sps.bit_depth_luma_minus8,
-                   8 + sps.bit_depth_chroma_minus8)
+                   8 + sps.bit_depth_chroma_minus8,
+                   sps.direct_8x8_inference_flag)
 
     buf = ct.create_string_buffer(rbsp_all, len(rbsp_all))
-    rc = lib().dt_decode_picture_islices(
-        ct.cast(buf, ct.POINTER(ct.c_uint8)),
-        np.asarray(offs, np.int64).ctypes.data_as(ct.POINTER(ct.c_int64)),
-        np.asarray(lens, np.int64).ctypes.data_as(ct.POINTER(ct.c_int64)),
-        np.asarray(bitoffs, np.int64).ctypes.data_as(ct.POINTER(ct.c_int64)),
-        np.asarray(firsts, np.int32).ctypes.data_as(_P),
-        np.asarray(qps, np.int32).ctypes.data_as(_P),
-        ct.c_int32(ns), pp, ostruct,
-        ct.c_int32(n_threads or min(ns, 16)))
+    rc = lib().dt_decode_picture_slices(
+        ct.cast(buf, ct.POINTER(ct.c_uint8)), sp_arr, ct.c_int32(ns), pp,
+        ostruct, ct.c_int32(n_threads or min(ns, 16)))
     assert rc == 0
     return out
 
 
 def reconstruct_islices(out: dict, sps, pps):
-    """Native scalar reconstruction from dense entropy outputs.
+    """Native scalar reconstruction from dense entropy outputs (intra).
 
     Returns (y, cb, cr) uint8 planes.  Single-threaded — this is the
     C++-scalar baseline path (see BASELINE.md)."""
