@@ -37,6 +37,39 @@ from . import intra_pred as ipk
 
 
 @lru_cache(maxsize=None)
+def diag_shifts(mb_w: int, mb_h: int):
+    """Lane-alignment shifts between consecutive diagonals.
+
+    Lanes within a diagonal are ordered by ascending MB row; base(d) is the
+    first row on diagonal d.  A lane's neighbors on earlier diagonals sit at
+    uniform lane offsets determined by base() differences, so frontier state
+    can be carried per-lane and read with shifted slices (no gather):
+      above       (mx,   my-1) on d-2 at lane k + base(d)-base(d-2)-1
+      above-right (mx+1, my-1) on d-1 at lane k + base(d)-base(d-1)-1
+      left        (mx-1, my  ) on d-1 at lane k + base(d)-base(d-1)
+      corner      (mx-1, my-1) on d-3 at lane k + base(d)-base(d-3)-1
+    Returns (s_above [n_diag], s_ar [n_diag], s_left [n_diag],
+    s_corner [n_diag]) int32."""
+    n_diag = mb_w + 2 * (mb_h - 1)
+
+    def base(d):
+        if d < 0:
+            return 0
+        return max(0, -(-(d - mb_w + 1) // 2))
+
+    s_ab = np.zeros(n_diag, np.int32)
+    s_ar = np.zeros(n_diag, np.int32)
+    s_lf = np.zeros(n_diag, np.int32)
+    s_cn = np.zeros(n_diag, np.int32)
+    for d in range(n_diag):
+        s_ab[d] = base(d) - base(d - 2) - 1
+        s_ar[d] = base(d) - base(d - 1) - 1
+        s_lf[d] = base(d) - base(d - 1)
+        s_cn[d] = base(d) - base(d - 3) - 1
+    return s_ab, s_ar, s_lf, s_cn
+
+
+@lru_cache(maxsize=None)
 def diag_schedule(mb_w: int, mb_h: int):
     """Returns (sched [n_diag, K], d_of [n], k_of [n]): MB addresses per
     anti-diagonal (x + 2y = d, -1 padded) and the inverse mapping."""
@@ -189,7 +222,8 @@ def recon_mb_batch(x, kind, av_a, av_b, av_c, av_d, L, resid,
 
     o8 = jax.lax.fori_loop(0, 4, i8_body, L)[:, 1:17, 1:17]
 
-    return jnp.where((kind == KIND_PCM)[:, None, None], x["pcm_y"],
+    # PCM samples were pre-merged into the residual tile
+    return jnp.where((kind == KIND_PCM)[:, None, None], resid,
              jnp.where((kind == KIND_I16)[:, None, None], o16,
                jnp.where((kind == KIND_I8)[:, None, None], o8, o4)))
 
@@ -208,7 +242,7 @@ def recon_chroma_batch(x, kind, av_a, av_b, av_d, Cw, cresid,
                                    av_a, av_b, av_d, bitdepth)
         oc = jnp.clip(pc + cresid[:, ci], 0, maxv)
         oc = jnp.where((kind == KIND_PCM)[:, None, None],
-                       x["pcm_c"][:, ci], oc)
+                       cresid[:, ci], oc)
         outs.append(oc)
     return jnp.stack(outs, axis=1)
 
@@ -221,12 +255,35 @@ DIAG_KEYS = ["kind", "i16_mode", "chroma_mode", "modes4", "modes8",
              "pcm_y", "pcm_c", "avail_a", "avail_b", "avail_c", "avail_d",
              "y_resid", "c_resid"]
 
+# lane-aligned path: PCM is pre-merged into the residual tiles and tiles
+# are emitted uint8, so the scan only streams this slim set per step
+LANE_KEYS = ["kind", "i16_mode", "chroma_mode", "modes4", "modes8",
+             "avail_a", "avail_b", "avail_c", "avail_d",
+             "y_resid", "c_resid"]
 
-def pack_diagonal(s, sched, mb_w):
+
+def merge_pcm_and_slim(s):
+    """Pre-merge PCM samples into residual tiles and clamp residuals.
+
+    clamp(resid, -255, 255) preserves clip(pred + resid, 0, 255) for any
+    pred in [0, 255], so residual tiles are safely int16.  PCM macroblocks
+    place their raw samples in the residual tile; the step selects them
+    directly (prediction bypassed)."""
+    pcm = (s["kind"] == KIND_PCM)[:, None, None]
+    y = jnp.where(pcm, s["pcm_y"], jnp.clip(s["y_resid"], -255, 255))
+    c = jnp.where(pcm[..., None], s["pcm_c"],
+                  jnp.clip(s["c_resid"], -255, 255))
+    out = dict(s)
+    out["y_resid"] = y.astype(jnp.int16)
+    out["c_resid"] = c.astype(jnp.int16)
+    return out
+
+
+def pack_diagonal(s, sched, mb_w, keys=None):
     """Pre-gather per-MB arrays into diagonal order [n_diag, K, ...] so the
     sequential scan consumes them as xs — no gathers in the hot loop."""
     addrs = jnp.maximum(sched, 0)
-    xs = {k: s[k][addrs] for k in DIAG_KEYS}
+    xs = {k: s[k][addrs] for k in (keys or LANE_KEYS)}
     xs["valid"] = sched >= 0
     xs["mx"] = addrs % mb_w
     xs["my"] = addrs // mb_w
@@ -287,7 +344,7 @@ def frontier_step(x, mb_w, state, halo=None, bitdepth=8):
     L = L.at[:, 0, 17:25].set(abover8)
     L = L.at[:, 1:17, 0].set(left16)
 
-    resid = x["y_resid"]             # [K,16,16] tiles
+    resid = x["y_resid"].astype(jnp.int32)   # [K,16,16] tiles
     out16 = recon_mb_batch(x, kind, av_a, av_b, av_c, av_d, L, resid,
                            bitdepth)
 
@@ -346,29 +403,99 @@ def tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h):
     return y, c[0], c[1]
 
 
+def _shift_lanes(arr, s, K):
+    """arr [K, ...] -> arr shifted by lane offset s (scalar, |s| <= 2)."""
+    pad = jnp.pad(arr, ((2, 2),) + ((0, 0),) * (arr.ndim - 1))
+    return jax.lax.dynamic_slice_in_dim(pad, 2 + s, K, axis=0)
+
+
+def lane_step(x, K, state, bitdepth=8):
+    """Lane-aligned frontier step: all neighbor aprons come from shifted
+    slices of the previous three steps' outputs — no gather, no scatter.
+
+    state: yb1/yb2/yb3 [K,16] (bottom rows of steps d-1/d-2/d-3),
+    yr1 [K,16] (right cols of d-1), cb1/cb2/cb3 [K,2,8], cr1 [K,2,8]."""
+    valid = x["valid"]
+    kind = x["kind"]
+    av_a = x["avail_a"] & valid
+    av_b = x["avail_b"] & valid
+    av_c = x["avail_c"] & valid
+    av_d = x["avail_d"] & valid
+
+    above16 = _shift_lanes(state["yb2"], x["s_ab"], K)
+    abover8 = _shift_lanes(state["yb1"], x["s_ar"], K)[:, :8]
+    corner = _shift_lanes(state["yb3"], x["s_cn"], K)[:, 15]
+    left16 = _shift_lanes(state["yr1"], x["s_lf"], K)
+
+    L = jnp.zeros((K, LH, LW), dtype=jnp.int32)
+    L = L.at[:, 0, 0].set(corner)
+    L = L.at[:, 0, 1:17].set(above16)
+    L = L.at[:, 0, 17:25].set(abover8)
+    L = L.at[:, 1:17, 0].set(left16)
+
+    out16 = recon_mb_batch(x, kind, av_a, av_b, av_c, av_d, L,
+                           x["y_resid"].astype(jnp.int32), bitdepth)
+
+    cab = _shift_lanes(state["cb2"], x["s_ab"], K)
+    ccorn = _shift_lanes(state["cb3"], x["s_cn"], K)[:, :, 7]
+    cleft = _shift_lanes(state["cr1"], x["s_lf"], K)
+    Cw = jnp.zeros((K, 2, 9, 9), dtype=jnp.int32)
+    Cw = Cw.at[:, :, 0, 0].set(ccorn)
+    Cw = Cw.at[:, :, 0, 1:9].set(cab)
+    Cw = Cw.at[:, :, 1:9, 0].set(cleft)
+    outc = recon_chroma_batch(x, kind, av_a, av_b, av_d, Cw,
+                              x["c_resid"].astype(jnp.int32), bitdepth)
+
+    new_state = {
+        "yb1": out16[:, 15, :],
+        "yb2": state["yb1"],
+        "yb3": state["yb2"],
+        "yr1": out16[:, :, 15],
+        "cb1": outc[:, :, 7, :],
+        "cb2": state["cb1"],
+        "cb3": state["cb2"],
+        "cr1": outc[:, :, :, 7],
+    }
+    return new_state, out16.astype(jnp.uint8), outc.astype(jnp.uint8)
+
+
+def init_lane_state(K, zero=0):
+    z = zero * jnp.int32(0)
+    zr = jnp.zeros((K, 16), jnp.int32) + z
+    zc = jnp.zeros((K, 2, 8), jnp.int32) + z
+    return {"yb1": zr, "yb2": zr, "yb3": zr, "yr1": zr,
+            "cb1": zc, "cb2": zc, "cb3": zc, "cr1": zc}
+
+
 def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8):
-    """Single-chip wavefront reconstruction.
+    """Single-chip wavefront reconstruction (lane-aligned frontier).
 
     Returns fn(syntax_dict, y_resid_tiles [n,16,16], c_resid_tiles
     [n,2,8,8]) -> (y, cb, cr) planes."""
     sched_np, d_of, k_of = diag_schedule(mb_w, mb_h)
+    s_ab, s_ar, s_lf, s_cn = diag_shifts(mb_w, mb_h)
     sched = jnp.asarray(sched_np)
     d_of = jnp.asarray(d_of)
     k_of = jnp.asarray(k_of)
+    K = sched_np.shape[1]
 
     def run(syntax, y_resid_tiles, c_resid_tiles=None):
         s = dict(syntax)
         s["y_resid"] = y_resid_tiles
         s["c_resid"] = c_resid_tiles
-        xs = pack_diagonal(s, sched, mb_w)
+        s = merge_pcm_and_slim(s)
+        xs = pack_diagonal(s, sched, mb_w, LANE_KEYS)
+        xs["s_ab"] = jnp.asarray(s_ab)
+        xs["s_ar"] = jnp.asarray(s_ar)
+        xs["s_lf"] = jnp.asarray(s_lf)
+        xs["s_cn"] = jnp.asarray(s_cn)
 
         def step(state, x):
-            state, out16, outc = frontier_step(x, mb_w, state, None,
-                                               bitdepth)
+            state, out16, outc = lane_step(x, K, state, bitdepth)
             return state, (out16, outc)
 
         _, (tiles_y, tiles_c) = jax.lax.scan(
-            step, init_frontier(mb_w, mb_h, s["kind"][0]), xs)
+            step, init_lane_state(K, s["kind"][0]), xs)
         return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h)
 
     return run

@@ -105,7 +105,9 @@ def make_banded_frame_fn(mesh, mb_w: int, mb_h: int, axis: str = "band",
             }
             return (state, halo), (out16, outc)
 
-        xs = pack_diagonal(s, sched, mb_w)
+        from ..kernels.wavefront import merge_pcm_and_slim, LANE_KEYS
+        s = merge_pcm_and_slim(s)
+        xs = pack_diagonal(s, sched, mb_w, LANE_KEYS)
         (_, _), (tiles_y, tiles_c) = jax.lax.scan(
             step, mark_varying((init_frontier(mb_w, rows), halo0)), xs)
         return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, rows)
