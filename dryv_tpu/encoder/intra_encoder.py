@@ -98,6 +98,17 @@ class QuantMaps:
             return np.linalg.inv(_basis_map(dec, 4))
         return self._get(("dcc", qp, comp), build)
 
+    def inv_dcc422(self, qp_dc: int, comp: int) -> np.ndarray:
+        """4:2:2 chroma DC (2x4 Hadamard, qp_dc = QPc + 3)."""
+        ls4 = self.recon.ls4[comp]
+
+        def build():
+            def dec(levels):
+                return idct_chroma_dc(levels.reshape(4, 2), qp_dc, ls4,
+                                      2).reshape(-1)
+            return np.linalg.inv(_basis_map(dec, 8))
+        return self._get(("dcc422", qp_dc, comp), build)
+
 
 def _round_levels(v: np.ndarray, deadzone: float = 0.0) -> np.ndarray:
     out = np.round(np.where(np.abs(v) < deadzone, 0.0, v))
@@ -325,12 +336,18 @@ class IntraEncoder:
         mb.cbp = cbp_luma
         mb.intra4x4_modes[:] = np.repeat(mb.intra8x8_modes, 4)
 
+    # 4:2:2 chroma DC coding order: scan pos -> raster index in the 4x2 grid
+    # (verified empirically against libavcodec; matches refimpl/recon.py)
+    DC422_ORDER = [0, 2, 1, 4, 6, 3, 5, 7]
+
     def _encode_chroma(self, mb, addr, sid, src_cb, src_cr):
         R = self.recon
         mx, my = addr % R.mb_w, addr // R.mb_w
         cat = R.chroma_array_type
-        assert cat == 1, "fixture chroma encode is 4:2:0 only for now"
-        cx0, cy0 = mx * 8, my * 8
+        assert cat in (1, 2), "fixture chroma encode: 4:2:0 / 4:2:2"
+        ch = 8 * cat  # chroma block height: 8 or 16
+        nblk = 4 * cat
+        cx0, cy0 = mx * 8, my * ch
         avail_a = R.mb_avail(mx - 1, my, sid)
         avail_b = R.mb_avail(mx, my - 1, sid)
         avail_d = R.mb_avail(mx - 1, my - 1, sid)
@@ -345,16 +362,18 @@ class IntraEncoder:
         best, best_sad = None, None
         winded = []
         for ci, (plane, src) in enumerate(((R.cb, src_cb), (R.cr, src_cr))):
-            above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else np.zeros(8, np.int64)
-            left = plane[cy0:cy0 + 8, cx0 - 1] if avail_a else np.zeros(8, np.int64)
+            above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else \
+                np.zeros(8, np.int64)
+            left = plane[cy0:cy0 + ch, cx0 - 1] if avail_a else \
+                np.zeros(ch, np.int64)
             corner = int(plane[cy0 - 1, cx0 - 1]) if avail_d else 0
             winded.append((above, left, corner,
-                           src[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int64)))
+                           src[cy0:cy0 + ch, cx0:cx0 + 8].astype(np.int64)))
         for m in cand:
             sad = 0
             for above, left, corner, src in winded:
                 pred = ip.pred_chroma(m, above, left, corner, avail_a,
-                                      avail_b, avail_d)
+                                      avail_b, avail_d, 8, ch)
                 sad += np.abs(src - pred).sum()
             if best_sad is None or sad < best_sad:
                 best, best_sad = m, sad
@@ -367,24 +386,28 @@ class IntraEncoder:
             qpc = qpc_from_qpy(mb.qp_y, qp_off, 0)
             inv = self.q.inv4_dcpass(qpc, 1 + ci)
             pred = ip.pred_chroma(best, above, left, corner, avail_a,
-                                  avail_b, avail_d)
+                                  avail_b, avail_d, 8, ch)
             resid = src - pred
-            d00 = np.zeros((2, 2), dtype=np.float64)
-            for j in range(4):
+            d00 = np.zeros(nblk, dtype=np.float64)  # per block raster
+            for j in range(nblk):
                 bx, by = j & 1, j >> 1
                 r = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].reshape(-1)
                 v = inv @ r
-                d00[by, bx] = v.reshape(4, 4)[0, 0]
+                d00[j] = v.reshape(4, 4)[0, 0]
                 lv = _round_levels(v, self.deadzone)
                 lv.reshape(4, 4)[0, 0] = 0
                 zz = lv.reshape(-1)[ZIGZAG_4X4]
                 mb.chroma_ac[ci][j][:15] = zz[1:]
                 if np.any(zz[1:]):
                     has_ac = True
-            dc_levels = _round_levels(self.q.inv_dcc(qpc, 1 + ci)
-                                      @ d00.reshape(-1))
-            mb.chroma_dc[ci][:4] = dc_levels
-            if np.any(dc_levels):
+            if cat == 1:
+                dc_levels = _round_levels(self.q.inv_dcc(qpc, 1 + ci) @ d00)
+                mb.chroma_dc[ci][:4] = dc_levels
+            else:
+                dc_raster = _round_levels(
+                    self.q.inv_dcc422(qpc + 3, 1 + ci) @ d00)
+                mb.chroma_dc[ci][:8] = dc_raster[self.DC422_ORDER]
+            if np.any(mb.chroma_dc[ci]):
                 has_dc = True
         chroma_cbp = 2 if has_ac else (1 if has_dc else 0)
         if chroma_cbp != 2:

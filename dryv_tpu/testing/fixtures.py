@@ -35,6 +35,7 @@ POLICIES = {
     "pcm": lambda a: "pcm",
     "mix": lambda a: ["i16", "i4", "pcm"][a % 3],
     "mix8": lambda a: ["i8", "i4", "i16", "pcm"][a % 4],
+    "mix420": lambda a: ["i16", "i4"][a % 2],  # no PCM (4:2:2 fixture)
 }
 
 # (name, mb_w, mb_h, qp, policy, transform8x8, rows_per_slice, crop)
@@ -53,6 +54,7 @@ FIXTURE_SPECS = [
     ("crop_qp28", 4, 4, 28, "i16", False, None, (0, 2, 0, 3)),
     ("big_qp30", 8, 6, 30, "mix8", True, 2, None),
     ("mono_qp26", 4, 3, 26, "mix", False, None, None),  # 4:0:0
+    ("c422_qp27", 4, 3, 27, "mix420", False, None, None),  # 4:2:2
 ]
 
 
@@ -62,13 +64,29 @@ def get_fixture(name: str):
     spec = next(s for s in FIXTURE_SPECS if s[0] == name)
     _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
     mono = name.startswith("mono")
+    c422 = name.startswith("c422")
     src = make_source(mb_w, mb_h)
     if mono:
         src = (src[0], None, None)
+    if c422:
+        rng = np.random.RandomState(9)
+        H, W = mb_h * 16, mb_w * 16
+        src = (src[0],
+               np.clip(100 + rng.randint(-20, 21, (H, W // 2)),
+                       0, 255).astype(np.int64),
+               np.clip(130 + rng.randint(-20, 21, (H, W // 2)),
+                       0, 255).astype(np.int64))
+    profile = 66
+    if mono:
+        profile = 100
+    if c422:
+        profile = 122
     sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8,
-                               crop=crop, profile=100 if mono else 66)
+                               crop=crop, profile=profile)
     if mono:
         sps.chroma_format_idc = 0
+    if c422:
+        sps.chroma_format_idc = 2
     enc = IntraEncoder(sps, pps, qp, mb_kind_policy=POLICIES[policy])
     if rps:
         bounds = list(range(0, mb_w * mb_h, rps * mb_w))
