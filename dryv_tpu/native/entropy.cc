@@ -110,8 +110,8 @@ struct Engine {
   // windowed bit cache: high bits of `win` hold the next unread bits
   uint64_t win = 0;
   int win_bits = 0;
-  int8_t p_state[kCtxCount];
-  int8_t val_mps[kCtxCount];
+  // packed context state: (pStateIdx << 1) | valMPS — one load per bin
+  uint8_t ctx_state[kCtxCount];
 
   void refill() {
     // rebuild the 56-bit window from `pos`; past-the-end reads are zero
@@ -164,8 +164,8 @@ struct Engine {
       int pre = ((m * qp) >> 4) + n;
       if (pre < 1) pre = 1;
       if (pre > 126) pre = 126;
-      if (pre <= 63) { p_state[i] = 63 - pre; val_mps[i] = 0; }
-      else { p_state[i] = pre - 64; val_mps[i] = 1; }
+      if (pre <= 63) ctx_state[i] = (uint8_t)((63 - pre) << 1);
+      else ctx_state[i] = (uint8_t)(((pre - 64) << 1) | 1);
     }
   }
   void init_engine() {
@@ -182,19 +182,22 @@ struct Engine {
   }
   int decision(int ctx) {
     bins++;
-    int state = p_state[ctx];
+    unsigned s = ctx_state[ctx];
+    int state = s >> 1;
+    int mps = s & 1;
     int lps = kRangeLps[state * 4 + ((range >> 6) & 3)];
     range -= lps;
     int bin;
     if (offset >= range) {
-      bin = 1 - val_mps[ctx];
+      bin = mps ^ 1;
       offset -= range;
       range = lps;
-      if (state == 0) val_mps[ctx] = 1 - val_mps[ctx];
-      p_state[ctx] = kTransLps[state];
+      // state 0 LPS flips MPS; transLps[0] == 0
+      ctx_state[ctx] = (uint8_t)((kTransLps[state] << 1) |
+                                 (state == 0 ? mps ^ 1 : mps));
     } else {
-      bin = val_mps[ctx];
-      p_state[ctx] = kTransMps[state];
+      bin = mps;
+      ctx_state[ctx] = (uint8_t)((kTransMps[state] << 1) | mps);
     }
     renorm();
     return bin;
