@@ -1,9 +1,8 @@
-"""P-frame fixture encoding: IDR + P sequences with integer motion.
+"""P-frame fixture encoding: IDR + P sequences with quarter-pel motion.
 
 Goes beyond the upstream reference (which cannot code/reconstruct inter):
-P slices mixing P_Skip, P_L0_16x16 with even-integer-pel motion vectors,
-and intra escapes — the subset our round-1 inter reconstruction supports.
-Validated against the libavcodec oracle.
+P slices mixing P_Skip, P_L0_16x16 with quarter-pel motion vectors, and
+intra escapes.  Validated against the libavcodec oracle.
 """
 from __future__ import annotations
 
@@ -12,7 +11,8 @@ import numpy as np
 from ..avc.neighbors import ZSCAN_4X4_POS
 from ..avc.sps import ZIGZAG_4X4
 from ..cabac.syntax import MBState, MbKind
-from ..refimpl.inter import MotionState, mc_copy, mv_pred_16x16, mv_skip
+from ..refimpl.inter import (MotionState, chroma_interp, luma_interp,
+                             mv_pred, mv_skip)
 from .intra_encoder import IntraEncoder, _round_levels
 
 
@@ -32,8 +32,29 @@ class SequenceEncoder:
         self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
         return mbs
 
-    def encode_p(self, src_y, src_cb, src_cr, search: int = 8):
-        """Encode one P frame; returns MBState list.  Even full-pel MVs."""
+    def _search(self, ref_y, src, x0, y0, rng_full=8):
+        """Full-pel diamond + half/quarter refinement; returns (mv_qpel,
+        sad)."""
+        best_mv, best_sad = (0, 0), None
+        for dy in range(-rng_full, rng_full + 1, 1):
+            for dx in range(-rng_full, rng_full + 1, 1):
+                pred = luma_interp(ref_y, x0, y0, 16, 16, dx * 4, dy * 4)
+                sad = np.abs(src - pred).sum()
+                if best_sad is None or sad < best_sad:
+                    best_mv, best_sad = (dx * 4, dy * 4), sad
+        for stepq in (2, 1):  # half then quarter
+            base = best_mv
+            for dy in (-stepq, 0, stepq):
+                for dx in (-stepq, 0, stepq):
+                    mv = (base[0] + dx, base[1] + dy)
+                    pred = luma_interp(ref_y, x0, y0, 16, 16, mv[0], mv[1])
+                    sad = np.abs(src - pred).sum()
+                    if sad < best_sad:
+                        best_mv, best_sad = mv, sad
+        return best_mv, best_sad
+
+    def encode_p(self, src_y, src_cb, src_cr, search: int = 6):
+        """Encode one P frame; returns MBState list."""
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
         R = FrameRecon(sps, pps)
@@ -51,61 +72,123 @@ class SequenceEncoder:
             mb.qp_y = qp
             # --- candidate: skip -----------------------------------------
             skv = mv_skip(ms, addr)
-            skip_ok = skv[0] % 8 == 0 and skv[1] % 8 == 0
-            sad_skip = None
-            if skip_ok:
-                pred = mc_copy(ref_y, x0, y0, 16, 16,
-                               int(skv[0]) // 4, int(skv[1]) // 4)
-                sad_skip = np.abs(src - pred).sum()
-            # --- candidate: L0_16x16 motion search (even full-pel) -------
-            best_mv, best_sad = None, None
-            for dy in range(-search, search + 1, 2):
-                for dx in range(-search, search + 1, 2):
-                    pred = mc_copy(ref_y, x0, y0, 16, 16, dx, dy)
-                    sad = np.abs(src - pred).sum()
-                    if best_sad is None or sad < best_sad:
-                        best_mv, best_sad = (dx, dy), sad
+            pred = luma_interp(ref_y, x0, y0, 16, 16, int(skv[0]),
+                               int(skv[1]))
+            sad_skip = np.abs(src - pred).sum()
+            # --- candidate: L0_16x16 motion search -----------------------
+            best_mv, best_sad = self._search(ref_y, src, x0, y0, search)
+            # deterministic partition-coverage policy
+            part_kind = [None, None, "16x8", None, "8x16", None,
+                         "8x8"][addr % 7]
             # --- choose --------------------------------------------------
-            if sad_skip is not None and sad_skip <= best_sad + 256:
+            if sad_skip <= best_sad + 256 and part_kind is None:
                 mb.kind = MbKind.P_SKIP
-                mv = skv
-                ref_idx = 0
-                self._recon_inter(mb, addr, ms, mv, src_y, src_cb, src_cr,
+                self._recon_inter(mb, addr, ms, skv, src_y,
                                   code_resid=False)
+            elif best_sad < 16 * 16 * 12 and part_kind is not None:
+                self._encode_partitions(mb, addr, ms, part_kind, src_y,
+                                        search)
             elif best_sad < 16 * 16 * 12:
                 mb.kind = MbKind.P
                 mb.mb_type_code = 0  # P_L0_16x16
-                mv = np.array([best_mv[0] * 4, best_mv[1] * 4], np.int64)
-                mvp = mv_pred_16x16(ms, addr, 0)
+                mv = np.array(best_mv, np.int64)
+                mvp = mv_pred(ms, (16, 16), mx * 4, my * 4, 4, 4, 0, 0)
                 mb.ref_idx[0][0:4] = 0
                 mb.mvd[0][:, 0] = mv[0] - mvp[0]
                 mb.mvd[0][:, 1] = mv[1] - mvp[1]
-                self._recon_inter(mb, addr, ms, mv, src_y, src_cb, src_cr,
-                                  code_resid=True)
+                self._recon_inter(mb, addr, ms, mv, src_y, code_resid=True)
             else:
                 # intra escape inside P slice
                 self.enc._encode_i16(mb, addr, 0, src_y)
                 self.enc._encode_chroma(mb, addr, 0, src_cb, src_cr)
                 R._recon_chroma(mb, mx, my, 0, 255)
                 R.mb_done[my, mx] = True
-                ms.avail[addr] = False
+                ms.set_mb_intra(addr)
             mbs.append(mb)
         self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
         return mbs
 
-    def _recon_inter(self, mb, addr, ms, mv, src_y, src_cb, src_cr,
-                     code_resid: bool):
-        """Quantize residual (optionally) + update recon/motion state using
-        the decode-side reconstruction for bit-exact feedback."""
+    def _search_block(self, ref_y, src, x0, y0, w, h, rng_full=4):
+        best_mv, best_sad = (0, 0), None
+        for dy in range(-rng_full, rng_full + 1):
+            for dx in range(-rng_full, rng_full + 1):
+                pred = luma_interp(ref_y, x0, y0, w, h, dx * 4, dy * 4)
+                sad = np.abs(src - pred).sum()
+                if best_sad is None or sad < best_sad:
+                    best_mv, best_sad = (dx * 4, dy * 4), sad
+        for stepq in (2, 1):
+            base = best_mv
+            for dy in (-stepq, 0, stepq):
+                for dx in (-stepq, 0, stepq):
+                    mv = (base[0] + dx, base[1] + dy)
+                    pred = luma_interp(ref_y, x0, y0, w, h, mv[0], mv[1])
+                    sad = np.abs(src - pred).sum()
+                    if sad < best_sad:
+                        best_mv, best_sad = mv, sad
+        return best_mv
+
+    def _encode_partitions(self, mb, addr, ms, part_kind, src_y,
+                           search):
+        """16x8 / 8x16 / 8x8(sub 8x8) partitioned MB: per-partition motion
+        search, mvds derived on a scratch motion state in coding order."""
+        R = self.enc.recon
+        ref_y = self.prev[0]
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        x0, y0 = mx * 16, my * 16
+        bx0, by0 = mx * 4, my * 4
+        scratch = ms.clone()
+        if part_kind == "16x8":
+            mb.kind = MbKind.P
+            mb.mb_type_code = 1
+            parts = [((0, 0), 4, 2, (16, 8), 0, [0, 8][0]),
+                     ((0, 2), 4, 2, (16, 8), 1, 8)]
+        elif part_kind == "8x16":
+            mb.kind = MbKind.P
+            mb.mb_type_code = 2
+            parts = [((0, 0), 2, 4, (8, 16), 0, 0),
+                     ((2, 0), 2, 4, (8, 16), 1, 4)]
+        else:  # 8x8 with sub type P_L0_8x8 per quadrant
+            mb.kind = MbKind.P_8X8
+            mb.mb_type_code = 3
+            mb.sub_mb_type[:] = 0
+            parts = [((0, 0), 2, 2, (8, 8), 0, 0),
+                     ((2, 0), 2, 2, (8, 8), 1, 4),
+                     ((0, 2), 2, 2, (8, 8), 2, 8),
+                     ((2, 2), 2, 2, (8, 8), 3, 12)]
+        mb.ref_idx[0][:] = 0
+        for (ox4, oy4), w4, h4, shape, pidx, anchor in parts:
+            px, py = x0 + ox4 * 4, y0 + oy4 * 4
+            pw, ph = w4 * 4, h4 * 4
+            src = src_y[py:py + ph, px:px + pw].astype(np.int64)
+            mvt = self._search_block(ref_y, src, px, py, pw, ph)
+            mv = np.array(mvt, np.int64)
+            mvp = mv_pred(scratch, shape, bx0 + ox4, by0 + oy4, w4, h4,
+                          0, pidx)
+            mvd = mv - mvp
+            # store mvd on every covered 4x4 block (neighbor ctx contract)
+            for yy in range(oy4, oy4 + h4):
+                for xx in range(ox4, ox4 + w4):
+                    zblk = None
+                    from ..avc.neighbors import POS_TO_ZSCAN
+                    zblk = POS_TO_ZSCAN[(xx, yy)]
+                    mb.mvd[0][zblk] = mvd
+            scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, 0)
+        # no residual for partitioned fixture MBs (cbp 0)
+        mb.cbp = 0
+        from ..refimpl.inter import recon_inter_mb
+        recon_inter_mb(R, mb, addr, 0, ms, *self.prev)
+
+    def _recon_inter(self, mb, addr, ms, mv, src_y, code_resid: bool):
+        """Quantize residual (optionally) + reconstruct through the decoder
+        path for exact feedback (updates recon + motion state)."""
         from ..refimpl.inter import recon_inter_mb
         R = self.enc.recon
         mx, my = addr % R.mb_w, addr // R.mb_w
         x0, y0 = mx * 16, my * 16
         if code_resid:
             qp = self.qp
-            ix, iy = int(mv[0]) // 4, int(mv[1]) // 4
-            ref_y, ref_cb, ref_cr = self.prev
-            pred = mc_copy(ref_y, x0, y0, 16, 16, ix, iy)
+            ref_y = self.prev[0]
+            pred = luma_interp(ref_y, x0, y0, 16, 16, int(mv[0]), int(mv[1]))
             resid = src_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64) - pred
             inv = self.enc.q.inv4(qp, 0)
             cbp_luma = 0
@@ -117,5 +200,4 @@ class SequenceEncoder:
                     cbp_luma |= 1 << (blk >> 2)
                 mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
             mb.cbp = cbp_luma  # chroma residual left zero for now
-        # reconstruct through the decoder path (exact feedback)
         recon_inter_mb(R, mb, addr, 0, ms, *self.prev)

@@ -26,15 +26,17 @@ def p_sequence():
                       0, 255).astype(np.int64)
 
     def frame_at(shift):
-        y = np.roll(base_y, shift * 2, axis=1).copy()
-        y[20:40, 30 + shift * 4:60 + shift * 4] = 210
-        return y, base_cb.copy(), base_cr.copy()
+        # odd shifts force odd-pel MVs (chroma half-pel); the search also
+        # picks fractional refinements -> quarter-pel interpolation covered
+        y = np.roll(np.roll(base_y, shift, axis=1), shift, axis=0).copy()
+        y[20:40, 30 + shift * 3:60 + shift * 3] = 210
+        return y, np.roll(base_cb, shift, axis=1).copy(), base_cr.copy()
 
     sps, pps = default_sps_pps(mb_w, mb_h, qp=28)
     se = SequenceEncoder(sps, pps, 28)
     frames = [(se.encode_idr(*frame_at(0)), 7, True, 0),
               (se.encode_p(*frame_at(1)), 5, False, 1),
-              (se.encode_p(*frame_at(2)), 5, False, 2)]
+              (se.encode_p(*frame_at(3)), 5, False, 2)]
     stream = encode_sequence_annexb(sps, pps, frames)
     return stream, frames
 
@@ -43,7 +45,11 @@ def test_p_mb_kind_mix(p_sequence):
     _, frames = p_sequence
     kinds = [m.kind for m in frames[1][0]]
     assert MbKind.P_SKIP in kinds
-    assert MbKind.P in kinds  # real motion-compensated MBs
+    assert MbKind.P in kinds       # 16x16/16x8/8x16 motion-compensated MBs
+    assert MbKind.P_8X8 in kinds   # sub-partitioned MBs
+    # fractional motion present
+    mvds = np.concatenate([m.mvd[0].reshape(-1) for m in frames[1][0]])
+    assert np.any(mvds % 4 != 0) or np.any(mvds % 2 != 0)
 
 
 def test_p_sequence_bit_exact(p_sequence):
