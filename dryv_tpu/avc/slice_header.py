@@ -292,7 +292,12 @@ class SliceHeader:
         assert st in (SliceType.I, SliceType.P), \
             "fixture writer emits I/P slices"
         if st == SliceType.P:
-            w.bit(0)  # num_ref_idx_active_override_flag
+            if (self.num_ref_idx_l0_active_minus1
+                    != pps.num_ref_idx_l0_default_active_minus1):
+                w.bit(1)  # num_ref_idx_active_override_flag
+                w.ue(self.num_ref_idx_l0_active_minus1)
+            else:
+                w.bit(0)  # num_ref_idx_active_override_flag
             w.bit(0)  # ref_pic_list_modification_flag_l0
         if nal_ref_idc != 0:
             if idr:

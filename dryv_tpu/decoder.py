@@ -154,10 +154,12 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         ref = None
+        ref_list = None
         if not h0.slice_type.is_intra:
             if not dpb.ref_list0:
                 raise ValueError("P slice without reference pictures")
-            ref = stored[dpb.ref_list0[0].frame_idx]
+            ref_list = [stored[p.frame_idx] for p in dpb.ref_list0]
+            ref = ref_list[0]
         recon = FrameRecon(sps, pps)
         ms = MotionState(recon.mb_w, recon.mb_h)
         for addr, mb in enumerate(mbs):
@@ -168,7 +170,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 recon.recon_mb(mb, addr, mb.slice_id)
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
-                               ref[0], ref[1], ref[2])
+                               ref[0], ref[1], ref[2], ref_list)
         pic = dpb.mark_and_store(sps, h0, nal0, poc)
         if pic is not None:
             stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)

@@ -24,11 +24,21 @@ class SequenceEncoder:
         self.enc = IntraEncoder(sps, pps, qp,
                                 mb_kind_policy=intra_policy or
                                 (lambda a: ["i16", "i4"][a % 2]))
-        self.prev = None  # (y, cb, cr) reference planes
+        self.refs = []  # reference planes, newest first (P list-0 order)
+
+    @property
+    def prev(self):
+        return self.refs[0] if self.refs else None
+
+    @prev.setter
+    def prev(self, planes):
+        self.refs.insert(0, planes)
+        del self.refs[max(1, self.sps.max_num_ref_frames):]
 
     def encode_idr(self, src_y, src_cb, src_cr):
         mbs = self.enc.encode_frame(src_y, src_cb, src_cr)
         R = self.enc.recon
+        self.refs = []
         self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
         return mbs
 
@@ -75,8 +85,15 @@ class SequenceEncoder:
             pred = luma_interp(ref_y, x0, y0, 16, 16, int(skv[0]),
                                int(skv[1]))
             sad_skip = np.abs(src - pred).sum()
-            # --- candidate: L0_16x16 motion search -----------------------
-            best_mv, best_sad = self._search(ref_y, src, x0, y0, search)
+            # --- candidate: L0_16x16 motion search (over all refs) -------
+            nrefs = len(self.refs)  # prev setter caps at max_num_ref_frames
+            best_mv, best_sad, best_ref = None, None, 0
+            for ri in range(nrefs):
+                mv_r, sad_r = self._search(self.refs[ri][0], src, x0, y0,
+                                           search)
+                sad_r += 48 * ri  # slight preference for ref 0
+                if best_sad is None or sad_r < best_sad:
+                    best_mv, best_sad, best_ref = mv_r, sad_r, ri
             # deterministic partition-coverage policy
             part_kind = [None, None, "16x8", None, "8x16", None,
                          "8x8"][addr % 7]
@@ -92,11 +109,13 @@ class SequenceEncoder:
                 mb.kind = MbKind.P
                 mb.mb_type_code = 0  # P_L0_16x16
                 mv = np.array(best_mv, np.int64)
-                mvp = mv_pred(ms, (16, 16), mx * 4, my * 4, 4, 4, 0, 0)
-                mb.ref_idx[0][0:4] = 0
+                mvp = mv_pred(ms, (16, 16), mx * 4, my * 4, 4, 4,
+                              best_ref, 0)
+                mb.ref_idx[0][0:4] = best_ref
                 mb.mvd[0][:, 0] = mv[0] - mvp[0]
                 mb.mvd[0][:, 1] = mv[1] - mvp[1]
-                self._recon_inter(mb, addr, ms, mv, src_y, code_resid=True)
+                self._recon_inter(mb, addr, ms, mv, src_y, code_resid=True,
+                                  ref_idx=best_ref)
             else:
                 # intra escape inside P slice
                 self.enc._encode_i16(mb, addr, 0, src_y)
@@ -176,9 +195,10 @@ class SequenceEncoder:
         # no residual for partitioned fixture MBs (cbp 0)
         mb.cbp = 0
         from ..refimpl.inter import recon_inter_mb
-        recon_inter_mb(R, mb, addr, 0, ms, *self.prev)
+        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs)
 
-    def _recon_inter(self, mb, addr, ms, mv, src_y, code_resid: bool):
+    def _recon_inter(self, mb, addr, ms, mv, src_y, code_resid: bool,
+                     ref_idx: int = 0):
         """Quantize residual (optionally) + reconstruct through the decoder
         path for exact feedback (updates recon + motion state)."""
         from ..refimpl.inter import recon_inter_mb
@@ -187,7 +207,7 @@ class SequenceEncoder:
         x0, y0 = mx * 16, my * 16
         if code_resid:
             qp = self.qp
-            ref_y = self.prev[0]
+            ref_y = self.refs[ref_idx][0]
             pred = luma_interp(ref_y, x0, y0, 16, 16, int(mv[0]), int(mv[1]))
             resid = src_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64) - pred
             inv = self.enc.q.inv4(qp, 0)
@@ -200,4 +220,4 @@ class SequenceEncoder:
                     cbp_luma |= 1 << (blk >> 2)
                 mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
             mb.cbp = cbp_luma  # chroma residual left zero for now
-        recon_inter_mb(R, mb, addr, 0, ms, *self.prev)
+        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs)

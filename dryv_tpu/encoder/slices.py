@@ -13,14 +13,14 @@ from ..cabac.syntax import SliceCoder
 def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     transform_8x8: bool = False, qp: int = 26,
                     chroma_qp_offset: int = 0,
-                    crop=None) -> tuple[SPS, PPS]:
+                    crop=None, max_refs: int = 1) -> tuple[SPS, PPS]:
     sps = SPS(
         profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
         level_idc=40,
         pic_width_in_mbs_minus1=mb_w - 1,
         pic_height_in_map_units_minus1=mb_h - 1,
         pic_order_cnt_type=2,
-        max_num_ref_frames=1,
+        max_num_ref_frames=max_refs,
     )
     if crop is not None:
         from ..avc.sps import FrameCropping
@@ -43,11 +43,14 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       slice_id: int, *, qp_delta: int = 0, idr: bool = True,
                       frame_num: int = 0, idr_pic_id: int = 0,
                       pic_order_cnt_lsb: int = 0,
-                      slice_type_code: int = 7) -> NalUnit:
+                      slice_type_code: int = 7,
+                      num_ref_l0: int | None = None) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
-    cross-slice unavailability).  slice_type_code: 7 = I, 5 = P."""
+    cross-slice unavailability).  slice_type_code: 7 = I, 5 = P.
+    num_ref_l0: actual list-0 length for P slices (header override when it
+    differs from the PPS default)."""
     from ..avc.slice_header import DeblockingFilterControl
     h = SliceHeader(
         first_mb_in_slice=first_mb,
@@ -59,6 +62,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         slice_qp_delta=qp_delta,
         deblocking=DeblockingFilterControl(disable_idc=1),
     )
+    if num_ref_l0 is not None:
+        h.num_ref_idx_l0_active_minus1 = num_ref_l0 - 1
     w = BitWriter()
     h.write(w, sps, pps, idr, nal_ref_idc=3)
     w.byte_align(fill=1)  # cabac_alignment_one_bit
@@ -86,12 +91,16 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames) -> bytes:
         NalUnit.build(3, NalUnitType.SPS, sps.write()),
         NalUnit.build(3, NalUnitType.PPS, pps.write()),
     ]
+    nref = 0  # reference frames in the DPB (all frames are nal_ref_idc 3)
     for mb_list, st_code, idr, frame_num in frames:
         assert len(mb_list) == n
         mbs_frame = [None] * n
+        is_p = st_code % 5 == 0
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
-            frame_num=frame_num, slice_type_code=st_code))
+            frame_num=frame_num, slice_type_code=st_code,
+            num_ref_l0=min(nref, sps.max_num_ref_frames) if is_p else None))
+        nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)
 
 

@@ -278,9 +278,12 @@ def _partitions(mb: MBState):
 
 
 def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
-                   ms: MotionState, ref_y, ref_cb, ref_cr):
+                   ms: MotionState, ref_y, ref_cb, ref_cr, ref_list=None):
     """Reconstruct a P-slice inter MB (P_Skip / 16x16 / 16x8 / 8x16 /
-    8x8 sub-partitions) with quarter-pel MC against one reference."""
+    8x8 sub-partitions) with quarter-pel MC.
+
+    ref_y/cb/cr: reference list 0 entry 0 planes; ref_list: optional list
+    of (y, cb, cr) tuples for ref_idx > 0."""
     from .transform import dequant_idct_4x4, dequant_idct_8x8, \
         idct_chroma_dc, qpc_from_qpy
     from .recon import dezigzag4, dezigzag8
@@ -309,22 +312,24 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
             mvp = mv_pred(ms, shape, bx0 + ox4, by0 + oy4, w4, h4,
                           ref_idx, pidx)
             mv = mvp + np.asarray(mvd, np.int64)
-            if ref_idx != 0:
-                raise NotImplementedError(
-                    "multiple reference pictures (pixel store keyed by "
-                    "list0[0] for now)")
+            if ref_idx == 0:
+                ry, rcb, rcr = ref_y, ref_cb, ref_cr
+            else:
+                if ref_list is None or ref_idx >= len(ref_list):
+                    raise ValueError(f"ref_idx {ref_idx} out of list range")
+                ry, rcb, rcr = ref_list[ref_idx]
             ms.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, ref_idx)
             px, py = x0 + ox4 * 4, y0 + oy4 * 4
             pw, ph = w4 * 4, h4 * 4
             pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = \
-                luma_interp(ref_y, px, py, pw, ph, int(mv[0]), int(mv[1]))
+                luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
             cw, chh = pw // 2, ph // 2
             ccx, ccy = px // 2, py // 2
             pred_cb[oy4 * 2:oy4 * 2 + chh, ox4 * 2:ox4 * 2 + cw] = \
-                chroma_interp(ref_cb, ccx, ccy, cw, chh,
+                chroma_interp(rcb, ccx, ccy, cw, chh,
                               int(mv[0]), int(mv[1]))
             pred_cr[oy4 * 2:oy4 * 2 + chh, ox4 * 2:ox4 * 2 + cw] = \
-                chroma_interp(ref_cr, ccx, ccy, cw, chh,
+                chroma_interp(rcr, ccx, ccy, cw, chh,
                               int(mv[0]), int(mv[1]))
 
     # ---- residuals -----------------------------------------------------

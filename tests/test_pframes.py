@@ -52,6 +52,47 @@ def test_p_mb_kind_mix(p_sequence):
     assert np.any(mvds % 4 != 0) or np.any(mvds % 2 != 0)
 
 
+@pytest.fixture(scope="module")
+def multiref_sequence():
+    """IDR + 2 P frames with max_num_ref_frames=2: the last frame's content
+    reverts to the IDR (flash pattern), so motion search picks ref_idx=1
+    for many MBs — exercises ref_idx syntax + multi-ref reconstruction."""
+    rng = np.random.RandomState(11)
+    mb_w, mb_h = 5, 4
+    W, H = mb_w * 16, mb_h * 16
+    base_y = np.clip(128 + rng.randint(-60, 61, (H, W)),
+                     0, 255).astype(np.int64)
+    base_cb = np.full((H // 2, W // 2), 90, np.int64)
+    base_cr = np.full((H // 2, W // 2), 150, np.int64)
+    flash_y = np.clip(base_y + 70, 0, 255)
+
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=28, max_refs=2)
+    se = SequenceEncoder(sps, pps, 28)
+    frames = [(se.encode_idr(base_y, base_cb, base_cr), 7, True, 0),
+              (se.encode_p(flash_y, base_cb, base_cr), 5, False, 1),
+              (se.encode_p(base_y, base_cb, base_cr), 5, False, 2)]
+    stream = encode_sequence_annexb(sps, pps, frames)
+    return stream, frames
+
+
+def test_multiref_uses_ref_idx_1(multiref_sequence):
+    _, frames = multiref_sequence
+    refs = np.concatenate([m.ref_idx[0] for m in frames[2][0]
+                           if m.kind in (MbKind.P, MbKind.P_8X8)])
+    assert np.any(refs == 1), "fixture never coded ref_idx 1"
+
+
+def test_multiref_bit_exact(multiref_sequence):
+    stream, _ = multiref_sequence
+    oracle = decode_annexb(stream)
+    assert len(oracle) == 3
+    ours = decode_annexb_scalar(stream)
+    for i, (oy, ocb, ocr) in enumerate(oracle):
+        assert np.array_equal(oy, ours[i].y), f"frame {i} luma"
+        assert np.array_equal(ocb, ours[i].cb), f"frame {i} cb"
+        assert np.array_equal(ocr, ours[i].cr), f"frame {i} cr"
+
+
 def test_p_sequence_bit_exact(p_sequence):
     stream, _ = p_sequence
     oracle = decode_annexb(stream)
