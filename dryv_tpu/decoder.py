@@ -171,6 +171,18 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
                                ref[0], ref[1], ref[2], ref_list)
+        if any(h.deblocking is None or h.deblocking.disable_idc != 1
+               for h in headers):
+            from .refimpl.deblock import deblock_frame
+            ref_pics = None
+            if dpb.ref_list0:
+                keys = np.array([p.frame_idx for p in dpb.ref_list0],
+                                np.int64)
+                ref_pics = np.where(
+                    ms.ref >= 0,
+                    keys[np.clip(ms.ref, 0, len(keys) - 1)], -1)
+            deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms, sps, pps,
+                          headers, ref_pics)
         pic = dpb.mark_and_store(sps, h0, nal0, poc)
         if pic is not None:
             stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)

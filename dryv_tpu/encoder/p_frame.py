@@ -19,12 +19,15 @@ from .intra_encoder import IntraEncoder, _round_levels
 class SequenceEncoder:
     """Encodes IDR + P pictures sharing one reconstruction state."""
 
-    def __init__(self, sps, pps, qp: int, intra_policy=None):
+    def __init__(self, sps, pps, qp: int, intra_policy=None,
+                 deblock: bool = False):
         self.sps, self.pps, self.qp = sps, pps, qp
         self.enc = IntraEncoder(sps, pps, qp,
                                 mb_kind_policy=intra_policy or
                                 (lambda a: ["i16", "i4"][a % 2]))
         self.refs = []  # reference planes, newest first (P list-0 order)
+        self.deblock = deblock  # in-loop filter on (stream must use
+        #                         deblock_disable=0 when assembling)
 
     @property
     def prev(self):
@@ -37,10 +40,25 @@ class SequenceEncoder:
 
     def encode_idr(self, src_y, src_cb, src_cr):
         mbs = self.enc.encode_frame(src_y, src_cb, src_cr)
+        self._maybe_deblock(mbs, None)
         R = self.enc.recon
         self.refs = []
         self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
         return mbs
+
+    def _maybe_deblock(self, mbs, ms):
+        """Run the in-loop filter on the recon feedback so the encoder's
+        reference planes match the decoder's (deblocked) DPB."""
+        if not self.deblock:
+            return
+        from ..avc.slice_header import (DeblockingFilterControl, SliceHeader)
+        from ..refimpl.deblock import deblock_frame
+        R = self.enc.recon
+        for mb in mbs:
+            if mb.slice_id < 0:
+                mb.slice_id = 0
+        h = SliceHeader(deblocking=DeblockingFilterControl(disable_idc=0))
+        deblock_frame(R.y, R.cb, R.cr, mbs, ms, self.sps, self.pps, [h])
 
     def _search(self, ref_y, src, x0, y0, rng_full=8):
         """Full-pel diamond + half/quarter refinement; returns (mv_qpel,
@@ -124,6 +142,7 @@ class SequenceEncoder:
                 R.mb_done[my, mx] = True
                 ms.set_mb_intra(addr)
             mbs.append(mb)
+        self._maybe_deblock(mbs, ms)
         self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
         return mbs
 

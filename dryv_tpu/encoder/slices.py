@@ -44,7 +44,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       frame_num: int = 0, idr_pic_id: int = 0,
                       pic_order_cnt_lsb: int = 0,
                       slice_type_code: int = 7,
-                      num_ref_l0: int | None = None) -> NalUnit:
+                      num_ref_l0: int | None = None,
+                      deblock_disable: int = 1) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -60,7 +61,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         idr_pic_id=idr_pic_id,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
-        deblocking=DeblockingFilterControl(disable_idc=1),
+        deblocking=DeblockingFilterControl(disable_idc=deblock_disable),
     )
     if num_ref_l0 is not None:
         h.num_ref_idx_l0_active_minus1 = num_ref_l0 - 1
@@ -80,7 +81,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
     return NalUnit.build(3, typ, rbsp)
 
 
-def encode_sequence_annexb(sps: SPS, pps: PPS, frames) -> bytes:
+def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
+                           deblock_disable: int = 1) -> bytes:
     """Assemble an IDR+P sequence.
 
     frames: list of (mb_list, slice_type_code, idr_flag, frame_num)."""
@@ -99,7 +101,8 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames) -> bytes:
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
             frame_num=frame_num, slice_type_code=st_code,
-            num_ref_l0=min(nref, sps.max_num_ref_frames) if is_p else None))
+            num_ref_l0=min(nref, sps.max_num_ref_frames) if is_p else None,
+            deblock_disable=deblock_disable))
         nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)
 

@@ -84,9 +84,11 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag \
-                    or sps.chroma_array_type != 1:
-                # C++ entropy stage covers CABAC 4:2:0 intra; everything
-                # else takes the Python scalar path
+                    or sps.chroma_array_type != 1 \
+                    or h.deblocking is None or h.deblocking.disable_idc != 1:
+                # C++ entropy stage covers CABAC 4:2:0 intra without the
+                # in-loop filter; everything else (incl. deblocking-enabled
+                # streams) takes the Python scalar path
                 from .decoder import decode_annexb_scalar
                 return decode_annexb_scalar(stream, max_frames)
             if slice_datas is None:
@@ -117,9 +119,12 @@ def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
     rest = sd.feed_parameter_sets(nals)
     frames = []
     for pic_nals in group_access_units(rest):
-        sps, pps, mbs, _ = sd.decode_picture_syntax(pic_nals)
-        if sps.chroma_array_type != 1:
-            # device pipeline is 4:2:0; mono/4:2:2 use the scalar path
+        sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
+        if sps.chroma_array_type != 1 or any(
+                h.deblocking is None or h.deblocking.disable_idc != 1
+                for h in headers):
+            # device pipeline is 4:2:0 without the in-loop filter;
+            # mono/4:2:2/deblocking streams use the scalar path
             from .decoder import decode_annexb_scalar
             return decode_annexb_scalar(stream, max_frames)
         fs = pack_frame(mbs, sps, pps)

@@ -55,6 +55,17 @@ FIXTURE_SPECS = [
     ("big_qp30", 8, 6, 30, "mix8", True, 2, None),
     ("mono_qp26", 4, 3, 26, "mix", False, None, None),  # 4:0:0
     ("c422_qp27", 4, 3, 27, "mix420", False, None, None),  # 4:2:2
+    # "dblk_" prefix: in-loop deblocking ENABLED (disable_idc 0) — goes
+    # beyond the reference, which has no deblocking (README.md:14)
+    ("dblk_i16_qp30", 4, 3, 30, "i16", False, None, None),
+    ("dblk_i16_qp31", 4, 3, 31, "i16", False, None, None),
+    ("dblk_i4_qp33", 4, 3, 33, "i4", False, None, None),
+    ("dblk_i16_qp40", 4, 3, 40, "i16", False, None, None),
+    ("dblk_i4_qp45", 4, 3, 45, "i4", False, None, None),
+    ("dblk_mix_qp26", 4, 3, 26, "mix", False, None, None),  # incl. PCM qp0
+    ("dblk_i8_qp32", 4, 3, 32, "i8", True, None, None),  # 8x8 edge rules
+    ("dblk_slices_qp28", 4, 4, 28, "mix", False, 1, None),  # x-slice filter
+    ("dblk_c422_qp28", 4, 3, 28, "mix420", False, None, None),
 ]
 
 
@@ -63,8 +74,9 @@ def get_fixture(name: str):
     """Returns (stream_bytes, (y, cb, cr) golden from oracle, sps, pps)."""
     spec = next(s for s in FIXTURE_SPECS if s[0] == name)
     _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
-    mono = name.startswith("mono")
-    c422 = name.startswith("c422")
+    mono = "mono" in name
+    c422 = "c422" in name
+    deblock = name.startswith("dblk")
     src = make_source(mb_w, mb_h)
     if mono:
         src = (src[0], None, None)
@@ -93,7 +105,8 @@ def get_fixture(name: str):
         mbs = enc.encode_frame(*src, slice_bounds=bounds)
     else:
         mbs = enc.encode_frame(*src)
-    stream = encode_frame_annexb(sps, pps, rps, mbs)
+    stream = encode_frame_annexb(sps, pps, rps, mbs,
+                                 deblock_disable=0 if deblock else 1)
     golden = decode_annexb(stream)[0]
     return stream, golden, sps, pps
 
