@@ -289,16 +289,23 @@ class SliceHeader:
             if pps.bottom_field_pic_order_in_frame_present_flag and not self.field_pic_flag:
                 w.se(self.delta_pic_order_cnt_bottom)
         st = self.slice_type
-        assert st in (SliceType.I, SliceType.P), \
-            "fixture writer emits I/P slices"
-        if st == SliceType.P:
-            if (self.num_ref_idx_l0_active_minus1
-                    != pps.num_ref_idx_l0_default_active_minus1):
-                w.bit(1)  # num_ref_idx_active_override_flag
+        assert st in (SliceType.I, SliceType.P, SliceType.B), \
+            "fixture writer emits I/P/B slices"
+        if st == SliceType.B:
+            w.bit(self.direct_spatial_mv_pred_flag)
+        if st in (SliceType.P, SliceType.B):
+            override = (self.num_ref_idx_l0_active_minus1
+                        != pps.num_ref_idx_l0_default_active_minus1) or \
+                (st == SliceType.B and self.num_ref_idx_l1_active_minus1
+                 != pps.num_ref_idx_l1_default_active_minus1)
+            w.bit(1 if override else 0)  # num_ref_idx_active_override_flag
+            if override:
                 w.ue(self.num_ref_idx_l0_active_minus1)
-            else:
-                w.bit(0)  # num_ref_idx_active_override_flag
+                if st == SliceType.B:
+                    w.ue(self.num_ref_idx_l1_active_minus1)
             w.bit(0)  # ref_pic_list_modification_flag_l0
+            if st == SliceType.B:
+                w.bit(0)  # ref_pic_list_modification_flag_l1
         if nal_ref_idc != 0:
             if idr:
                 w.bit(self.dec_ref_pic_marking.no_output_of_prior_pics_flag
@@ -307,7 +314,7 @@ class SliceHeader:
                       if self.dec_ref_pic_marking else 0)
             else:
                 w.bit(0)  # adaptive_ref_pic_marking_mode_flag
-        if st == SliceType.P:
+        if st in (SliceType.P, SliceType.B):
             w.ue(self.cabac_init_idc)
         w.se(self.slice_qp_delta)
         if pps.deblocking_filter_control_present_flag:

@@ -139,7 +139,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     cannot reconstruct inter at all)."""
     from .avc.dpb import DecodedPictureBuffer
     from .cabac.syntax import MbKind
-    from .refimpl.inter import MotionState, recon_inter_mb
+    from .refimpl.inter import DirectCtx, MotionState, recon_inter_mb
 
     sd = SyntaxDecoder()
     nals = list(split_annexb(stream))
@@ -147,6 +147,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     frames = []
     dpb = DecodedPictureBuffer()
     stored = {}  # frame_idx -> (y, cb, cr) uncropped
+    stored_ms = {}  # frame_idx -> MotionState (B co-located motion)
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
         h0 = headers[0]
@@ -154,12 +155,22 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         ref = None
-        ref_list = None
+        ref_list = ref_list1 = dctx = None
         if not h0.slice_type.is_intra:
             if not dpb.ref_list0:
-                raise ValueError("P slice without reference pictures")
+                raise ValueError("P/B slice without reference pictures")
             ref_list = [stored[p.frame_idx] for p in dpb.ref_list0]
             ref = ref_list[0]
+            if h0.slice_type == SliceType.B:
+                if not dpb.ref_list1:
+                    raise ValueError("B slice without list-1 references")
+                ref_list1 = [stored[p.frame_idx] for p in dpb.ref_list1]
+                if not h0.direct_spatial_mv_pred_flag:
+                    raise NotImplementedError(
+                        "temporal direct mode (fixtures use spatial)")
+                colp = dpb.ref_list1[0]
+                dctx = DirectCtx(stored_ms[colp.frame_idx],
+                                 not colp.is_long_term)
         recon = FrameRecon(sps, pps)
         ms = MotionState(recon.mb_w, recon.mb_h)
         for addr, mb in enumerate(mbs):
@@ -168,27 +179,34 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM,
                            MbKind.SI):
                 recon.recon_mb(mb, addr, mb.slice_id)
+                # intra MBs are *available* neighbors with ref -1 in MV
+                # prediction (8.4.1.3.2) — mark them in the motion field
+                ms.set_mb_intra(addr)
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
-                               ref[0], ref[1], ref[2], ref_list)
+                               ref[0], ref[1], ref[2], ref_list,
+                               ref_list1, dctx)
         if any(h.deblocking is None or h.deblocking.disable_idc != 1
                for h in headers):
             from .refimpl.deblock import deblock_frame
-            ref_pics = None
-            if dpb.ref_list0:
-                keys = np.array([p.frame_idx for p in dpb.ref_list0],
-                                np.int64)
-                ref_pics = np.where(
-                    ms.ref >= 0,
-                    keys[np.clip(ms.ref, 0, len(keys) - 1)], -1)
+
+            def _pic_keys(lst, refarr):
+                if not lst:
+                    return None
+                keys = np.array([p.frame_idx for p in lst], np.int64)
+                return np.where(refarr >= 0,
+                                keys[np.clip(refarr, 0, len(keys) - 1)], -1)
             deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms, sps, pps,
-                          headers, ref_pics)
+                          headers, _pic_keys(dpb.ref_list0, ms.ref),
+                          _pic_keys(dpb.ref_list1, ms.ref1))
         pic = dpb.mark_and_store(sps, h0, nal0, poc)
         if pic is not None:
             stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)
+            stored_ms[pic.frame_idx] = ms
             # retain only pixel data still referenced
             live = {p.frame_idx for p in dpb.pictures}
             stored = {k: v for k, v in stored.items() if k in live}
+            stored_ms = {k: v for k, v in stored_ms.items() if k in live}
         frames.append(DecodedFrame(recon.y, recon.cb, recon.cr,
                                    poc).crop(sps))
         if max_frames and len(frames) >= max_frames:

@@ -25,7 +25,10 @@ class SequenceEncoder:
         self.enc = IntraEncoder(sps, pps, qp,
                                 mb_kind_policy=intra_policy or
                                 (lambda a: ["i16", "i4"][a % 2]))
-        self.refs = []  # reference planes, newest first (P list-0 order)
+        self.refs = []       # reference planes, newest first (P list-0 order)
+        self.ref_pocs = []   # POC per entry (B list construction + deblock
+        #                      picture identity)
+        self.ref_mss = []    # MotionState per entry (B co-located motion)
         self.deblock = deblock  # in-loop filter on (stream must use
         #                         deblock_disable=0 when assembling)
 
@@ -33,22 +36,31 @@ class SequenceEncoder:
     def prev(self):
         return self.refs[0] if self.refs else None
 
-    @prev.setter
-    def prev(self, planes):
+    def _store_ref(self, planes, poc, ms):
         self.refs.insert(0, planes)
-        del self.refs[max(1, self.sps.max_num_ref_frames):]
+        self.ref_pocs.insert(0, poc)
+        self.ref_mss.insert(0, ms)
+        cap = max(1, self.sps.max_num_ref_frames)
+        del self.refs[cap:]
+        del self.ref_pocs[cap:]
+        del self.ref_mss[cap:]
 
-    def encode_idr(self, src_y, src_cb, src_cr):
+    def encode_idr(self, src_y, src_cb, src_cr, poc: int = 0):
+        from ..refimpl.inter import MotionState
         mbs = self.enc.encode_frame(src_y, src_cb, src_cr)
         self._maybe_deblock(mbs, None)
         R = self.enc.recon
-        self.refs = []
-        self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
+        self.refs, self.ref_pocs, self.ref_mss = [], [], []
+        self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc,
+                        MotionState(R.mb_w, R.mb_h))
         return mbs
 
-    def _maybe_deblock(self, mbs, ms):
+    def _maybe_deblock(self, mbs, ms, ids0=None, ids1=None):
         """Run the in-loop filter on the recon feedback so the encoder's
-        reference planes match the decoder's (deblocked) DPB."""
+        reference planes match the decoder's (deblocked) DPB.
+
+        ids0/ids1: per-list picture-identity keys (POCs) so B boundary
+        strengths compare pictures, not list indices."""
         if not self.deblock:
             return
         from ..avc.slice_header import (DeblockingFilterControl, SliceHeader)
@@ -58,7 +70,16 @@ class SequenceEncoder:
             if mb.slice_id < 0:
                 mb.slice_id = 0
         h = SliceHeader(deblocking=DeblockingFilterControl(disable_idc=0))
-        deblock_frame(R.y, R.cb, R.cr, mbs, ms, self.sps, self.pps, [h])
+
+        def keys(ids, refarr):
+            if ids is None or ms is None:
+                return None
+            arr = np.asarray(ids, np.int64)
+            return np.where(refarr >= 0,
+                            arr[np.clip(refarr, 0, len(arr) - 1)], -1)
+        deblock_frame(R.y, R.cb, R.cr, mbs, ms, self.sps, self.pps, [h],
+                      keys(ids0, ms.ref if ms is not None else None),
+                      keys(ids1, ms.ref1 if ms is not None else None))
 
     def _search(self, ref_y, src, x0, y0, rng_full=8):
         """Full-pel diamond + half/quarter refinement; returns (mv_qpel,
@@ -81,10 +102,13 @@ class SequenceEncoder:
                         best_mv, best_sad = mv, sad
         return best_mv, best_sad
 
-    def encode_p(self, src_y, src_cb, src_cr, search: int = 6):
+    def encode_p(self, src_y, src_cb, src_cr, search: int = 6,
+                 poc: int = None):
         """Encode one P frame; returns MBState list."""
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
+        if poc is None:
+            poc = (max(self.ref_pocs) + 2) if self.ref_pocs else 0
         R = FrameRecon(sps, pps)
         self.enc.recon = R
         self.enc.q.recon = R
@@ -142,9 +166,129 @@ class SequenceEncoder:
                 R.mb_done[my, mx] = True
                 ms.set_mb_intra(addr)
             mbs.append(mb)
-        self._maybe_deblock(mbs, ms)
-        self.prev = (R.y.copy(), R.cb.copy(), R.cr.copy())
+        self._maybe_deblock(mbs, ms, self.ref_pocs)
+        self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc, ms)
         return mbs
+
+    def encode_b(self, src_y, src_cb, src_cr, poc: int, search: int = 6):
+        """Encode one (non-reference) B frame against the nearest past /
+        future references; returns MBState list.
+
+        Covers B_Skip, B_Direct_16x16 (spatial), B_L0/L1/Bi_16x16 and
+        intra escapes.  The frame is not stored as a reference."""
+        from ..refimpl.inter import (DirectCtx, MotionState,
+                                     recon_inter_mb, spatial_direct_mb)
+        from ..refimpl.recon import FrameRecon
+        sps, pps, qp = self.sps, self.pps, self.qp
+        past = [i for i, p in enumerate(self.ref_pocs) if p < poc]
+        future = [i for i, p in enumerate(self.ref_pocs) if p > poc]
+        if not past or not future:
+            raise ValueError("B frame needs a past and a future reference")
+        i0 = max(past, key=lambda i: self.ref_pocs[i])
+        i1 = min(future, key=lambda i: self.ref_pocs[i])
+        l0p, l1p = self.refs[i0], self.refs[i1]
+        dctx = DirectCtx(self.ref_mss[i1], True)
+        R = FrameRecon(sps, pps)
+        self.enc.recon = R
+        self.enc.q.recon = R
+        ms = MotionState(R.mb_w, R.mb_h)
+        mbs = []
+        for addr in range(R.mb_w * R.mb_h):
+            mx, my = addr % R.mb_w, addr // R.mb_w
+            x0, y0 = mx * 16, my * 16
+            src = src_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
+            mb = MBState.fresh()
+            mb.qp_y = qp
+            # --- candidates ----------------------------------------------
+            dvals = spatial_direct_mb(ms, addr, dctx)
+            dpred = self._direct_pred16(addr, dvals, l0p, l1p)
+            sad_d = np.abs(src - dpred).sum()
+            mv0, sad0 = self._search(l0p[0], src, x0, y0, search)
+            mv1, sad1 = self._search(l1p[0], src, x0, y0, search)
+            bi = (luma_interp(l0p[0], x0, y0, 16, 16, *mv0)
+                  + luma_interp(l1p[0], x0, y0, 16, 16, *mv1) + 1) >> 1
+            sad_bi = np.abs(src - bi).sum()
+            mode = ["auto", "l0", "l1", "bi", "direct", "auto"][addr % 6]
+            if addr % 13 == 5:
+                mode = "intra"
+            if mode == "auto":
+                if sad_d <= min(sad0, sad1, sad_bi) + 384:
+                    mode = "skip"
+                else:
+                    mode = ("l0", "l1", "bi")[int(np.argmin(
+                        [sad0, sad1, sad_bi]))]
+            # --- encode chosen mode --------------------------------------
+            if mode == "skip":
+                mb.kind = MbKind.B_SKIP
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+            elif mode == "direct":
+                mb.kind = MbKind.B_DIRECT
+                mb.mb_type_code = 0
+                self._code_luma_resid(mb, src, dpred)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+            elif mode in ("l0", "l1", "bi"):
+                mb.kind = MbKind.B
+                mb.mb_type_code = {"l0": 1, "l1": 2, "bi": 3}[mode]
+                pred = None
+                for which, mvt in ((0, mv0), (1, mv1)):
+                    if (mode == "l0" and which == 1) or \
+                       (mode == "l1" and which == 0):
+                        continue
+                    mv = np.array(mvt, np.int64)
+                    mvp = mv_pred(ms, (16, 16), mx * 4, my * 4, 4, 4, 0, 0,
+                                  which)
+                    mb.ref_idx[which][:] = 0
+                    mb.mvd[which][:, 0] = mv[0] - mvp[0]
+                    mb.mvd[which][:, 1] = mv[1] - mvp[1]
+                pred = {"l0": luma_interp(l0p[0], x0, y0, 16, 16, *mv0),
+                        "l1": luma_interp(l1p[0], x0, y0, 16, 16, *mv1),
+                        "bi": bi}[mode]
+                self._code_luma_resid(mb, src, pred)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+            else:  # intra escape inside B slice
+                self.enc._encode_i16(mb, addr, 0, src_y)
+                self.enc._encode_chroma(mb, addr, 0, src_cb, src_cr)
+                R._recon_chroma(mb, mx, my, 0, 255)
+                R.mb_done[my, mx] = True
+                ms.set_mb_intra(addr)
+            mbs.append(mb)
+        self._maybe_deblock(mbs, ms, [self.ref_pocs[i0]],
+                            [self.ref_pocs[i1]])
+        return mbs
+
+    def _direct_pred16(self, addr, dvals, l0p, l1p):
+        """16x16 spatial-direct luma prediction (candidate evaluation)."""
+        R = self.enc.recon
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        r0, r1, m0, m1, zq = dvals
+        pred = np.zeros((16, 16), np.int64)
+        for q in range(4):
+            qx, qy = (q & 1) * 8, (q >> 1) * 8
+            px, py = mx * 16 + qx, my * 16 + qy
+            acc = None
+            for which, r, m, planes in ((0, r0, m0, l0p), (1, r1, m1, l1p)):
+                if r < 0:
+                    continue
+                mv = np.zeros(2, np.int64) if (zq[q] and r == 0) else m
+                v = luma_interp(planes[0], px, py, 8, 8, int(mv[0]),
+                                int(mv[1]))
+                acc = v if acc is None else (acc + v + 1) >> 1
+            pred[qy:qy + 8, qx:qx + 8] = acc
+        return pred
+
+    def _code_luma_resid(self, mb, src, pred):
+        """Quantize the 16x16 luma residual into mb.luma4 + cbp."""
+        inv = self.enc.q.inv4(self.qp, 0)
+        resid = src - pred
+        cbp = 0
+        for blk in range(16):
+            ox, oy = ZSCAN_4X4_POS[blk]
+            r = resid[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4].reshape(-1)
+            lv = _round_levels(inv @ r, self.enc.deadzone)
+            if np.any(lv):
+                cbp |= 1 << (blk >> 2)
+            mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
+        mb.cbp = cbp
 
     def _search_block(self, ref_y, src, x0, y0, w, h, rng_full=4):
         best_mv, best_sad = (0, 0), None

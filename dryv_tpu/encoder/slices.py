@@ -13,13 +13,15 @@ from ..cabac.syntax import SliceCoder
 def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     transform_8x8: bool = False, qp: int = 26,
                     chroma_qp_offset: int = 0,
-                    crop=None, max_refs: int = 1) -> tuple[SPS, PPS]:
+                    crop=None, max_refs: int = 1,
+                    poc_type: int = 2) -> tuple[SPS, PPS]:
     sps = SPS(
         profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
         level_idc=40,
         pic_width_in_mbs_minus1=mb_w - 1,
         pic_height_in_map_units_minus1=mb_h - 1,
-        pic_order_cnt_type=2,
+        pic_order_cnt_type=poc_type,
+        log2_max_pic_order_cnt_lsb_minus4=4,  # lsb range 256 (poc type 0)
         max_num_ref_frames=max_refs,
     )
     if crop is not None:
@@ -45,13 +47,15 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       pic_order_cnt_lsb: int = 0,
                       slice_type_code: int = 7,
                       num_ref_l0: int | None = None,
-                      deblock_disable: int = 1) -> NalUnit:
+                      num_ref_l1: int | None = None,
+                      deblock_disable: int = 1,
+                      nal_ref_idc: int = 3) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
-    cross-slice unavailability).  slice_type_code: 7 = I, 5 = P.
-    num_ref_l0: actual list-0 length for P slices (header override when it
-    differs from the PPS default)."""
+    cross-slice unavailability).  slice_type_code: 7 = I, 5 = P, 6 = B.
+    num_ref_l0/l1: actual list lengths (header override when they differ
+    from the PPS defaults).  B slices use spatial direct."""
     from ..avc.slice_header import DeblockingFilterControl
     h = SliceHeader(
         first_mb_in_slice=first_mb,
@@ -61,12 +65,15 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         idr_pic_id=idr_pic_id,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
+        direct_spatial_mv_pred_flag=1,
         deblocking=DeblockingFilterControl(disable_idc=deblock_disable),
     )
     if num_ref_l0 is not None:
         h.num_ref_idx_l0_active_minus1 = num_ref_l0 - 1
+    if num_ref_l1 is not None:
+        h.num_ref_idx_l1_active_minus1 = num_ref_l1 - 1
     w = BitWriter()
-    h.write(w, sps, pps, idr, nal_ref_idc=3)
+    h.write(w, sps, pps, idr, nal_ref_idc=nal_ref_idc)
     w.byte_align(fill=1)  # cabac_alignment_one_bit
 
     init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
@@ -78,14 +85,16 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
     w.byte_align(fill=0)
     rbsp = w.bytes()
     typ = NalUnitType.IDR_SLICE if idr else NalUnitType.NON_IDR_SLICE
-    return NalUnit.build(3, typ, rbsp)
+    return NalUnit.build(nal_ref_idc, typ, rbsp)
 
 
 def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
                            deblock_disable: int = 1) -> bytes:
     """Assemble an IDR+P sequence.
 
-    frames: list of (mb_list, slice_type_code, idr_flag, frame_num)."""
+    frames: list of (mb_list, slice_type_code, idr_flag, frame_num) or
+    (..., pic_order_cnt_lsb, nal_ref_idc) 6-tuples (B support; B slices
+    get one active reference per list)."""
     mb_w = sps.pic_width_in_mbs
     mb_h = sps.frame_height_in_mbs
     n = mb_w * mb_h
@@ -93,17 +102,24 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
         NalUnit.build(3, NalUnitType.SPS, sps.write()),
         NalUnit.build(3, NalUnitType.PPS, pps.write()),
     ]
-    nref = 0  # reference frames in the DPB (all frames are nal_ref_idc 3)
-    for mb_list, st_code, idr, frame_num in frames:
+    nref = 0  # reference frames currently in the DPB
+    for entry in frames:
+        mb_list, st_code, idr, frame_num = entry[:4]
+        poc_lsb = entry[4] if len(entry) > 4 else 0
+        ref_idc = entry[5] if len(entry) > 5 else 3
         assert len(mb_list) == n
         mbs_frame = [None] * n
-        is_p = st_code % 5 == 0
+        st = st_code % 5
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
             frame_num=frame_num, slice_type_code=st_code,
-            num_ref_l0=min(nref, sps.max_num_ref_frames) if is_p else None,
+            pic_order_cnt_lsb=poc_lsb, nal_ref_idc=ref_idc,
+            num_ref_l0=(min(nref, sps.max_num_ref_frames) if st == 0
+                        else 1 if st == 1 else None),
+            num_ref_l1=1 if st == 1 else None,
             deblock_disable=deblock_disable))
-        nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
+        if ref_idc != 0:
+            nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)
 
 

@@ -106,7 +106,8 @@ def _filter_chroma(P, Q, bs, alpha, beta, tc0):
 class _PicInfo:
     """Per-picture maps consumed by the edge loops."""
 
-    def __init__(self, mbs, ms, sps, pps, headers, ref_pics):
+    def __init__(self, mbs, ms, sps, pps, headers, ref_pics,
+                 ref_pics1=None):
         mb_w = sps.pic_width_in_mbs
         mb_h = sps.frame_height_in_mbs
         self.mb_w, self.mb_h = mb_w, mb_h
@@ -146,24 +147,58 @@ class _PicInfo:
                 self.ctl.append((d.disable_idc, d.alpha_c0_offset_div2 * 2,
                                  d.beta_offset_div2 * 2))
         self.mv = ms.mv if ms is not None else None
+        self.mv1 = ms.mv1 if ms is not None else None
         self.ref = ref_pics if ref_pics is not None else (
             ms.ref if ms is not None else None)
+        self.ref1 = ref_pics1 if ref_pics1 is not None else (
+            ms.ref1 if ms is not None else None)
+
+    def _mv_set(self, by, bx):
+        """[(picture_key, mv)] the block predicts from (1 or 2 entries)."""
+        out = []
+        if self.ref[by, bx] >= 0:
+            out.append((int(self.ref[by, bx]), self.mv[by, bx]))
+        if self.ref1 is not None and self.ref1[by, bx] >= 0:
+            out.append((int(self.ref1[by, bx]), self.mv1[by, bx]))
+        return out
+
+    @staticmethod
+    def _mv_far(a, b) -> bool:
+        return int(np.abs(a - b).max()) >= 4
 
     def bs(self, bpy, bpx, bqy, bqx, mb_edge: bool) -> int:
-        """Boundary strength for the 4x4 block pair (8.7.2.1, frames)."""
+        """Boundary strength for the 4x4 block pair (8.7.2.1, frames);
+        B rules compare the sets of (reference picture, mv) used."""
         pm = (bpy // 4, bpx // 4)
         qm = (bqy // 4, bqx // 4)
         if self.intra[pm] or self.intra[qm]:
             return 4 if mb_edge else 3
         if self.nz4[bpy, bpx] or self.nz4[bqy, bqx]:
             return 2
-        if self.ref[bpy, bpx] != self.ref[bqy, bqx]:
-            return 1
-        dmv = np.abs(self.mv[bpy, bpx] - self.mv[bqy, bqx])
-        return 1 if int(dmv.max()) >= 4 else 0
+        pa = self._mv_set(bpy, bpx)
+        qa = self._mv_set(bqy, bqx)
+        if len(pa) != len(qa):
+            return 1  # different number of motion vectors
+        if sorted(k for k, _ in pa) != sorted(k for k, _ in qa):
+            return 1  # different reference pictures
+        if len(pa) == 1:
+            return 1 if self._mv_far(pa[0][1], qa[0][1]) else 0
+        (pk0, pv0), (pk1, pv1) = pa
+        (qk0, qv0), (qk1, qv1) = qa
+        if pk0 != pk1:
+            # distinct pictures: vectors pair up by picture
+            m = {qk0: qv0, qk1: qv1}
+            far = self._mv_far(pv0, m[pk0]) or self._mv_far(pv1, m[pk1])
+            return 1 if far else 0
+        # both predictions from the same picture: bS 1 only if BOTH
+        # pairings have a far vector (8.7.2.1 note)
+        d1 = self._mv_far(pv0, qv0) or self._mv_far(pv1, qv1)
+        d2 = self._mv_far(pv0, qv1) or self._mv_far(pv1, qv0)
+        return 1 if (d1 and d2) else 0
 
 
-def deblock_frame(y, cb, cr, mbs, ms, sps, pps, headers, ref_pics=None):
+def deblock_frame(y, cb, cr, mbs, ms, sps, pps, headers, ref_pics=None,
+                  ref_pics1=None):
     """Apply the in-loop deblocking filter to a reconstructed picture.
 
     Mutates the planes in place; MB raster order, vertical edges before
@@ -172,7 +207,7 @@ def deblock_frame(y, cb, cr, mbs, ms, sps, pps, headers, ref_pics=None):
     reference-picture key (e.g. DPB frame_idx); defaults to ms.ref
     (list-0 ref_idx), valid while all slices of the picture share one
     reference list."""
-    info = _PicInfo(mbs, ms, sps, pps, headers, ref_pics)
+    info = _PicInfo(mbs, ms, sps, pps, headers, ref_pics, ref_pics1)
     mb_w, mb_h = info.mb_w, info.mb_h
     cat = sps.chroma_array_type
     for my in range(mb_h):

@@ -2,78 +2,93 @@
 
 The upstream reference decoder cannot reconstruct inter at all
 (frame/mod.rs:88 todo!("Inter prediction")); this module implements the
-P-slice pixel path:
+P- and B-slice pixel path:
 - block-granular motion-vector prediction (8.4.1.3): median with the
   one-match rule, 16x8/8x16 directional rules, P_Skip inference
+- B spatial direct mode (8.4.1.2.2) incl. colZeroFlag with
+  direct_8x8_inference, B_Skip / B_Direct_16x16 / B_Direct_8x8
+- default bi-prediction combine (8.4.2.3.1)
 - quarter-pel luma interpolation (8.4.2.2.1: 6-tap half-pel + averaging)
 - eighth-pel bilinear chroma interpolation (8.4.2.2.2)
 - motion compensation for 16x16/16x8/8x16/8x8(+sub) partitions
-B-slice reconstruction (direct/bi-pred) is the remaining gap.
 """
 from __future__ import annotations
 
 import numpy as np
 
-from ..cabac.syntax import (MBState, MbKind, P_MB_TYPES, P_SUB_TYPES,
-                            PRED_L0)
+from ..cabac.syntax import (MBState, MbKind, B_MB_TYPES, B_SUB_TYPES,
+                            P_MB_TYPES, P_SUB_TYPES, PRED_BI, PRED_DIRECT,
+                            PRED_L0, PRED_L1)
 from ..avc.neighbors import ZSCAN_4X4_POS
 
 
 class MotionState:
-    """Per-picture motion field at 4x4-block granularity.
+    """Per-picture motion field at 4x4-block granularity, both lists.
 
-    mv[by, bx, 2] in quarter-pel units; ref[by, bx] (-1 = intra or not
-    yet decoded / unavailable)."""
+    mv/ref are list 0 (P compatibility); mv1/ref1 list 1.  mv in
+    quarter-pel units; ref -1 = intra / list unused / not decoded."""
 
     def __init__(self, mb_w: int, mb_h: int):
         self.mb_w = mb_w
         self.mb_h = mb_h
         self.mv = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
         self.ref = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int64)
+        self.mv1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
+        self.ref1 = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int64)
         self.decoded = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
 
-    def blk(self, bx: int, by: int):
-        """Returns (available, mv, ref) for 4x4 block coords."""
+    def blk(self, bx: int, by: int, which: int = 0):
+        """Returns (available, mv, ref) for 4x4 block coords in list
+        `which`."""
         if bx < 0 or by < 0 or bx >= self.mb_w * 4 or by >= self.mb_h * 4:
             return False, np.zeros(2, np.int64), -1
         if not self.decoded[by, bx]:
             return False, np.zeros(2, np.int64), -1
+        if which:
+            return True, self.mv1[by, bx], self.ref1[by, bx]
         return True, self.mv[by, bx], self.ref[by, bx]
 
     def set_mb_intra(self, addr: int):
         mx, my = addr % self.mb_w, addr // self.mb_w
         self.decoded[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
         self.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+        self.ref1[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
 
-    def set_part(self, bx0, by0, w4, h4, mv, ref):
+    def set_part(self, bx0, by0, w4, h4, mv, ref, which: int = 0):
         self.decoded[by0:by0 + h4, bx0:bx0 + w4] = True
-        self.ref[by0:by0 + h4, bx0:bx0 + w4] = ref
-        self.mv[by0:by0 + h4, bx0:bx0 + w4] = mv
+        if which:
+            self.ref1[by0:by0 + h4, bx0:bx0 + w4] = ref
+            self.mv1[by0:by0 + h4, bx0:bx0 + w4] = mv
+        else:
+            self.ref[by0:by0 + h4, bx0:bx0 + w4] = ref
+            self.mv[by0:by0 + h4, bx0:bx0 + w4] = mv
 
     def clone(self) -> "MotionState":
         c = MotionState(self.mb_w, self.mb_h)
         c.mv = self.mv.copy()
         c.ref = self.ref.copy()
+        c.mv1 = self.mv1.copy()
+        c.ref1 = self.ref1.copy()
         c.decoded = self.decoded.copy()
         return c
 
 
-def _neighbors(ms: MotionState, bx0, by0, w4):
+def _neighbors(ms: MotionState, bx0, by0, w4, which: int = 0):
     """A/B/C(/D fallback) neighbor (avail, mv, ref) for a partition whose
     top-left 4x4 block is (bx0, by0) and width w4 blocks (spec 6.4.11.7)."""
-    a = ms.blk(bx0 - 1, by0)
-    b = ms.blk(bx0, by0 - 1)
-    c = ms.blk(bx0 + w4, by0 - 1)
+    a = ms.blk(bx0 - 1, by0, which)
+    b = ms.blk(bx0, by0 - 1, which)
+    c = ms.blk(bx0 + w4, by0 - 1, which)
     if not c[0]:
-        c = ms.blk(bx0 - 1, by0 - 1)  # D fallback
+        c = ms.blk(bx0 - 1, by0 - 1, which)  # D fallback
     return a, b, c
 
 
-def _median_pred(ms: MotionState, bx0, by0, w4, ref_idx):
+def _median_pred(ms: MotionState, bx0, by0, w4, ref_idx, which: int = 0):
     """spec 8.4.1.3.1 (general case).
 
     Intra neighbors contribute mv (0,0) / ref -1 (never a ref match)."""
-    a, b, c = _neighbors(ms, bx0, by0, w4)
+    a, b, c = _neighbors(ms, bx0, by0, w4, which)
     av_a, mv_a, ref_a = a
     av_b, mv_b, ref_b = b
     av_c, mv_c, ref_c = c
@@ -89,10 +104,11 @@ def _median_pred(ms: MotionState, bx0, by0, w4, ref_idx):
     return np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(np.int64)
 
 
-def mv_pred(ms: MotionState, mb_part, bx0, by0, w4, h4, ref_idx, part_idx):
+def mv_pred(ms: MotionState, mb_part, bx0, by0, w4, h4, ref_idx, part_idx,
+            which: int = 0):
     """MV predictor incl. 16x8/8x16 directional rules (8.4.1.3)."""
     if mb_part == (16, 8):
-        a, b, c = _neighbors(ms, bx0, by0, w4)
+        a, b, c = _neighbors(ms, bx0, by0, w4, which)
         if part_idx == 0:
             if b[0] and b[2] == ref_idx:
                 return b[1].copy()
@@ -100,14 +116,14 @@ def mv_pred(ms: MotionState, mb_part, bx0, by0, w4, h4, ref_idx, part_idx):
             if a[0] and a[2] == ref_idx:
                 return a[1].copy()
     elif mb_part == (8, 16):
-        a, b, c = _neighbors(ms, bx0, by0, w4)
+        a, b, c = _neighbors(ms, bx0, by0, w4, which)
         if part_idx == 0:
             if a[0] and a[2] == ref_idx:
                 return a[1].copy()
         else:
             if c[0] and c[2] == ref_idx:
                 return c[1].copy()
-    return _median_pred(ms, bx0, by0, w4, ref_idx)
+    return _median_pred(ms, bx0, by0, w4, ref_idx, which)
 
 
 def mv_skip(ms: MotionState, addr: int) -> np.ndarray:
@@ -126,6 +142,64 @@ def mv_skip(ms: MotionState, addr: int) -> np.ndarray:
     if b[0] and b[2] == 0 and b[1][0] == 0 and b[1][1] == 0:
         return np.zeros(2, np.int64)
     return _median_pred(ms, bx0, by0, 4, 0)
+
+
+class DirectCtx:
+    """Context for B spatial direct derivation (8.4.1.2.2).
+
+    col_ms: MotionState of ref_list1[0] (the co-located picture);
+    col_shortterm: that picture is marked short-term reference."""
+
+    def __init__(self, col_ms: "MotionState", col_shortterm: bool):
+        self.col_ms = col_ms
+        self.col_shortterm = col_shortterm
+
+
+def _min_positive(a: int, b: int) -> int:
+    if a >= 0 and b >= 0:
+        return min(a, b)
+    return max(a, b)
+
+
+def spatial_direct_mb(ms: MotionState, addr: int, ctx: DirectCtx):
+    """B spatial direct derivation for a whole MB (spec 8.4.1.2.2 with
+    direct_8x8_inference_flag = 1).
+
+    Returns (ref0, ref1, mv0, mv1, zero_quad[4]): reference indices
+    (>= 0; directZeroPrediction maps to 0/0 with zero mvs), the MB-level
+    predicted mvs per list, and per-quadrant colZeroFlag."""
+    mb_w = ms.mb_w
+    mx, my = addr % mb_w, addr // mb_w
+    bx0, by0 = mx * 4, my * 4
+    refs = []
+    for which in (0, 1):
+        a, b, c = _neighbors(ms, bx0, by0, 4, which)
+        r = _min_positive(_min_positive(a[2] if a[0] else -1,
+                                        b[2] if b[0] else -1),
+                          c[2] if c[0] else -1)
+        refs.append(int(r))
+    ref0, ref1 = refs
+    if ref0 < 0 and ref1 < 0:  # directZeroPredictionFlag
+        zero = np.zeros(2, np.int64)
+        return 0, 0, zero, zero.copy(), [True] * 4
+    mv0 = (_median_pred(ms, bx0, by0, 4, ref0, 0) if ref0 >= 0
+           else np.zeros(2, np.int64))
+    mv1 = (_median_pred(ms, bx0, by0, 4, ref1, 1) if ref1 >= 0
+           else np.zeros(2, np.int64))
+    # colZeroFlag per 8x8 quadrant, co-located sampled at the quadrant's
+    # outer-corner 4x4 block (direct_8x8_inference)
+    zero_quad = [False] * 4
+    if ctx is not None and ctx.col_shortterm:
+        corners = [(0, 0), (3, 0), (0, 3), (3, 3)]
+        for q, (cx, cy) in enumerate(corners):
+            cav0, cmv, cref = ctx.col_ms.blk(bx0 + cx, by0 + cy, 0)
+            if not cav0 or cref < 0:  # col block did not use L0
+                cav1, cmv, cref = ctx.col_ms.blk(bx0 + cx, by0 + cy, 1)
+                if not cav1 or cref < 0:
+                    continue  # intra co-located: colZeroFlag stays 0
+            zero_quad[q] = (cref == 0 and abs(int(cmv[0])) <= 1
+                            and abs(int(cmv[1])) <= 1)
+    return ref0, ref1, mv0, mv1, zero_quad
 
 
 # ---------------------------------------------------------------------------
@@ -235,55 +309,59 @@ def chroma_interp(plane: np.ndarray, cx0: int, cy0: int, w: int, h: int,
 # ---------------------------------------------------------------------------
 
 def _partitions(mb: MBState):
-    """Yields (bx_off4, by_off4, w4, h4, ref_idx, mvd, shape, part_idx) in
-    coding order for the supported P partition set."""
-    if mb.kind == MbKind.P:
-        name, n, wh, preds = P_MB_TYPES[mb.mb_type_code]
+    """Yields (bx_off4, by_off4, w4, h4, pred_mode, quad, anchor_blk,
+    shape, part_idx) in coding order for P and B partition sets.
+
+    pred_mode is PRED_L0/L1/BI/DIRECT; `quad` indexes ref_idx, `anchor_blk`
+    indexes mvd (z-scan 4x4)."""
+    if mb.kind in (MbKind.P, MbKind.B):
+        table = P_MB_TYPES if mb.kind == MbKind.P else B_MB_TYPES
+        name, n, wh, preds = table[mb.mb_type_code]
         if n == 1:
-            yield (0, 0, 4, 4, int(mb.ref_idx[0][0]), mb.mvd[0][0],
-                   (16, 16), 0)
+            yield (0, 0, 4, 4, preds[0], 0, 0, (16, 16), 0)
         elif wh == (16, 8):
             for p in range(2):
-                yield (0, p * 2, 4, 2, int(mb.ref_idx[0][p * 2]),
-                       mb.mvd[0][[0, 8][p]], (16, 8), p)
+                yield (0, p * 2, 4, 2, preds[p], p * 2, [0, 8][p],
+                       (16, 8), p)
         else:
             for p in range(2):
-                yield (p * 2, 0, 2, 4, int(mb.ref_idx[0][p]),
-                       mb.mvd[0][[0, 4][p]], (8, 16), p)
-    elif mb.kind == MbKind.P_8X8:
+                yield (p * 2, 0, 2, 4, preds[p], p, [0, 4][p], (8, 16), p)
+    elif mb.kind in (MbKind.P_8X8, MbKind.B_8X8):
+        table = P_SUB_TYPES if mb.kind == MbKind.P_8X8 else B_SUB_TYPES
         for q in range(4):
             qx, qy = (q & 1) * 2, (q >> 1) * 2
-            name, nparts, wh, pred = P_SUB_TYPES[mb.sub_mb_type[q]]
-            ref = int(mb.ref_idx[0][q])
-            if wh == (8, 8):
-                yield (qx, qy, 2, 2, ref, mb.mvd[0][4 * q], (8, 8), q)
+            name, nparts, wh, pred = table[mb.sub_mb_type[q]]
+            if pred == PRED_DIRECT:
+                yield (qx, qy, 2, 2, PRED_DIRECT, q, 4 * q, (8, 8), q)
+            elif wh == (8, 8):
+                yield (qx, qy, 2, 2, pred, q, 4 * q, (8, 8), q)
             elif wh == (8, 4):
                 for p in range(2):
                     anchor = 4 * q + [0, 2][p]
-                    yield (qx, qy + p, 2, 1, ref, mb.mvd[0][anchor],
-                           (8, 4), q)
+                    yield (qx, qy + p, 2, 1, pred, q, anchor, (8, 4), q)
             elif wh == (4, 8):
                 for p in range(2):
                     anchor = 4 * q + [0, 1][p]
-                    yield (qx + p, qy, 1, 2, ref, mb.mvd[0][anchor],
-                           (4, 8), q)
+                    yield (qx + p, qy, 1, 2, pred, q, anchor, (4, 8), q)
             else:
                 for p in range(4):
                     anchor = 4 * q + p
                     sx, sy = p & 1, p >> 1
-                    yield (qx + sx, qy + sy, 1, 1, ref, mb.mvd[0][anchor],
+                    yield (qx + sx, qy + sy, 1, 1, pred, q, anchor,
                            (4, 4), q)
     else:
         raise NotImplementedError(f"partitions for kind {mb.kind}")
 
 
 def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
-                   ms: MotionState, ref_y, ref_cb, ref_cr, ref_list=None):
-    """Reconstruct a P-slice inter MB (P_Skip / 16x16 / 16x8 / 8x16 /
-    8x8 sub-partitions) with quarter-pel MC.
+                   ms: MotionState, ref_y, ref_cb, ref_cr, ref_list=None,
+                   ref_list1=None, direct_ctx: DirectCtx = None):
+    """Reconstruct a P/B inter MB (skip / direct / 16x16 / 16x8 / 8x16 /
+    8x8 sub-partitions; L0 / L1 / bi-predictive) with quarter-pel MC.
 
-    ref_y/cb/cr: reference list 0 entry 0 planes; ref_list: optional list
-    of (y, cb, cr) tuples for ref_idx > 0."""
+    ref_y/cb/cr: reference list 0 entry 0 planes; ref_list/ref_list1:
+    lists of (y, cb, cr) tuples; direct_ctx: co-located motion for B
+    spatial direct."""
     from .transform import dequant_idct_4x4, dequant_idct_8x8, \
         idct_chroma_dc, qpc_from_qpy
     from .recon import dezigzag4, dezigzag8
@@ -298,43 +376,90 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
     pred_y = np.zeros((16, 16), dtype=np.int64)
     pred_cb = np.zeros((8, 8), dtype=np.int64)
     pred_cr = np.zeros((8, 8), dtype=np.int64)
+    lists = (ref_list if ref_list is not None
+             else [(ref_y, ref_cb, ref_cr)], ref_list1)
+
+    def mc_part(ox4, oy4, w4, h4, used):
+        """Motion-compensate one partition; `used` = [(which, mv, ref_idx)];
+        two entries -> default bi combine (8.4.2.3.1)."""
+        px, py = x0 + ox4 * 4, y0 + oy4 * 4
+        pw, ph = w4 * 4, h4 * 4
+        accy = accb = accr = None
+        for which, mv, ridx in used:
+            lst = lists[which]
+            if lst is None or ridx >= len(lst):
+                raise ValueError(f"ref_idx {ridx} out of list {which}")
+            ry, rcb, rcr = lst[ridx]
+            yv = luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
+            cbv = chroma_interp(rcb, px // 2, py // 2, pw // 2, ph // 2,
+                                int(mv[0]), int(mv[1]))
+            crv = chroma_interp(rcr, px // 2, py // 2, pw // 2, ph // 2,
+                                int(mv[0]), int(mv[1]))
+            if accy is None:
+                accy, accb, accr = yv, cbv, crv
+            else:
+                accy = (accy + yv + 1) >> 1
+                accb = (accb + cbv + 1) >> 1
+                accr = (accr + crv + 1) >> 1
+        pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = accy
+        pred_cb[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accb
+        pred_cr[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accr
+
+    def direct_quad(q, dvals):
+        """Apply spatial-direct motion to 8x8 quadrant q."""
+        r0, r1, m0, m1, zq = dvals
+        qx, qy = (q & 1) * 2, (q >> 1) * 2
+        used = []
+        for which, r, m in ((0, r0, m0), (1, r1, m1)):
+            if r >= 0:
+                mv = np.zeros(2, np.int64) if (zq[q] and r == 0) else m
+                used.append((which, mv, r))
+                ms.set_part(bx0 + qx, by0 + qy, 2, 2, mv, r, which)
+            else:
+                ms.set_part(bx0 + qx, by0 + qy, 2, 2,
+                            np.zeros(2, np.int64), -1, which)
+        mc_part(qx, qy, 2, 2, used)
 
     if mb.kind == MbKind.P_SKIP:
         mv = mv_skip(ms, addr)
         ms.set_part(bx0, by0, 4, 4, mv, 0)
-        pred_y = luma_interp(ref_y, x0, y0, 16, 16, int(mv[0]), int(mv[1]))
-        pred_cb = chroma_interp(ref_cb, x0 // 2, y0 // 2, 8, 8,
-                                int(mv[0]), int(mv[1]))
-        pred_cr = chroma_interp(ref_cr, x0 // 2, y0 // 2, 8, 8,
-                                int(mv[0]), int(mv[1]))
+        mc_part(0, 0, 4, 4, [(0, mv, 0)])
+    elif mb.kind in (MbKind.B_SKIP, MbKind.B_DIRECT):
+        dvals = spatial_direct_mb(ms, addr, direct_ctx)
+        for q in range(4):
+            direct_quad(q, dvals)
     else:
-        for (ox4, oy4, w4, h4, ref_idx, mvd, shape, pidx) in _partitions(mb):
-            mvp = mv_pred(ms, shape, bx0 + ox4, by0 + oy4, w4, h4,
-                          ref_idx, pidx)
-            mv = mvp + np.asarray(mvd, np.int64)
-            if ref_idx == 0:
-                ry, rcb, rcr = ref_y, ref_cb, ref_cr
-            else:
-                if ref_list is None or ref_idx >= len(ref_list):
-                    raise ValueError(f"ref_idx {ref_idx} out of list range")
-                ry, rcb, rcr = ref_list[ref_idx]
-            ms.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, ref_idx)
-            px, py = x0 + ox4 * 4, y0 + oy4 * 4
-            pw, ph = w4 * 4, h4 * 4
-            pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = \
-                luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
-            cw, chh = pw // 2, ph // 2
-            ccx, ccy = px // 2, py // 2
-            pred_cb[oy4 * 2:oy4 * 2 + chh, ox4 * 2:ox4 * 2 + cw] = \
-                chroma_interp(rcb, ccx, ccy, cw, chh,
-                              int(mv[0]), int(mv[1]))
-            pred_cr[oy4 * 2:oy4 * 2 + chh, ox4 * 2:ox4 * 2 + cw] = \
-                chroma_interp(rcr, ccx, ccy, cw, chh,
-                              int(mv[0]), int(mv[1]))
+        dvals = None
+        for (ox4, oy4, w4, h4, pred, quad, anchor, shape,
+             pidx) in _partitions(mb):
+            if pred == PRED_DIRECT:
+                if dvals is None:
+                    dvals = spatial_direct_mb(ms, addr, direct_ctx)
+                direct_quad(quad, dvals)
+                continue
+            used = []
+            for which in ((0,) if pred == PRED_L0 else
+                          (1,) if pred == PRED_L1 else (0, 1)):
+                ridx = int(mb.ref_idx[which][quad])
+                mvp = mv_pred(ms, shape, bx0 + ox4, by0 + oy4, w4, h4,
+                              ridx, pidx, which)
+                mv = mvp + np.asarray(mb.mvd[which][anchor], np.int64)
+                used.append((which, mv, ridx))
+            used_lists = {u[0] for u in used}
+            for which in (0, 1):
+                if which in used_lists:
+                    _, mv, ridx = next(u for u in used if u[0] == which)
+                    ms.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, ridx,
+                                which)
+                elif mb.kind in (MbKind.B, MbKind.B_8X8):
+                    ms.set_part(bx0 + ox4, by0 + oy4, w4, h4,
+                                np.zeros(2, np.int64), -1, which)
+            mc_part(ox4, oy4, w4, h4, used)
 
     # ---- residuals -----------------------------------------------------
+    skip_kinds = (MbKind.P_SKIP, MbKind.B_SKIP)
     resid = np.zeros((16, 16), dtype=np.int64)
-    if mb.kind != MbKind.P_SKIP and (mb.cbp & 0x0F):
+    if mb.kind not in skip_kinds and (mb.cbp & 0x0F):
         if mb.transform8x8:
             for blk in range(4):
                 if not ((mb.cbp >> blk) & 1):
@@ -360,7 +485,7 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                   else recon.pps.second_chroma_qp_offset)
         qpc = qpc_from_qpy(qpy, qp_off, recon.qp_bd_offset_c)
         cresid = np.zeros((8, 8), dtype=np.int64)
-        if mb.kind != MbKind.P_SKIP and (mb.cbp & 0x30):
+        if mb.kind not in skip_kinds and (mb.cbp & 0x30):
             dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
             dcv = idct_chroma_dc(dc_in, qpc, recon.ls4[4 + ci], 1)
             for j in range(4):
