@@ -481,7 +481,29 @@ class SliceCoder:
             base = T.CTX_SUB_MB_TYPE_B
             for i in range(4):
                 if self.encoding:
-                    raise NotImplementedError("encode B sub_mb_type")
+                    code = int(mb.sub_mb_type[i])
+                    if code == 0:
+                        self._bin(base, 0)
+                    elif code in (1, 2):
+                        self._bin(base, 1); self._bin(base + 1, 0)
+                        self._bin(base + 3, code - 1)
+                    elif 3 <= code <= 6:
+                        v = code - 3
+                        self._bin(base, 1); self._bin(base + 1, 1)
+                        self._bin(base + 2, 0)
+                        self._bin(base + 3, (v >> 1) & 1)
+                        self._bin(base + 3, v & 1)
+                    elif 7 <= code <= 10:
+                        v = code - 7
+                        self._bin(base, 1); self._bin(base + 1, 1)
+                        self._bin(base + 2, 1); self._bin(base + 3, 0)
+                        self._bin(base + 3, (v >> 1) & 1)
+                        self._bin(base + 3, v & 1)
+                    else:  # 11, 12
+                        self._bin(base, 1); self._bin(base + 1, 1)
+                        self._bin(base + 2, 1); self._bin(base + 3, 1)
+                        self._bin(base + 3, code - 11)
+                    continue
                 if self._bin(base) == 0:
                     mb.sub_mb_type[i] = 0  # B_Direct_8x8
                     continue

@@ -211,6 +211,12 @@ class SequenceEncoder:
             mode = ["auto", "l0", "l1", "bi", "direct", "auto"][addr % 6]
             if addr % 13 == 5:
                 mode = "intra"
+            elif addr % 17 == 3:
+                mode = "16x8"
+            elif addr % 17 == 9:
+                mode = "8x16"
+            elif addr % 17 == 14:
+                mode = "b8x8"
             if mode == "auto":
                 if sad_d <= min(sad0, sad1, sad_bi) + 384:
                     mode = "skip"
@@ -245,6 +251,9 @@ class SequenceEncoder:
                         "bi": bi}[mode]
                 self._code_luma_resid(mb, src, pred)
                 recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+            elif mode in ("16x8", "8x16", "b8x8"):
+                self._encode_b_partitions(mb, addr, ms, mode, src_y,
+                                          l0p, l1p, dctx, search)
             else:  # intra escape inside B slice
                 self.enc._encode_i16(mb, addr, 0, src_y)
                 self.enc._encode_chroma(mb, addr, 0, src_cb, src_cr)
@@ -255,6 +264,76 @@ class SequenceEncoder:
         self._maybe_deblock(mbs, ms, [self.ref_pocs[i0]],
                             [self.ref_pocs[i1]])
         return mbs
+
+    def _encode_b_partitions(self, mb, addr, ms, pkind, src_y, l0p, l1p,
+                             dctx, search):
+        """Partitioned B MBs: 16x8 (L0 top / L1 bottom), 8x16 (bi both),
+        B_8x8 with sub types direct/L0/L1/Bi.  mvds derived on a scratch
+        motion state in coding order; no residual (cbp 0)."""
+        from ..refimpl.inter import (recon_inter_mb, spatial_direct_mb)
+        R = self.enc.recon
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        bx0, by0 = mx * 4, my * 4
+        scratch = ms.clone()
+        # parts: (off4, w4, h4, shape, pidx, anchor, quads, lists|"direct")
+        if pkind == "16x8":
+            mb.kind = MbKind.B
+            mb.mb_type_code = 8  # B_L0_L1_16x8
+            parts = [((0, 0), 4, 2, (16, 8), 0, 0, [0, 1], [0]),
+                     ((0, 2), 4, 2, (16, 8), 1, 8, [2, 3], [1])]
+        elif pkind == "8x16":
+            mb.kind = MbKind.B
+            mb.mb_type_code = 21  # B_Bi_Bi_8x16
+            parts = [((0, 0), 2, 4, (8, 16), 0, 0, [0, 2], [0, 1]),
+                     ((2, 0), 2, 4, (8, 16), 1, 4, [1, 3], [0, 1])]
+        else:  # B_8x8: direct / L0 / L1 / Bi quadrants
+            mb.kind = MbKind.B_8X8
+            mb.mb_type_code = 22
+            mb.sub_mb_type[:] = [0, 1, 2, 3]
+            parts = [((0, 0), 2, 2, (8, 8), 0, 0, [0], "direct"),
+                     ((2, 0), 2, 2, (8, 8), 1, 4, [1], [0]),
+                     ((0, 2), 2, 2, (8, 8), 2, 8, [2], [1]),
+                     ((2, 2), 2, 2, (8, 8), 3, 12, [3], [0, 1])]
+        dvals = None
+        for (ox4, oy4), w4, h4, shape, pidx, anchor, quads, lists in parts:
+            if lists == "direct":
+                if dvals is None:
+                    dvals = spatial_direct_mb(scratch, addr, dctx)
+                r0, r1, m0, m1, zq = dvals
+                for which, r, m in ((0, r0, m0), (1, r1, m1)):
+                    if r >= 0:
+                        mv = (np.zeros(2, np.int64)
+                              if (zq[pidx] and r == 0) else m)
+                        scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4,
+                                         mv, r, which)
+                    else:
+                        scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4,
+                                         np.zeros(2, np.int64), -1, which)
+                continue
+            px, py = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
+            pw, ph = w4 * 4, h4 * 4
+            src = src_y[py:py + ph, px:px + pw].astype(np.int64)
+            for which in (0, 1):
+                if which not in lists:
+                    scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4,
+                                     np.zeros(2, np.int64), -1, which)
+                    continue
+                planes = l0p if which == 0 else l1p
+                mvt = self._search_block(planes[0], src, px, py, pw, ph)
+                mv = np.array(mvt, np.int64)
+                mvp = mv_pred(scratch, shape, bx0 + ox4, by0 + oy4, w4, h4,
+                              0, pidx, which)
+                mvd = mv - mvp
+                for q in quads:
+                    mb.ref_idx[which][q] = 0
+                from ..avc.neighbors import POS_TO_ZSCAN
+                for yy in range(oy4, oy4 + h4):
+                    for xx in range(ox4, ox4 + w4):
+                        mb.mvd[which][POS_TO_ZSCAN[(xx, yy)]] = mvd
+                scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, 0, which)
+        mb.cbp = 0
+        from ..refimpl.inter import recon_inter_mb as _rim
+        _rim(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
 
     def _direct_pred16(self, addr, dvals, l0p, l1p):
         """16x16 spatial-direct luma prediction (candidate evaluation)."""

@@ -57,8 +57,10 @@ def test_b_mb_kind_mix(b_sequence):
     assert MbKind.B_SKIP in kinds
     assert MbKind.B_DIRECT in kinds
     assert MbKind.B in kinds
+    assert MbKind.B_8X8 in kinds  # sub-partitioned (direct/L0/L1/Bi subs)
     codes = {m.mb_type_code for m in frames[2][0] if m.kind == MbKind.B}
     assert {1, 2, 3} <= codes, f"want L0+L1+Bi coverage, got {codes}"
+    assert 8 in codes and 21 in codes, f"want 16x8+8x16 coverage: {codes}"
 
 
 def test_b_sequence_bit_exact(b_sequence):
