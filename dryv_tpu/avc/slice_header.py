@@ -306,6 +306,35 @@ class SliceHeader:
             w.bit(0)  # ref_pic_list_modification_flag_l0
             if st == SliceType.B:
                 w.bit(0)  # ref_pic_list_modification_flag_l1
+        if (pps.weighted_pred_flag and st == SliceType.P) or \
+                (pps.weighted_bipred_idc == 1 and st == SliceType.B):
+            t = self.pred_weight_table or PredWeightTable()
+            w.ue(t.luma_log2_weight_denom)
+            if sps.chroma_array_type != 0:
+                w.ue(t.chroma_log2_weight_denom)
+
+            def wlist(luma, chroma, n):
+                for i in range(n + 1):
+                    e = luma[i] if i < len(luma) else None
+                    if e is None:
+                        w.bit(0)
+                    else:
+                        w.bit(1)
+                        w.se(e.weight)
+                        w.se(e.offset)
+                    if sps.chroma_array_type != 0:
+                        ce = chroma[i] if i < len(chroma) else None
+                        if ce is None:
+                            w.bit(0)
+                        else:
+                            w.bit(1)
+                            for pw in ce:
+                                w.se(pw.weight)
+                                w.se(pw.offset)
+            wlist(t.luma_l0, t.chroma_l0, self.num_ref_idx_l0_active_minus1)
+            if st == SliceType.B:
+                wlist(t.luma_l1, t.chroma_l1,
+                      self.num_ref_idx_l1_active_minus1)
         if nal_ref_idc != 0:
             if idr:
                 w.bit(self.dec_ref_pic_marking.no_output_of_prior_pics_flag

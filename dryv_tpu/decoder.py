@@ -155,8 +155,21 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         ref = None
-        ref_list = ref_list1 = dctx = None
+        ref_list = ref_list1 = dctx = wp = None
         if not h0.slice_type.is_intra:
+            from .refimpl.inter import ExplicitWP, ImplicitWP
+            st0 = h0.slice_type
+            if h0.pred_weight_table is not None and (
+                    (pps.weighted_pred_flag and st0 == SliceType.P) or
+                    (pps.weighted_bipred_idc == 1 and st0 == SliceType.B)):
+                wp = ExplicitWP(h0.pred_weight_table)
+            elif st0 == SliceType.B and pps.weighted_bipred_idc == 2:
+                wp = ImplicitWP(
+                    poc,
+                    [p.pic_order_cnt for p in dpb.ref_list0],
+                    [p.pic_order_cnt for p in dpb.ref_list1],
+                    [p.is_long_term for p in dpb.ref_list0],
+                    [p.is_long_term for p in dpb.ref_list1])
             if not dpb.ref_list0:
                 raise ValueError("P/B slice without reference pictures")
             ref_list = [stored[p.frame_idx] for p in dpb.ref_list0]
@@ -185,7 +198,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
                                ref[0], ref[1], ref[2], ref_list,
-                               ref_list1, dctx)
+                               ref_list1, dctx, wp)
         if any(h.deblocking is None or h.deblocking.disable_idc != 1
                for h in headers):
             from .refimpl.deblock import deblock_frame

@@ -31,6 +31,7 @@ class SequenceEncoder:
         self.ref_mss = []    # MotionState per entry (B co-located motion)
         self.deblock = deblock  # in-loop filter on (stream must use
         #                         deblock_disable=0 when assembling)
+        self._wp = None  # active weighted-prediction state per frame
 
     @property
     def prev(self):
@@ -103,10 +104,15 @@ class SequenceEncoder:
         return best_mv, best_sad
 
     def encode_p(self, src_y, src_cb, src_cr, search: int = 6,
-                 poc: int = None):
-        """Encode one P frame; returns MBState list."""
+                 poc: int = None, wp_table=None):
+        """Encode one P frame; returns MBState list.
+
+        wp_table: PredWeightTable for explicit weighted prediction (PPS
+        must set weighted_pred_flag; pass the table to the slice writer)."""
+        from ..refimpl.inter import ExplicitWP
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
+        self._wp = ExplicitWP(wp_table) if wp_table is not None else None
         if poc is None:
             poc = (max(self.ref_pocs) + 2) if self.ref_pocs else 0
         R = FrameRecon(sps, pps)
@@ -170,14 +176,18 @@ class SequenceEncoder:
         self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc, ms)
         return mbs
 
-    def encode_b(self, src_y, src_cb, src_cr, poc: int, search: int = 6):
+    def encode_b(self, src_y, src_cb, src_cr, poc: int, search: int = 6,
+                 implicit_wp: bool = False, wp_table=None):
         """Encode one (non-reference) B frame against the nearest past /
         future references; returns MBState list.
 
-        Covers B_Skip, B_Direct_16x16 (spatial), B_L0/L1/Bi_16x16 and
-        intra escapes.  The frame is not stored as a reference."""
-        from ..refimpl.inter import (DirectCtx, MotionState,
-                                     recon_inter_mb, spatial_direct_mb)
+        Covers B_Skip, B_Direct_16x16 (spatial), B_L0/L1/Bi_16x16,
+        partitioned MBs and intra escapes.  implicit_wp: PPS has
+        weighted_bipred_idc 2; wp_table: explicit B weights (idc 1).
+        The frame is not stored as a reference."""
+        from ..refimpl.inter import (DirectCtx, ExplicitWP, ImplicitWP,
+                                     MotionState, recon_inter_mb,
+                                     spatial_direct_mb, _wp_bi, _wp_single)
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
         past = [i for i, p in enumerate(self.ref_pocs) if p < poc]
@@ -188,6 +198,14 @@ class SequenceEncoder:
         i1 = min(future, key=lambda i: self.ref_pocs[i])
         l0p, l1p = self.refs[i0], self.refs[i1]
         dctx = DirectCtx(self.ref_mss[i1], True)
+        if wp_table is not None:
+            wp = ExplicitWP(wp_table)
+        elif implicit_wp:
+            wp = ImplicitWP(poc, [self.ref_pocs[i0]], [self.ref_pocs[i1]],
+                            [False], [False])
+        else:
+            wp = None
+        self._wp = wp
         R = FrameRecon(sps, pps)
         self.enc.recon = R
         self.enc.q.recon = R
@@ -201,12 +219,23 @@ class SequenceEncoder:
             mb.qp_y = qp
             # --- candidates ----------------------------------------------
             dvals = spatial_direct_mb(ms, addr, dctx)
-            dpred = self._direct_pred16(addr, dvals, l0p, l1p)
+            dpred = self._direct_pred16(addr, dvals, l0p, l1p, wp)
             sad_d = np.abs(src - dpred).sum()
             mv0, sad0 = self._search(l0p[0], src, x0, y0, search)
             mv1, sad1 = self._search(l1p[0], src, x0, y0, search)
-            bi = (luma_interp(l0p[0], x0, y0, 16, 16, *mv0)
-                  + luma_interp(l1p[0], x0, y0, 16, 16, *mv1) + 1) >> 1
+            p0 = luma_interp(l0p[0], x0, y0, 16, 16, *mv0)
+            p1 = luma_interp(l1p[0], x0, y0, 16, 16, *mv1)
+            if isinstance(wp, ExplicitWP):
+                d, w0, o0 = wp.luma(0, 0)
+                _, w1, o1 = wp.luma(1, 0)
+                bi = _wp_bi(p0, p1, d, w0, o0, w1, o1)
+                p0 = _wp_single(p0, *wp.luma(0, 0))
+                p1 = _wp_single(p1, *wp.luma(1, 0))
+            elif isinstance(wp, ImplicitWP):
+                w0, w1 = wp.biweights(0, 0)
+                bi = _wp_bi(p0, p1, 5, w0, 0, w1, 0)
+            else:
+                bi = (p0 + p1 + 1) >> 1
             sad_bi = np.abs(src - bi).sum()
             mode = ["auto", "l0", "l1", "bi", "direct", "auto"][addr % 6]
             if addr % 13 == 5:
@@ -226,12 +255,14 @@ class SequenceEncoder:
             # --- encode chosen mode --------------------------------------
             if mode == "skip":
                 mb.kind = MbKind.B_SKIP
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
+                               dctx, wp)
             elif mode == "direct":
                 mb.kind = MbKind.B_DIRECT
                 mb.mb_type_code = 0
                 self._code_luma_resid(mb, src, dpred)
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
+                               dctx, wp)
             elif mode in ("l0", "l1", "bi"):
                 mb.kind = MbKind.B
                 mb.mb_type_code = {"l0": 1, "l1": 2, "bi": 3}[mode]
@@ -246,11 +277,10 @@ class SequenceEncoder:
                     mb.ref_idx[which][:] = 0
                     mb.mvd[which][:, 0] = mv[0] - mvp[0]
                     mb.mvd[which][:, 1] = mv[1] - mvp[1]
-                pred = {"l0": luma_interp(l0p[0], x0, y0, 16, 16, *mv0),
-                        "l1": luma_interp(l1p[0], x0, y0, 16, 16, *mv1),
-                        "bi": bi}[mode]
+                pred = {"l0": p0, "l1": p1, "bi": bi}[mode]
                 self._code_luma_resid(mb, src, pred)
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
+                               dctx, wp)
             elif mode in ("16x8", "8x16", "b8x8"):
                 self._encode_b_partitions(mb, addr, ms, mode, src_y,
                                           l0p, l1p, dctx, search)
@@ -333,10 +363,13 @@ class SequenceEncoder:
                 scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, 0, which)
         mb.cbp = 0
         from ..refimpl.inter import recon_inter_mb as _rim
-        _rim(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx)
+        _rim(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx,
+             getattr(self, "_wp", None))
 
-    def _direct_pred16(self, addr, dvals, l0p, l1p):
+    def _direct_pred16(self, addr, dvals, l0p, l1p, wp=None):
         """16x16 spatial-direct luma prediction (candidate evaluation)."""
+        from ..refimpl.inter import (ExplicitWP, ImplicitWP, _wp_bi,
+                                     _wp_single)
         R = self.enc.recon
         mx, my = addr % R.mb_w, addr // R.mb_w
         r0, r1, m0, m1, zq = dvals
@@ -344,14 +377,26 @@ class SequenceEncoder:
         for q in range(4):
             qx, qy = (q & 1) * 8, (q >> 1) * 8
             px, py = mx * 16 + qx, my * 16 + qy
-            acc = None
+            parts = []
             for which, r, m, planes in ((0, r0, m0, l0p), (1, r1, m1, l1p)):
                 if r < 0:
                     continue
                 mv = np.zeros(2, np.int64) if (zq[q] and r == 0) else m
-                v = luma_interp(planes[0], px, py, 8, 8, int(mv[0]),
-                                int(mv[1]))
-                acc = v if acc is None else (acc + v + 1) >> 1
+                parts.append((which, r, luma_interp(
+                    planes[0], px, py, 8, 8, int(mv[0]), int(mv[1]))))
+            if len(parts) == 1:
+                which, r, acc = parts[0]
+                if isinstance(wp, ExplicitWP):
+                    acc = _wp_single(acc, *wp.luma(which, r))
+            elif isinstance(wp, ExplicitWP):
+                d, w0, o0 = wp.luma(0, parts[0][1])
+                _, w1, o1 = wp.luma(1, parts[1][1])
+                acc = _wp_bi(parts[0][2], parts[1][2], d, w0, o0, w1, o1)
+            elif isinstance(wp, ImplicitWP):
+                w0, w1 = wp.biweights(parts[0][1], parts[1][1])
+                acc = _wp_bi(parts[0][2], parts[1][2], 5, w0, 0, w1, 0)
+            else:
+                acc = (parts[0][2] + parts[1][2] + 1) >> 1
             pred[qy:qy + 8, qx:qx + 8] = acc
         return pred
 
@@ -437,7 +482,8 @@ class SequenceEncoder:
         # no residual for partitioned fixture MBs (cbp 0)
         mb.cbp = 0
         from ..refimpl.inter import recon_inter_mb
-        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs)
+        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs,
+                       wp=getattr(self, "_wp", None))
 
     def _recon_inter(self, mb, addr, ms, mv, src_y, code_resid: bool,
                      ref_idx: int = 0):
@@ -451,6 +497,9 @@ class SequenceEncoder:
             qp = self.qp
             ref_y = self.refs[ref_idx][0]
             pred = luma_interp(ref_y, x0, y0, 16, 16, int(mv[0]), int(mv[1]))
+            if getattr(self, "_wp", None) is not None:
+                from ..refimpl.inter import _wp_single
+                pred = _wp_single(pred, *self._wp.luma(0, ref_idx))
             resid = src_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64) - pred
             inv = self.enc.q.inv4(qp, 0)
             cbp_luma = 0
@@ -462,4 +511,5 @@ class SequenceEncoder:
                     cbp_luma |= 1 << (blk >> 2)
                 mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
             mb.cbp = cbp_luma  # chroma residual left zero for now
-        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs)
+        recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs,
+                       wp=getattr(self, "_wp", None))

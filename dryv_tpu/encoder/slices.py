@@ -14,7 +14,8 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     transform_8x8: bool = False, qp: int = 26,
                     chroma_qp_offset: int = 0,
                     crop=None, max_refs: int = 1,
-                    poc_type: int = 2) -> tuple[SPS, PPS]:
+                    poc_type: int = 2, weighted_pred: int = 0,
+                    weighted_bipred_idc: int = 0) -> tuple[SPS, PPS]:
     sps = SPS(
         profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
         level_idc=40,
@@ -29,6 +30,8 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
         sps.frame_cropping = FrameCropping(*crop)
     pps = PPS(
         entropy_coding_mode_flag=1,
+        weighted_pred_flag=weighted_pred,
+        weighted_bipred_idc=weighted_bipred_idc,
         pic_init_qp_minus26=qp - 26,
         chroma_qp_index_offset=chroma_qp_offset,
         # fixtures disable the in-loop deblocking filter per slice: the
@@ -49,7 +52,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       num_ref_l0: int | None = None,
                       num_ref_l1: int | None = None,
                       deblock_disable: int = 1,
-                      nal_ref_idc: int = 3) -> NalUnit:
+                      nal_ref_idc: int = 3,
+                      pred_weight_table=None) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -66,6 +70,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
         direct_spatial_mv_pred_flag=1,
+        pred_weight_table=pred_weight_table,
         deblocking=DeblockingFilterControl(disable_idc=deblock_disable),
     )
     if num_ref_l0 is not None:
@@ -107,6 +112,7 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
         mb_list, st_code, idr, frame_num = entry[:4]
         poc_lsb = entry[4] if len(entry) > 4 else 0
         ref_idc = entry[5] if len(entry) > 5 else 3
+        pwt = entry[6] if len(entry) > 6 else None
         assert len(mb_list) == n
         mbs_frame = [None] * n
         st = st_code % 5
@@ -117,7 +123,7 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
             num_ref_l0=(min(nref, sps.max_num_ref_frames) if st == 0
                         else 1 if st == 1 else None),
             num_ref_l1=1 if st == 1 else None,
-            deblock_disable=deblock_disable))
+            deblock_disable=deblock_disable, pred_weight_table=pwt))
         if ref_idc != 0:
             nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)

@@ -144,6 +144,66 @@ def mv_skip(ms: MotionState, addr: int) -> np.ndarray:
     return _median_pred(ms, bx0, by0, 4, 0)
 
 
+class ExplicitWP:
+    """Explicit weighted prediction (8.4.2.3.2): per-ref luma/chroma
+    weights+offsets from the slice header's pred_weight_table."""
+
+    def __init__(self, pwt):
+        self.pwt = pwt
+
+    def luma(self, which, ridx):
+        t = self.pwt
+        lst = t.luma_l0 if which == 0 else t.luma_l1
+        d = t.luma_log2_weight_denom
+        e = lst[ridx] if ridx < len(lst) else None
+        return (d, e.weight, e.offset) if e is not None else (d, 1 << d, 0)
+
+    def chroma(self, which, ridx, c):
+        t = self.pwt
+        lst = t.chroma_l0 if which == 0 else t.chroma_l1
+        d = t.chroma_log2_weight_denom
+        e = lst[ridx] if ridx < len(lst) else None
+        if e is None:
+            return d, 1 << d, 0
+        return d, e[c].weight, e[c].offset
+
+
+class ImplicitWP:
+    """Implicit weighted bi-prediction (weighted_bipred_idc == 2):
+    POC-distance derived w0/w1, logWD 5, zero offsets (8.4.2.3.2)."""
+
+    def __init__(self, poc_cur, pocs0, pocs1, lt0, lt1):
+        self.poc_cur = poc_cur
+        self.pocs0, self.pocs1 = pocs0, pocs1
+        self.lt0, self.lt1 = lt0, lt1
+
+    def biweights(self, r0, r1):
+        poc0, poc1 = self.pocs0[r0], self.pocs1[r1]
+        if self.lt0[r0] or self.lt1[r1] or poc0 == poc1:
+            return 32, 32
+        td = int(np.clip(poc1 - poc0, -128, 127))
+        if td == 0:
+            return 32, 32
+        tb = int(np.clip(self.poc_cur - poc0, -128, 127))
+        tx = (16384 + (abs(td) >> 1)) // td
+        dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+        w1 = dsf >> 2
+        if w1 < -64 or w1 > 128:
+            return 32, 32
+        return 64 - w1, w1
+
+
+def _wp_single(p, d, w, o):
+    if d >= 1:
+        return np.clip(((p * w + (1 << (d - 1))) >> d) + o, 0, 255)
+    return np.clip(p * w + o, 0, 255)
+
+
+def _wp_bi(p0, p1, d, w0, o0, w1, o1):
+    return np.clip(((p0 * w0 + p1 * w1 + (1 << d)) >> (d + 1))
+                   + ((o0 + o1 + 1) >> 1), 0, 255)
+
+
 class DirectCtx:
     """Context for B spatial direct derivation (8.4.1.2.2).
 
@@ -355,13 +415,13 @@ def _partitions(mb: MBState):
 
 def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                    ms: MotionState, ref_y, ref_cb, ref_cr, ref_list=None,
-                   ref_list1=None, direct_ctx: DirectCtx = None):
+                   ref_list1=None, direct_ctx: DirectCtx = None, wp=None):
     """Reconstruct a P/B inter MB (skip / direct / 16x16 / 16x8 / 8x16 /
     8x8 sub-partitions; L0 / L1 / bi-predictive) with quarter-pel MC.
 
     ref_y/cb/cr: reference list 0 entry 0 planes; ref_list/ref_list1:
     lists of (y, cb, cr) tuples; direct_ctx: co-located motion for B
-    spatial direct."""
+    spatial direct; wp: ExplicitWP / ImplicitWP weighted prediction."""
     from .transform import dequant_idct_4x4, dequant_idct_8x8, \
         idct_chroma_dc, qpc_from_qpy
     from .recon import dezigzag4, dezigzag8
@@ -381,10 +441,11 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
 
     def mc_part(ox4, oy4, w4, h4, used):
         """Motion-compensate one partition; `used` = [(which, mv, ref_idx)];
-        two entries -> default bi combine (8.4.2.3.1)."""
+        two entries -> bi combine (default 8.4.2.3.1 or weighted
+        8.4.2.3.2 when `wp` is set)."""
         px, py = x0 + ox4 * 4, y0 + oy4 * 4
         pw, ph = w4 * 4, h4 * 4
-        accy = accb = accr = None
+        preds = []
         for which, mv, ridx in used:
             lst = lists[which]
             if lst is None or ridx >= len(lst):
@@ -395,12 +456,38 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                                 int(mv[0]), int(mv[1]))
             crv = chroma_interp(rcr, px // 2, py // 2, pw // 2, ph // 2,
                                 int(mv[0]), int(mv[1]))
-            if accy is None:
-                accy, accb, accr = yv, cbv, crv
-            else:
-                accy = (accy + yv + 1) >> 1
-                accb = (accb + cbv + 1) >> 1
-                accr = (accr + crv + 1) >> 1
+            preds.append((which, ridx, yv, cbv, crv))
+        if len(preds) == 1:
+            which, ridx, accy, accb, accr = preds[0]
+            if isinstance(wp, ExplicitWP):
+                accy = _wp_single(accy, *wp.luma(which, ridx))
+                accb = _wp_single(accb, *wp.chroma(which, ridx, 0))
+                accr = _wp_single(accr, *wp.chroma(which, ridx, 1))
+        elif isinstance(wp, ExplicitWP):
+            _, r0, y0_, cb0, cr0 = preds[0]
+            _, r1, y1_, cb1, cr1 = preds[1]
+            dy, wy0, oy0 = wp.luma(0, r0)
+            _, wy1, oy1 = wp.luma(1, r1)
+            accy = _wp_bi(y0_, y1_, dy, wy0, oy0, wy1, oy1)
+            dc, wb0, ob0 = wp.chroma(0, r0, 0)
+            _, wb1, ob1 = wp.chroma(1, r1, 0)
+            accb = _wp_bi(cb0, cb1, dc, wb0, ob0, wb1, ob1)
+            _, wr0, or0 = wp.chroma(0, r0, 1)
+            _, wr1, or1 = wp.chroma(1, r1, 1)
+            accr = _wp_bi(cr0, cr1, dc, wr0, or0, wr1, or1)
+        elif isinstance(wp, ImplicitWP):
+            _, r0, y0_, cb0, cr0 = preds[0]
+            _, r1, y1_, cb1, cr1 = preds[1]
+            w0, w1 = wp.biweights(r0, r1)
+            accy = _wp_bi(y0_, y1_, 5, w0, 0, w1, 0)
+            accb = _wp_bi(cb0, cb1, 5, w0, 0, w1, 0)
+            accr = _wp_bi(cr0, cr1, 5, w0, 0, w1, 0)
+        else:
+            _, _, y0_, cb0, cr0 = preds[0]
+            _, _, y1_, cb1, cr1 = preds[1]
+            accy = (y0_ + y1_ + 1) >> 1
+            accb = (cb0 + cb1 + 1) >> 1
+            accr = (cr0 + cr1 + 1) >> 1
         pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = accy
         pred_cb[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accb
         pred_cr[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accr
