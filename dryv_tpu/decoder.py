@@ -148,6 +148,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     dpb = DecodedPictureBuffer()
     stored = {}  # frame_idx -> (y, cb, cr) uncropped
     stored_ms = {}  # frame_idx -> MotionState (B co-located motion)
+    stored_maps = {}  # frame_idx -> (l0 keys, l1 keys) for temporal direct
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
         h0 = headers[0]
@@ -178,12 +179,21 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 if not dpb.ref_list1:
                     raise ValueError("B slice without list-1 references")
                 ref_list1 = [stored[p.frame_idx] for p in dpb.ref_list1]
-                if not h0.direct_spatial_mv_pred_flag:
-                    raise NotImplementedError(
-                        "temporal direct mode (fixtures use spatial)")
                 colp = dpb.ref_list1[0]
-                dctx = DirectCtx(stored_ms[colp.frame_idx],
-                                 not colp.is_long_term)
+                if h0.direct_spatial_mv_pred_flag:
+                    dctx = DirectCtx(stored_ms[colp.frame_idx],
+                                     not colp.is_long_term)
+                else:
+                    from .refimpl.inter import TemporalDirectCtx
+                    cm0, cm1 = stored_maps[colp.frame_idx]
+                    dctx = TemporalDirectCtx(
+                        stored_ms[colp.frame_idx], cm0, cm1,
+                        [p.frame_idx for p in dpb.ref_list0],
+                        {p.frame_idx: p.pic_order_cnt
+                         for p in dpb.pictures},
+                        {p.frame_idx: p.is_long_term
+                         for p in dpb.pictures},
+                        poc, colp.pic_order_cnt)
         recon = FrameRecon(sps, pps)
         ms = MotionState(recon.mb_w, recon.mb_h)
         for addr, mb in enumerate(mbs):
@@ -216,10 +226,15 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         if pic is not None:
             stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)
             stored_ms[pic.frame_idx] = ms
+            stored_maps[pic.frame_idx] = (
+                [p.frame_idx for p in dpb.ref_list0],
+                [p.frame_idx for p in dpb.ref_list1])
             # retain only pixel data still referenced
             live = {p.frame_idx for p in dpb.pictures}
             stored = {k: v for k, v in stored.items() if k in live}
             stored_ms = {k: v for k, v in stored_ms.items() if k in live}
+            stored_maps = {k: v for k, v in stored_maps.items()
+                           if k in live}
         frames.append(DecodedFrame(recon.y, recon.cb, recon.cr,
                                    poc).crop(sps))
         if max_frames and len(frames) >= max_frames:

@@ -29,6 +29,7 @@ class SequenceEncoder:
         self.ref_pocs = []   # POC per entry (B list construction + deblock
         #                      picture identity)
         self.ref_mss = []    # MotionState per entry (B co-located motion)
+        self.ref_maps = []   # (l0 keys, l1 keys) per entry (temporal direct)
         self.deblock = deblock  # in-loop filter on (stream must use
         #                         deblock_disable=0 when assembling)
         self._wp = None  # active weighted-prediction state per frame
@@ -37,14 +38,16 @@ class SequenceEncoder:
     def prev(self):
         return self.refs[0] if self.refs else None
 
-    def _store_ref(self, planes, poc, ms):
+    def _store_ref(self, planes, poc, ms, maps=((), ())):
         self.refs.insert(0, planes)
         self.ref_pocs.insert(0, poc)
         self.ref_mss.insert(0, ms)
+        self.ref_maps.insert(0, (list(maps[0]), list(maps[1])))
         cap = max(1, self.sps.max_num_ref_frames)
         del self.refs[cap:]
         del self.ref_pocs[cap:]
         del self.ref_mss[cap:]
+        del self.ref_maps[cap:]
 
     def encode_idr(self, src_y, src_cb, src_cr, poc: int = 0):
         from ..refimpl.inter import MotionState
@@ -52,6 +55,7 @@ class SequenceEncoder:
         self._maybe_deblock(mbs, None)
         R = self.enc.recon
         self.refs, self.ref_pocs, self.ref_mss = [], [], []
+        self.ref_maps = []
         self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc,
                         MotionState(R.mb_w, R.mb_h))
         return mbs
@@ -173,11 +177,14 @@ class SequenceEncoder:
                 ms.set_mb_intra(addr)
             mbs.append(mb)
         self._maybe_deblock(mbs, ms, self.ref_pocs)
-        self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc, ms)
+        l0keys = list(self.ref_pocs)  # this picture's list 0, POC-keyed
+        self._store_ref((R.y.copy(), R.cb.copy(), R.cr.copy()), poc, ms,
+                        (l0keys, []))
         return mbs
 
     def encode_b(self, src_y, src_cb, src_cr, poc: int, search: int = 6,
-                 implicit_wp: bool = False, wp_table=None):
+                 implicit_wp: bool = False, wp_table=None,
+                 temporal: bool = False):
         """Encode one (non-reference) B frame against the nearest past /
         future references; returns MBState list.
 
@@ -186,8 +193,9 @@ class SequenceEncoder:
         weighted_bipred_idc 2; wp_table: explicit B weights (idc 1).
         The frame is not stored as a reference."""
         from ..refimpl.inter import (DirectCtx, ExplicitWP, ImplicitWP,
-                                     MotionState, recon_inter_mb,
-                                     spatial_direct_mb, _wp_bi, _wp_single)
+                                     MotionState, TemporalDirectCtx,
+                                     derive_direct, recon_inter_mb,
+                                     _wp_bi, _wp_single)
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
         past = [i for i, p in enumerate(self.ref_pocs) if p < poc]
@@ -197,7 +205,15 @@ class SequenceEncoder:
         i0 = max(past, key=lambda i: self.ref_pocs[i])
         i1 = min(future, key=lambda i: self.ref_pocs[i])
         l0p, l1p = self.refs[i0], self.refs[i1]
-        dctx = DirectCtx(self.ref_mss[i1], True)
+        if temporal:
+            cm0, cm1 = self.ref_maps[i1]
+            keys = set(self.ref_pocs) | set(cm0) | set(cm1)
+            dctx = TemporalDirectCtx(
+                self.ref_mss[i1], cm0, cm1, [self.ref_pocs[i0]],
+                {k: k for k in keys}, {k: False for k in keys},
+                poc, self.ref_pocs[i1])
+        else:
+            dctx = DirectCtx(self.ref_mss[i1], True)
         if wp_table is not None:
             wp = ExplicitWP(wp_table)
         elif implicit_wp:
@@ -218,7 +234,7 @@ class SequenceEncoder:
             mb = MBState.fresh()
             mb.qp_y = qp
             # --- candidates ----------------------------------------------
-            dvals = spatial_direct_mb(ms, addr, dctx)
+            dvals = derive_direct(ms, addr, dctx)
             dpred = self._direct_pred16(addr, dvals, l0p, l1p, wp)
             sad_d = np.abs(src - dpred).sum()
             mv0, sad0 = self._search(l0p[0], src, x0, y0, search)
@@ -300,7 +316,7 @@ class SequenceEncoder:
         """Partitioned B MBs: 16x8 (L0 top / L1 bottom), 8x16 (bi both),
         B_8x8 with sub types direct/L0/L1/Bi.  mvds derived on a scratch
         motion state in coding order; no residual (cbp 0)."""
-        from ..refimpl.inter import (recon_inter_mb, spatial_direct_mb)
+        from ..refimpl.inter import derive_direct, recon_inter_mb
         R = self.enc.recon
         mx, my = addr % R.mb_w, addr // R.mb_w
         bx0, by0 = mx * 4, my * 4
@@ -328,12 +344,10 @@ class SequenceEncoder:
         for (ox4, oy4), w4, h4, shape, pidx, anchor, quads, lists in parts:
             if lists == "direct":
                 if dvals is None:
-                    dvals = spatial_direct_mb(scratch, addr, dctx)
-                r0, r1, m0, m1, zq = dvals
-                for which, r, m in ((0, r0, m0), (1, r1, m1)):
+                    dvals = derive_direct(scratch, addr, dctx)
+                r0, r1, m0, m1 = dvals[pidx]
+                for which, r, mv in ((0, r0, m0), (1, r1, m1)):
                     if r >= 0:
-                        mv = (np.zeros(2, np.int64)
-                              if (zq[pidx] and r == 0) else m)
                         scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4,
                                          mv, r, which)
                     else:
@@ -372,16 +386,16 @@ class SequenceEncoder:
                                      _wp_single)
         R = self.enc.recon
         mx, my = addr % R.mb_w, addr // R.mb_w
-        r0, r1, m0, m1, zq = dvals
         pred = np.zeros((16, 16), np.int64)
         for q in range(4):
+            r0, r1, m0, m1 = dvals[q]
             qx, qy = (q & 1) * 8, (q >> 1) * 8
             px, py = mx * 16 + qx, my * 16 + qy
             parts = []
-            for which, r, m, planes in ((0, r0, m0, l0p), (1, r1, m1, l1p)):
+            for which, r, mv, planes in ((0, r0, m0, l0p),
+                                         (1, r1, m1, l1p)):
                 if r < 0:
                     continue
-                mv = np.zeros(2, np.int64) if (zq[q] and r == 0) else m
                 parts.append((which, r, luma_interp(
                     planes[0], px, py, 8, 8, int(mv[0]), int(mv[1]))))
             if len(parts) == 1:

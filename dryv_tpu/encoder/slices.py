@@ -53,7 +53,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       num_ref_l1: int | None = None,
                       deblock_disable: int = 1,
                       nal_ref_idc: int = 3,
-                      pred_weight_table=None) -> NalUnit:
+                      pred_weight_table=None,
+                      direct_spatial: int = 1) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -69,7 +70,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         idr_pic_id=idr_pic_id,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
-        direct_spatial_mv_pred_flag=1,
+        direct_spatial_mv_pred_flag=direct_spatial,
         pred_weight_table=pred_weight_table,
         deblocking=DeblockingFilterControl(disable_idc=deblock_disable),
     )
@@ -113,6 +114,7 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
         poc_lsb = entry[4] if len(entry) > 4 else 0
         ref_idc = entry[5] if len(entry) > 5 else 3
         pwt = entry[6] if len(entry) > 6 else None
+        direct_spatial = entry[7] if len(entry) > 7 else 1
         assert len(mb_list) == n
         mbs_frame = [None] * n
         st = st_code % 5
@@ -123,7 +125,8 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
             num_ref_l0=(min(nref, sps.max_num_ref_frames) if st == 0
                         else 1 if st == 1 else None),
             num_ref_l1=1 if st == 1 else None,
-            deblock_disable=deblock_disable, pred_weight_table=pwt))
+            deblock_disable=deblock_disable, pred_weight_table=pwt,
+            direct_spatial=direct_spatial))
         if ref_idc != 0:
             nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)

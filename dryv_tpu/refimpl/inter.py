@@ -215,6 +215,24 @@ class DirectCtx:
         self.col_shortterm = col_shortterm
 
 
+class TemporalDirectCtx:
+    """Context for B temporal direct derivation (8.4.1.2.3).
+
+    col_ms: motion of ref_list1[0]; col_map0/col_map1 map its per-list
+    ref indices to picture keys; list0_keys: picture key per current
+    list-0 index; poc_by_key / longterm_by_key: POC + marking per key;
+    poc_cur / poc_pic1: POC of the current picture and of ref_list1[0]."""
+
+    def __init__(self, col_ms, col_map0, col_map1, list0_keys, poc_by_key,
+                 longterm_by_key, poc_cur, poc_pic1):
+        self.col_ms = col_ms
+        self.col_map0, self.col_map1 = col_map0, col_map1
+        self.list0_keys = list(list0_keys)
+        self.poc_by_key = poc_by_key
+        self.longterm_by_key = longterm_by_key
+        self.poc_cur, self.poc_pic1 = poc_cur, poc_pic1
+
+
 def _min_positive(a: int, b: int) -> int:
     if a >= 0 and b >= 0:
         return min(a, b)
@@ -260,6 +278,65 @@ def spatial_direct_mb(ms: MotionState, addr: int, ctx: DirectCtx):
             zero_quad[q] = (cref == 0 and abs(int(cmv[0])) <= 1
                             and abs(int(cmv[1])) <= 1)
     return ref0, ref1, mv0, mv1, zero_quad
+
+
+def derive_direct(ms: MotionState, addr: int, ctx):
+    """Direct-mode motion for each 8x8 quadrant of a MB: returns
+    [(ref0, ref1, mv0, mv1)] * 4 (ref < 0 = list unused).
+
+    Dispatches on ctx type: DirectCtx -> spatial (8.4.1.2.2),
+    TemporalDirectCtx -> temporal (8.4.1.2.3)."""
+    if isinstance(ctx, TemporalDirectCtx):
+        return _temporal_direct(ms, addr, ctx)
+    r0, r1, m0, m1, zq = spatial_direct_mb(ms, addr, ctx)
+    quads = []
+    zero = np.zeros(2, np.int64)
+    for q in range(4):
+        mv0 = zero if (zq[q] and r0 == 0) else m0
+        mv1 = zero if (zq[q] and r1 == 0) else m1
+        quads.append((r0, r1, mv0, mv1))
+    return quads
+
+
+def _temporal_direct(ms: MotionState, addr: int, ctx: TemporalDirectCtx):
+    """Temporal direct (8.4.1.2.3, direct_8x8_inference): co-located
+    motion POC-scaled; always bi-predictive with refIdxL1 = 0."""
+    mb_w = ms.mb_w
+    mx, my = addr % mb_w, addr // mb_w
+    bx0, by0 = mx * 4, my * 4
+    corners = [(0, 0), (3, 0), (0, 3), (3, 3)]
+    quads = []
+    zero = np.zeros(2, np.int64)
+    for q, (cx, cy) in enumerate(corners):
+        av, cmv, cref = ctx.col_ms.blk(bx0 + cx, by0 + cy, 0)
+        cmap = ctx.col_map0
+        if not av or cref < 0:
+            av1, cmv, cref = ctx.col_ms.blk(bx0 + cx, by0 + cy, 1)
+            if av1 and cref >= 0:
+                cmap = ctx.col_map1
+            else:
+                # intra co-located: mvCol = 0, refIdxCol = 0
+                cmv, cref, cmap = zero, 0, ctx.col_map0
+        ref_key = cmap[int(cref)]
+        try:
+            ref0 = ctx.list0_keys.index(ref_key)
+        except ValueError:
+            raise NotImplementedError(
+                "temporal direct: co-located reference picture absent "
+                "from the current list 0")
+        poc0 = ctx.poc_by_key[ref_key]
+        cmv = np.asarray(cmv, np.int64)
+        if ctx.longterm_by_key.get(ref_key) or ctx.poc_pic1 == poc0:
+            mv0, mv1 = cmv, zero
+        else:
+            td = int(np.clip(ctx.poc_pic1 - poc0, -128, 127))
+            tb = int(np.clip(ctx.poc_cur - poc0, -128, 127))
+            tx = (16384 + (abs(td) >> 1)) // td
+            dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+            mv0 = (dsf * cmv + 128) >> 8
+            mv1 = mv0 - cmv
+        quads.append((ref0, 0, mv0, mv1))
+    return quads
 
 
 # ---------------------------------------------------------------------------
@@ -492,14 +569,13 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
         pred_cb[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accb
         pred_cr[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accr
 
-    def direct_quad(q, dvals):
-        """Apply spatial-direct motion to 8x8 quadrant q."""
-        r0, r1, m0, m1, zq = dvals
+    def direct_quad(q, quads):
+        """Apply direct-mode motion to 8x8 quadrant q."""
+        r0, r1, mv0, mv1 = quads[q]
         qx, qy = (q & 1) * 2, (q >> 1) * 2
         used = []
-        for which, r, m in ((0, r0, m0), (1, r1, m1)):
+        for which, r, mv in ((0, r0, mv0), (1, r1, mv1)):
             if r >= 0:
-                mv = np.zeros(2, np.int64) if (zq[q] and r == 0) else m
                 used.append((which, mv, r))
                 ms.set_part(bx0 + qx, by0 + qy, 2, 2, mv, r, which)
             else:
@@ -512,7 +588,7 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
         ms.set_part(bx0, by0, 4, 4, mv, 0)
         mc_part(0, 0, 4, 4, [(0, mv, 0)])
     elif mb.kind in (MbKind.B_SKIP, MbKind.B_DIRECT):
-        dvals = spatial_direct_mb(ms, addr, direct_ctx)
+        dvals = derive_direct(ms, addr, direct_ctx)
         for q in range(4):
             direct_quad(q, dvals)
     else:
@@ -521,7 +597,7 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
              pidx) in _partitions(mb):
             if pred == PRED_DIRECT:
                 if dvals is None:
-                    dvals = spatial_direct_mb(ms, addr, direct_ctx)
+                    dvals = derive_direct(ms, addr, direct_ctx)
                 direct_quad(quad, dvals)
                 continue
             used = []

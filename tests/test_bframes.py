@@ -72,3 +72,30 @@ def test_b_sequence_bit_exact(b_sequence):
         assert np.array_equal(oy, ours[i].y), f"frame {i} luma"
         assert np.array_equal(ocb, ours[i].cb), f"frame {i} cb"
         assert np.array_equal(ocr, ours[i].cr), f"frame {i} cr"
+
+
+def test_temporal_direct_bit_exact():
+    """IDR + P + P + B with temporal direct (POC-scaled co-located mvs):
+    the co-located P's motion references the middle P -> non-trivial
+    scaling (tb=2, td=4)."""
+    mb_w, mb_h = 6, 4
+    frame_at = _sources(37, mb_w, mb_h)
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=28, poc_type=0, max_refs=2)
+    se = SequenceEncoder(sps, pps, 28)
+    frames = [
+        (se.encode_idr(*frame_at(0), poc=0), 7, True, 0, 0, 3),
+        (se.encode_p(*frame_at(2), poc=4), 5, False, 1, 4, 3),
+        (se.encode_p(*frame_at(4), poc=8), 5, False, 2, 8, 3),
+        (se.encode_b(*frame_at(3), poc=6, temporal=True), 6, False, 3, 6,
+         0, None, 0),
+    ]
+    stream = encode_sequence_annexb(sps, pps, frames)
+    kinds = [m.kind for m in frames[3][0]]
+    assert MbKind.B_SKIP in kinds or MbKind.B_DIRECT in kinds
+    oracle = decode_annexb(stream)
+    assert len(oracle) == 4
+    ours = sorted(decode_annexb_scalar(stream), key=lambda f: f.poc)
+    for i, (oy, ocb, ocr) in enumerate(oracle):
+        assert np.array_equal(oy, ours[i].y), f"frame {i} luma"
+        assert np.array_equal(ocb, ours[i].cb), f"frame {i} cb"
+        assert np.array_equal(ocr, ours[i].cr), f"frame {i} cr"
