@@ -6,7 +6,7 @@ import subprocess
 from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
-SRCS = [HERE / "entropy.cc", HERE / "recon.cc"]
+SRCS = [HERE / "entropy.cc", HERE / "recon.cc", HERE / "deblock.cc"]
 LIB = HERE / "libdryv_entropy.so"
 
 

@@ -70,6 +70,11 @@ def lib():
         rf.restype = ct.c_int
         rf.argtypes = [_P] * 15 + [ct.c_int32] * 4 + \
                       [ct.POINTER(ct.c_uint8)] * 3
+        db = _lib.dt_deblock_frame
+        db.restype = ct.c_int
+        U8 = ct.POINTER(ct.c_uint8)
+        db.argtypes = [U8, U8, U8, ct.c_int32, ct.c_int32, ct.c_int32,
+                       _P, _P, _P, U8, U8, _P, _P, U8, _P, _P, _P, _P]
     return _lib
 
 

@@ -74,6 +74,7 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
     for pic_nals in group_access_units(rest):
         # parse headers only (cheap, Python); entropy decode in C++
         slice_datas = None
+        headers = []
         sps = pps = None
         for nal in pic_nals:
             rbsp = nal.rbsp
@@ -84,15 +85,14 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag \
-                    or sps.chroma_array_type != 1 \
-                    or h.deblocking is None or h.deblocking.disable_idc != 1:
-                # C++ entropy stage covers CABAC 4:2:0 intra without the
-                # in-loop filter; everything else (incl. deblocking-enabled
-                # streams) takes the Python scalar path
+                    or sps.chroma_array_type != 1:
+                # C++ entropy stage covers CABAC 4:2:0 intra; everything
+                # else takes the Python scalar path
                 from .decoder import decode_annexb_scalar
                 return decode_annexb_scalar(stream, max_frames)
             if slice_datas is None:
                 slice_datas = []
+            headers.append(h)
             bitoff = (h.header_bit_len + 7) & ~7
             slice_datas.append((rbsp, bitoff, h.first_mb_in_slice,
                                 h.slice_qp_y(pps)))
@@ -100,10 +100,73 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
                                      n_threads=n_threads)
         fs = pack_from_native(out, sps, pps)
         y, cb, cr = reconstruct_frame_jax(fs)
+        if any(h.deblocking is None or h.deblocking.disable_idc != 1
+               for h in headers):
+            y, cb, cr = _deblock_native_intra(y, cb, cr, out, sps, pps,
+                                              headers)
         frames.append(DecodedFrame(y, cb, cr).crop(sps))
         if max_frames and len(frames) >= max_frames:
             break
     return frames
+
+
+def _deblock_native_intra(y, cb, cr, out, sps, pps, headers):
+    """Apply the C++ in-loop filter (native/deblock.cc) to an intra
+    picture reconstructed on device, using the dense C++ entropy outputs
+    (no MBState objects on this path)."""
+    import ctypes as ct
+
+    from .native.entropy import lib, _ptr
+    from .refimpl.transform import QPC_TAB
+
+    mb_w = sps.pic_width_in_mbs
+    mb_h = sps.frame_height_in_mbs
+    n = mb_w * mb_h
+    kind = out["kind"]
+    # native kind codes: recon path uses I16/I4/I8/PCM; PCM filters as QP 0
+    from .native.entropy import NK_I8, NK_PCM
+    qpy = np.where(kind == NK_PCM, 0, out["qp_y"]).astype(np.int32)
+
+    def qpc(off):
+        qpi = np.clip(qpy + off, 0, 51)
+        return np.where(qpi < 30, qpi,
+                        QPC_TAB[np.clip(qpi - 30, 0, 21)]).astype(np.int32)
+    off0 = pps.chroma_qp_index_offset
+    off1 = pps.second_chroma_qp_index_offset
+    if off1 is None:
+        off1 = off0
+    ctl = []
+    for h in headers:
+        d = h.deblocking
+        if d is None:
+            ctl.append((0, 0, 0))
+        else:
+            ctl.append((d.disable_idc, d.alpha_c0_offset_div2 * 2,
+                        d.beta_offset_div2 * 2))
+    n4 = mb_h * 4 * mb_w * 4
+    yy = np.ascontiguousarray(y, np.uint8)
+    bb = np.ascontiguousarray(cb, np.uint8)
+    rr = np.ascontiguousarray(cr, np.uint8)
+    args = dict(
+        qpc0=qpc(off0), qpc1=qpc(off1),
+        intra=np.ones(n, np.uint8),
+        t8=(kind == NK_I8).astype(np.uint8),
+        sid=np.ascontiguousarray(out["slice_id"], np.int32),
+        ctl=np.ascontiguousarray(np.array(ctl, np.int32).reshape(-1)),
+        nz4=np.zeros(n4, np.uint8),
+        mv=np.zeros(n4 * 2, np.int32), mv1=np.zeros(n4 * 2, np.int32),
+        ref=np.full(n4, -1, np.int32), ref1=np.full(n4, -1, np.int32))
+    U8 = ct.POINTER(ct.c_uint8)
+
+    def u8p(a):
+        return a.ctypes.data_as(U8)
+    lib().dt_deblock_frame(
+        u8p(yy), u8p(bb), u8p(rr), mb_w, mb_h, sps.chroma_array_type,
+        _ptr(qpy), _ptr(args["qpc0"]), _ptr(args["qpc1"]),
+        u8p(args["intra"]), u8p(args["t8"]), _ptr(args["sid"]),
+        _ptr(args["ctl"]), u8p(args["nz4"]), _ptr(args["mv"]),
+        _ptr(args["mv1"]), _ptr(args["ref"]), _ptr(args["ref1"]))
+    return yy, bb, rr
 
 
 def decode_annexb_tpu(stream: bytes, max_frames: int = 0):

@@ -242,6 +242,54 @@ def deblock_frame(y, cb, cr, mbs, ms, sps, pps, headers, ref_pics=None,
                                  cat)
 
 
+def deblock_frame_native(y, cb, cr, mbs, ms, sps, pps, headers,
+                         ref_pics=None, ref_pics1=None):
+    """C++ deblocking (native/deblock.cc), bit-identical to
+    `deblock_frame`; same signature.  Planes are updated in place."""
+    import ctypes as ct
+
+    from ..native.entropy import lib, _ptr
+    info = _PicInfo(mbs, ms, sps, pps, headers, ref_pics, ref_pics1)
+    mb_w, mb_h = info.mb_w, info.mb_h
+    cat = sps.chroma_array_type
+    n4 = mb_h * 4 * mb_w * 4
+
+    def plane_u8(p):
+        return None if p is None else np.ascontiguousarray(p, np.uint8)
+    yy, bb, rr = plane_u8(y), plane_u8(cb), plane_u8(cr)
+    qpy = np.ascontiguousarray(info.qpy.reshape(-1), np.int32)
+    qpc0 = np.ascontiguousarray(info.qpc[0].reshape(-1), np.int32)
+    qpc1 = np.ascontiguousarray(info.qpc[1].reshape(-1), np.int32)
+    intra = np.ascontiguousarray(info.intra.reshape(-1), np.uint8)
+    t8 = np.ascontiguousarray(info.t8map.reshape(-1), np.uint8)
+    sid = np.ascontiguousarray(info.sid.reshape(-1), np.int32)
+    ctl = np.ascontiguousarray(np.array(info.ctl, np.int32).reshape(-1))
+    nz4 = np.ascontiguousarray(info.nz4.reshape(-1), np.uint8)
+    zeros_mv = np.zeros(n4 * 2, np.int32)
+    neg = np.full(n4, -1, np.int32)
+    mv = (np.ascontiguousarray(info.mv.reshape(-1), np.int32)
+          if info.mv is not None else zeros_mv)
+    mv1 = (np.ascontiguousarray(info.mv1.reshape(-1), np.int32)
+           if info.mv1 is not None else zeros_mv)
+    ref = (np.ascontiguousarray(info.ref.reshape(-1), np.int32)
+           if info.ref is not None else neg)
+    ref1 = (np.ascontiguousarray(info.ref1.reshape(-1), np.int32)
+            if info.ref1 is not None else neg)
+
+    U8 = ct.POINTER(ct.c_uint8)
+
+    def u8p(a):
+        return a.ctypes.data_as(U8) if a is not None else None
+    lib().dt_deblock_frame(
+        u8p(yy), u8p(bb), u8p(rr), mb_w, mb_h, cat, _ptr(qpy), _ptr(qpc0),
+        _ptr(qpc1), u8p(intra), u8p(t8), _ptr(sid), _ptr(ctl), u8p(nz4),
+        _ptr(mv), _ptr(mv1), _ptr(ref), _ptr(ref1))
+    y[:] = yy
+    if cb is not None:
+        cb[:] = bb
+        cr[:] = rr
+
+
 def _skip_edge(info, mx, my, vertical, dis):
     pmx, pmy = (mx - 1, my) if vertical else (mx, my - 1)
     return dis == 2 and info.sid[pmy, pmx] != info.sid[my, mx]

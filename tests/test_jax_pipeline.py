@@ -19,3 +19,16 @@ def test_jax_decode_bit_exact(name):
     assert np.array_equal(frame.y, gy), f"{name}: luma mismatch"
     assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
     assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
+
+
+@pytest.mark.parametrize("name", ["dblk_mix_qp26", "dblk_i8_qp32",
+                                  "dblk_slices_qp28"])
+def test_fast_path_deblock_bit_exact(name):
+    """decode_annexb_fast keeps deblocking-enabled intra streams on the
+    C++ entropy + device recon + C++ deblock path (no scalar fallback)."""
+    from dryv_tpu.pipeline import decode_annexb_fast
+    stream, (gy, gcb, gcr), sps, pps = get_fixture(name)
+    frame = decode_annexb_fast(stream)[0]
+    assert np.array_equal(frame.y, gy), f"{name}: luma mismatch"
+    assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
+    assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
