@@ -55,6 +55,33 @@ class Out(ct.Structure):
                 ("ref_idx", _P), ("mvd", _P)]
 
 
+_U8P = ct.POINTER(ct.c_uint8)
+_PP = ct.POINTER(_U8P)
+
+
+class InterParams(ct.Structure):
+    """Mirrors InterParams in recon.cc (inter picture reconstruction)."""
+    _fields_ = [
+        ("is_b", ct.c_int32), ("direct_spatial", ct.c_int32),
+        ("n_ref0", ct.c_int32), ("n_ref1", ct.c_int32),
+        ("ref0_y", _PP), ("ref0_cb", _PP), ("ref0_cr", _PP),
+        ("ref1_y", _PP), ("ref1_cb", _PP), ("ref1_cr", _PP),
+        ("list0_keys", _P), ("list1_keys", _P),
+        ("col_mv0", _P), ("col_mv1", _P),
+        ("col_refidx0", _P), ("col_refidx1", _P),
+        ("col_refkey0", _P), ("col_refkey1", _P),
+        ("col_shortterm", ct.c_int32), ("col_default_key", ct.c_int32),
+        ("n_tk", ct.c_int32),
+        ("tkeys", _P), ("t_ref0", _P), ("t_ident", _P), ("t_dsf", _P),
+        ("wp_mode", ct.c_int32), ("wp_denom_y", ct.c_int32),
+        ("wp_denom_c", ct.c_int32),
+        ("wp_expl", _P), ("wp_stride", ct.c_int32), ("wp_imp", _P),
+        ("out_mv0", _P), ("out_mv1", _P),
+        ("out_refidx0", _P), ("out_refidx1", _P),
+        ("out_refkey0", _P), ("out_refkey1", _P),
+        ("out_nz4", _U8P)]
+
+
 _lib = None
 
 
@@ -75,6 +102,10 @@ def lib():
         U8 = ct.POINTER(ct.c_uint8)
         db.argtypes = [U8, U8, U8, ct.c_int32, ct.c_int32, ct.c_int32,
                        _P, _P, _P, U8, U8, _P, _P, U8, _P, _P, _P, _P]
+        rp = _lib.dt_recon_picture
+        rp.restype = ct.c_int
+        rp.argtypes = [_P] * 19 + [ct.c_int32] * 4 + [U8] * 3 + \
+                      [ct.POINTER(InterParams)]
     return _lib
 
 

@@ -86,10 +86,12 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag \
                     or sps.chroma_array_type != 1:
-                # C++ entropy stage covers CABAC 4:2:0 intra; everything
-                # else takes the Python scalar path
-                from .decoder import decode_annexb_scalar
-                return decode_annexb_scalar(stream, max_frames)
+                # intra pictures reconstruct on device below; inter (P/B)
+                # streams run the full native C++ host path (which itself
+                # falls back to the Python scalar path out of scope)
+                from .native.full import decode_annexb_native
+                return decode_annexb_native(stream, max_frames,
+                                            n_threads=n_threads)
             if slice_datas is None:
                 slice_datas = []
             headers.append(h)
