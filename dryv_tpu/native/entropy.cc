@@ -103,35 +103,54 @@ struct AcMaps {
 
 struct Engine {
   const uint8_t* data;
-  int64_t pos;      // bit position
+  int64_t pos;      // consumed-bit position (raw reads + alignment)
   int64_t bit_len;
-  int32_t range, offset;
+  int32_t range;
   int64_t bins = 0;  // decoded bin counter (reference cabac/mod.rs:68)
-  // windowed bit cache: high bits of `win` hold the next unread bits
+  // scaled-low arithmetic state: the top bits of `low` hold the
+  // conceptual CABAC offset, followed by `lowbits` buffered future
+  // input bits (so renormalisation is just `lowbits -= n`; input is
+  // fetched 32 bits at a time)
+  uint64_t low = 0;
+  int lowbits = 0;
+  int64_t fetch_pos = 0;  // bit position of the next unbuffered input bit
+  // windowed bit cache for raw (PCM) reads: high bits of `win` hold the
+  // next unread bits
   uint64_t win = 0;
   int win_bits = 0;
   // packed context state: (pStateIdx << 1) | valMPS — one load per bin
   uint8_t ctx_state[kCtxCount];
 
-  void refill() {
-    // rebuild the 56-bit window from `pos`; past-the-end reads are zero
+  // 64-bit big-endian window starting at `bitpos`; past-the-end is zero.
+  uint64_t fetch64(int64_t bitpos) const {
     int64_t nbytes = (bit_len + 7) >> 3;
-    int64_t byte_pos = pos >> 3;
+    int64_t byte_pos = bitpos >> 3;
+    uint64_t w;
     if (byte_pos + 8 <= nbytes) {
-      uint64_t v;
-      std::memcpy(&v, data + byte_pos, 8);
-      win = __builtin_bswap64(v);
+      std::memcpy(&w, data + byte_pos, 8);
+      w = __builtin_bswap64(w);
     } else {
-      win = 0;
+      w = 0;
       int sh = 56;
       for (int i = 0; i < 8 && sh >= 0; i++, sh -= 8) {
         uint64_t b = (byte_pos + i < nbytes) ? data[byte_pos + i] : 0;
-        win |= b << sh;
+        w |= b << sh;
       }
     }
-    int drop = (int)(pos & 7);
-    win <<= drop;
-    win_bits = 56 - drop;  // guaranteed valid bits in the window
+    return w << (bitpos & 7);
+  }
+
+  inline void refill_low() {
+    low = (low << 32) | (uint32_t)(fetch64(fetch_pos) >> 32);
+    lowbits += 32;
+    fetch_pos += 32;
+  }
+
+  void refill() {
+    // rebuild the raw-read window from `pos` (fetch64 already applies
+    // the sub-byte shift; >= 57 valid bits, claim 56)
+    win = fetch64(pos);
+    win_bits = 56;
   }
 
   int read_bit() {
@@ -169,16 +188,22 @@ struct Engine {
     }
   }
   void init_engine() {
-    win_bits = 0;  // invalidate window (pos may have been set externally)
+    win_bits = 0;  // invalidate raw window (pos may have changed)
     range = 510;
-    offset = read_bits(9);
+    // seed: conceptual offset = next 9 bits, with 39 more buffered
+    low = fetch64(pos) >> 16;  // 48 bits starting at pos
+    lowbits = 39;
+    fetch_pos = pos + 48;
+    pos += 9;
   }
   inline void renorm() {
     if (range >= 256) return;
     // shift count via count-leading-zeros: range in [2, 255]
     int n = __builtin_clz((unsigned)range) - 23;
     range <<= n;
-    offset = (offset << n) | read_bits(n);
+    lowbits -= n;
+    pos += n;
+    if (lowbits < 8) refill_low();
   }
   int decision(int ctx) {
     bins++;
@@ -188,9 +213,10 @@ struct Engine {
     int lps = kRangeLps[state * 4 + ((range >> 6) & 3)];
     range -= lps;
     int bin;
-    if (offset >= range) {
+    uint64_t scaled = (uint64_t)range << lowbits;
+    if (low >= scaled) {
       bin = mps ^ 1;
-      offset -= range;
+      low -= scaled;
       range = lps;
       // state 0 LPS flips MPS; transLps[0] == 0
       ctx_state[ctx] = (uint8_t)((kTransLps[state] << 1) |
@@ -204,14 +230,18 @@ struct Engine {
   }
   int bypass() {
     bins++;
-    offset = (offset << 1) | read_bit();
-    if (offset >= range) { offset -= range; return 1; }
-    return 0;
+    lowbits--;
+    pos++;
+    uint64_t scaled = (uint64_t)range << lowbits;
+    int bin = 0;
+    if (low >= scaled) { low -= scaled; bin = 1; }
+    if (lowbits < 8) refill_low();
+    return bin;
   }
   int terminate() {
     bins++;
     range -= 2;
-    if (offset >= range) return 1;
+    if (low >= (uint64_t)range << lowbits) return 1;
     renorm();
     return 0;
   }
