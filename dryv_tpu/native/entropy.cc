@@ -101,6 +101,20 @@ struct AcMaps {
   AcMaps() { for (int i = 0; i < 15; i++) ac4[i] = kZig4[i + 1]; }
 } kAc;
 
+// packed-state transition tables: next ctx_state byte for MPS/LPS paths
+// (state 0 LPS flips valMPS; transLps[0] == 0)
+struct PackedTransTab {
+  uint8_t mps[128], lps[128];
+  PackedTransTab() {
+    for (int s = 0; s < 128; s++) {
+      int st = s >> 1, m = s & 1;
+      mps[s] = (uint8_t)((kTransMps[st] << 1) | m);
+      lps[s] = (uint8_t)((kTransLps[st] << 1) | (st == 0 ? m ^ 1 : m));
+    }
+  }
+};
+const PackedTransTab kPackedTrans;
+
 struct Engine {
   const uint8_t* data;
   int64_t pos;      // consumed-bit position (raw reads + alignment)
@@ -208,22 +222,18 @@ struct Engine {
   int decision(int ctx) {
     bins++;
     unsigned s = ctx_state[ctx];
-    int state = s >> 1;
-    int mps = s & 1;
-    int lps = kRangeLps[state * 4 + ((range >> 6) & 3)];
+    int lps = kRangeLps[(s >> 1) * 4 + ((range >> 6) & 3)];
     range -= lps;
     int bin;
     uint64_t scaled = (uint64_t)range << lowbits;
     if (low >= scaled) {
-      bin = mps ^ 1;
+      bin = (s & 1) ^ 1;
       low -= scaled;
       range = lps;
-      // state 0 LPS flips MPS; transLps[0] == 0
-      ctx_state[ctx] = (uint8_t)((kTransLps[state] << 1) |
-                                 (state == 0 ? mps ^ 1 : mps));
+      ctx_state[ctx] = kPackedTrans.lps[s];
     } else {
-      bin = mps;
-      ctx_state[ctx] = (uint8_t)((kTransMps[state] << 1) | mps);
+      bin = s & 1;
+      ctx_state[ctx] = kPackedTrans.mps[s];
     }
     renorm();
     return bin;
