@@ -11,10 +11,10 @@ from typing import Optional
 
 import numpy as np
 
-from .avc import NalUnitType, split_avcc
+from .avc import split_avcc
 from .container import MP4File
 from .container.atoms import VIDEO_CODECS
-from .decoder import DecodedFrame, SyntaxDecoder, group_access_units
+from .decoder import DecodedFrame
 
 
 @dataclass
@@ -93,46 +93,34 @@ class Video:
         }
 
     # -- decoding -------------------------------------------------------
-    def decode_frames(self, max_frames: int = 1, backend: str = "jax"):
-        """Decode the first `max_frames` frames to YUV (reference decodes
-        exactly one, decoder.rs:88)."""
+    def annexb_stream(self) -> bytes:
+        """Rebuild the elementary Annex-B stream: avcC parameter sets +
+        every sample's NAL units in decode order."""
         if self.codec != "H264" or self.avc1 is None or self.avc1.avcc is None:
             raise NotImplementedError(f"codec {self.codec}")
         avcc = self.avc1.avcc
-        sd = SyntaxDecoder()
-        from .avc import NalUnit
+        from .avc import NalUnit, to_annexb
 
-        ps_nals = [NalUnit.parse(b) for b in avcc.sps_list + avcc.pps_list]
-        sd.feed_parameter_sets(ps_nals)
-
-        slice_nals = []
+        nals = [NalUnit.parse(b) for b in avcc.sps_list + avcc.pps_list]
         for sample in self.mp4.iter_samples(self.stbl):
-            for nal in split_avcc(sample, avcc.nal_length_size):
-                if nal.type in (NalUnitType.SPS, NalUnitType.PPS):
-                    sd.feed_parameter_sets([nal])
-                elif nal.type in (NalUnitType.IDR_SLICE,
-                                  NalUnitType.NON_IDR_SLICE):
-                    slice_nals.append(nal)
+            nals.extend(split_avcc(sample, avcc.nal_length_size))
+        return to_annexb(nals)
 
-        frames = []
-        for pic in group_access_units(slice_nals):
-            sps, pps, mbs, _ = sd.decode_picture_syntax(pic)
-            if backend == "jax":
-                from .coeffs import pack_frame
-                from .pipeline import reconstruct_frame_jax
-                fs = pack_frame(mbs, sps, pps)
-                y, cb, cr = reconstruct_frame_jax(fs)
-            else:
-                from .refimpl.recon import FrameRecon
-                recon = FrameRecon(sps, pps)
-                for addr, mb in enumerate(mbs):
-                    recon.recon_mb(mb, addr, mb.slice_id)
-                y, cb, cr = recon.y, recon.cb, recon.cr
-            frames.append(DecodedFrame(np.asarray(y), np.asarray(cb),
-                                       np.asarray(cr)).crop(sps))
-            if max_frames and len(frames) >= max_frames:
-                break
-        return frames
+    def decode_frames(self, max_frames: int = 1, backend: str = "jax"):
+        """Decode the first `max_frames` pictures to YUV, returned in
+        display (POC) order.  Backends: 'jax' (device intra recon, native
+        C++ host path for inter streams), 'native' (C++ entropy + recon +
+        deblock), 'scalar' (Python refimpl).  The reference decodes
+        exactly one intra frame (decoder.rs:88)."""
+        stream = self.annexb_stream()
+        if backend == "jax":
+            from .pipeline import decode_annexb_fast as fn
+        elif backend == "native":
+            from .native.full import decode_annexb_native as fn
+        else:
+            from .decoder import decode_annexb_scalar as fn
+        frames = fn(stream, max_frames=max_frames)
+        return sorted(frames, key=lambda f: f.poc)
 
     def write_yuv(self, path, frame: DecodedFrame):
         """Planar YUV dump, Y then Cb then Cr (reference frame/mod.rs:48)."""

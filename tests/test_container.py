@@ -53,6 +53,33 @@ def test_mp4_decode_bit_exact(mp4_path):
     assert np.array_equal(fr.cr, gcr)
 
 
+def test_mp4_ipb_decode(tmp_path):
+    """IPB stream muxed one-sample-per-AU: Video decodes through the
+    native path and returns display (POC) order."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ipb = os.path.join(root, "benchdata", "bench_ipb.264")
+    if not os.path.exists(ipb):
+        pytest.skip("ipb fixture not built")
+    from dryv_tpu.decoder import group_access_units
+    stream = open(ipb, "rb").read()
+    nals = list(split_annexb(stream))
+    sps_nal = next(n for n in nals if n.type == NalUnitType.SPS).to_bytes()
+    pps_nal = next(n for n in nals if n.type == NalUnitType.PPS).to_bytes()
+    slices = [n for n in nals if n.type in (NalUnitType.IDR_SLICE,
+                                            NalUnitType.NON_IDR_SLICE)]
+    samples = [to_avcc_sample(au) for au in group_access_units(slices)]
+    import dryv_tpu.avc.sps as spsmod
+    sps = spsmod.SPS.parse(nals[0].rbsp)
+    path = tmp_path / "ipb.mp4"
+    write_mp4(path, samples, sps_nal, pps_nal, sps.width, sps.height)
+    v = Video.open(path)
+    frames = v.decode_frames(max_frames=9, backend="native")
+    g = np.load(os.path.join(root, "benchdata", "bench_ipb_golden.npz"))
+    assert len(frames) == 9
+    for i, f in enumerate(frames):
+        assert np.array_equal(f.y, g[f"f{i}_y"]), f"frame {i}"
+
+
 def test_sample_tables(mp4_path):
     path, _, _ = mp4_path
     m = MP4File(path)
