@@ -342,7 +342,19 @@ class SliceHeader:
                 w.bit(self.dec_ref_pic_marking.long_term_reference_flag
                       if self.dec_ref_pic_marking else 0)
             else:
-                w.bit(0)  # adaptive_ref_pic_marking_mode_flag
+                m = self.dec_ref_pic_marking
+                if m is None or not m.adaptive_ref_pic_marking_mode_flag:
+                    w.bit(0)  # adaptive_ref_pic_marking_mode_flag
+                else:
+                    w.bit(1)
+                    for op in m.mmco_ops:
+                        w.ue(op.op)
+                        if op.op in (1, 2, 4, 6):
+                            w.ue(op.val1)
+                        elif op.op == 3:
+                            w.ue(op.val1)
+                            w.ue(op.val2)
+                    w.ue(0)  # end of MMCO ops
         if st in (SliceType.P, SliceType.B):
             w.ue(self.cabac_init_idc)
         w.se(self.slice_qp_delta)

@@ -43,11 +43,29 @@ class SequenceEncoder:
         self.ref_pocs.insert(0, poc)
         self.ref_mss.insert(0, ms)
         self.ref_maps.insert(0, (list(maps[0]), list(maps[1])))
-        cap = max(1, self.sps.max_num_ref_frames)
+        # ref_cap: fixtures with long-term refs manage eviction manually
+        # (sliding window only evicts short-term pictures)
+        cap = getattr(self, "ref_cap", None) or \
+            max(1, self.sps.max_num_ref_frames)
         del self.refs[cap:]
         del self.ref_pocs[cap:]
         del self.ref_mss[cap:]
         del self.ref_maps[cap:]
+
+    def drop_ref(self, poc: int):
+        """Mirror an MMCO 'mark unused' op in the encoder's ref model."""
+        i = self.ref_pocs.index(poc)
+        for lst in (self.refs, self.ref_pocs, self.ref_mss, self.ref_maps):
+            del lst[i]
+
+    def reorder_refs(self, pocs):
+        """Set the encoder's list-0 order (must mirror the decoder's DPB
+        ordering, e.g. short-term by pic_num then long-term)."""
+        idx = [self.ref_pocs.index(p) for p in pocs]
+        self.refs = [self.refs[i] for i in idx]
+        self.ref_pocs = [self.ref_pocs[i] for i in idx]
+        self.ref_mss = [self.ref_mss[i] for i in idx]
+        self.ref_maps = [self.ref_maps[i] for i in idx]
 
     def encode_idr(self, src_y, src_cb, src_cr, poc: int = 0):
         from ..refimpl.inter import MotionState
