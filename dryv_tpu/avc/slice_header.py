@@ -303,9 +303,19 @@ class SliceHeader:
                 w.ue(self.num_ref_idx_l0_active_minus1)
                 if st == SliceType.B:
                     w.ue(self.num_ref_idx_l1_active_minus1)
-            w.bit(0)  # ref_pic_list_modification_flag_l0
-            if st == SliceType.B:
-                w.bit(0)  # ref_pic_list_modification_flag_l1
+            for mods, cond in ((self.ref_pic_list_modification_l0, True),
+                               (self.ref_pic_list_modification_l1,
+                                st == SliceType.B)):
+                if not cond:
+                    continue
+                if not mods:
+                    w.bit(0)  # ref_pic_list_modification_flag
+                else:
+                    w.bit(1)
+                    for op in mods:
+                        w.ue(op.idc)
+                        w.ue(op.value)
+                    w.ue(3)  # end of modification ops
         if (pps.weighted_pred_flag and st == SliceType.P) or \
                 (pps.weighted_bipred_idc == 1 and st == SliceType.B):
             t = self.pred_weight_table or PredWeightTable()

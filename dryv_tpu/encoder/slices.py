@@ -55,7 +55,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       nal_ref_idc: int = 3,
                       pred_weight_table=None,
                       direct_spatial: int = 1,
-                      mmco=None) -> NalUnit:
+                      mmco=None, rplm_l0=None) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -83,6 +83,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         from ..avc.slice_header import DecRefPicMarking
         h.dec_ref_pic_marking = DecRefPicMarking(
             adaptive_ref_pic_marking_mode_flag=1, mmco_ops=list(mmco))
+    if rplm_l0:
+        h.ref_pic_list_modification_l0 = list(rplm_l0)
     w = BitWriter()
     h.write(w, sps, pps, idr, nal_ref_idc=nal_ref_idc)
     w.byte_align(fill=1)  # cabac_alignment_one_bit
@@ -121,6 +123,7 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
         pwt = entry[6] if len(entry) > 6 else None
         direct_spatial = entry[7] if len(entry) > 7 else 1
         mmco = entry[8] if len(entry) > 8 else None
+        rplm_l0 = entry[9] if len(entry) > 9 else None
         assert len(mb_list) == n
         mbs_frame = [None] * n
         st = st_code % 5
@@ -132,7 +135,7 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
                         else 1 if st == 1 else None),
             num_ref_l1=1 if st == 1 else None,
             deblock_disable=deblock_disable, pred_weight_table=pwt,
-            direct_spatial=direct_spatial, mmco=mmco))
+            direct_spatial=direct_spatial, mmco=mmco, rplm_l0=rplm_l0))
         if ref_idc != 0:
             nref = 1 if idr else min(nref + 1, sps.max_num_ref_frames)
     return to_annexb(nals)

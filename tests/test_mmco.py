@@ -80,3 +80,28 @@ def test_mmco_long_term():
     refs = np.concatenate([m.ref_idx[0] for m in f_p3])
     assert np.any(refs == 1), "fixture never referenced the long-term pic"
     _check(stream, 4)
+
+
+def test_rplm_list_swap():
+    """P2 carries ref_pic_list_modification putting the IDR at ref_idx 0
+    (default order would be [P1, I]); exercises 8.2.4.3 end-to-end."""
+    from dryv_tpu.avc.slice_header import RefPicListModification
+    mb_w, mb_h = 5, 4
+    frame_at = _sources(97, mb_w, mb_h)
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=28, max_refs=2)
+    se = SequenceEncoder(sps, pps, 28)
+    f_i = se.encode_idr(*frame_at(0), poc=0)              # refs [I]
+    f_p1 = se.encode_p(*frame_at(2), poc=2)               # refs [P1, I]
+    # modified list for P2: abs_diff_pic_num_minus1 = 2-0-1 = 1 -> I first
+    se.reorder_refs([0, 2])                               # [I, P1]
+    f_p2 = se.encode_p(*frame_at(1), poc=4)
+    frames = [
+        (f_i, 7, True, 0),
+        (f_p1, 5, False, 1),
+        (f_p2, 5, False, 2, 0, 3, None, 1, None,
+         [RefPicListModification(0, 1)]),
+    ]
+    stream = encode_sequence_annexb(sps, pps, frames)
+    refs = np.concatenate([m.ref_idx[0] for m in f_p2])
+    assert np.any(refs == 1), "fixture never used ref_idx 1 (P1)"
+    _check(stream, 3)
