@@ -1,13 +1,12 @@
 """CLI driver (reference src/main.rs + src/cli.rs).
 
 Usage: python -m dryv_tpu <file.mp4> [-d] [-o OUT] [--frames N]
-       [--backend jax|scalar]
+       [--backend jax|native|scalar]
 """
 from __future__ import annotations
 
 import argparse
 import logging
-import sys
 import time
 
 

@@ -11,7 +11,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .avc import NalUnit, NalUnitType, SPS, PPS, split_annexb, split_avcc
+from .avc import NalUnit, NalUnitType, SPS, PPS, split_annexb
 from .avc.slice_header import SliceHeader, SliceType
 from .cabac.engine import CabacDecoder
 from .cabac.syntax import SliceCoder, MBState

@@ -1,8 +1,6 @@
 """Slice/frame assembly for the fixture encoder."""
 from __future__ import annotations
 
-import numpy as np
-
 from ..avc import SPS, PPS, NalUnit, NalUnitType, to_annexb
 from ..avc.slice_header import SliceHeader
 from ..bitio import BitWriter

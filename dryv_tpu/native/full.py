@@ -50,7 +50,6 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
     from ..avc.slice_header import SliceType
     from ..decoder import (DecodedFrame, SyntaxDecoder, decode_annexb_scalar,
                            group_access_units)
-    from ..refimpl.inter import ImplicitWP
 
     sd = SyntaxDecoder()
     nals = list(split_annexb(stream))

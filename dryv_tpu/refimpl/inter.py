@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..cabac.syntax import (MBState, MbKind, B_MB_TYPES, B_SUB_TYPES,
-                            P_MB_TYPES, P_SUB_TYPES, PRED_BI, PRED_DIRECT,
+                            P_MB_TYPES, P_SUB_TYPES, PRED_DIRECT,
                             PRED_L0, PRED_L1)
 from ..avc.neighbors import ZSCAN_4X4_POS
 

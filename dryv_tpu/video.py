@@ -7,7 +7,6 @@ through the syntax + reconstruction pipeline.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 
