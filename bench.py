@@ -92,7 +92,7 @@ def main():
     from dryv_tpu.parallel.gop import _frame_recon_fn
     from dryv_tpu.pipeline import SYNTAX_KEYS
 
-    F = int(os.environ.get("DRYV_BENCH_GOP", "16"))
+    F = int(os.environ.get("DRYV_BENCH_GOP", "32"))
     out = decode_picture_islices(slice_datas, sps, pps, n_threads=nthreads)
     fs = pack_from_native(out, sps, pps)
     recon_one = _frame_recon_fn(fs.mb_w, fs.mb_h)

@@ -222,19 +222,20 @@ struct Engine {
   int decision(int ctx) {
     bins++;
     unsigned s = ctx_state[ctx];
-    int lps = kRangeLps[(s >> 1) * 4 + ((range >> 6) & 3)];
-    range -= lps;
+    uint32_t lps = kRangeLps[(s >> 1) * 4 + ((range >> 6) & 3)];
+    uint32_t rng = (uint32_t)range - lps;
+    uint64_t scaled = (uint64_t)rng << lowbits;
     int bin;
-    uint64_t scaled = (uint64_t)range << lowbits;
     if (low >= scaled) {
       bin = (s & 1) ^ 1;
       low -= scaled;
-      range = lps;
+      rng = lps;
       ctx_state[ctx] = kPackedTrans.lps[s];
     } else {
       bin = s & 1;
       ctx_state[ctx] = kPackedTrans.mps[s];
     }
+    range = (int32_t)rng;
     renorm();
     return bin;
   }
