@@ -365,7 +365,7 @@ class SliceHeader:
                             w.ue(op.val1)
                             w.ue(op.val2)
                     w.ue(0)  # end of MMCO ops
-        if st in (SliceType.P, SliceType.B):
+        if pps.entropy_coding_mode_flag and st in (SliceType.P, SliceType.B):
             w.ue(self.cabac_init_idc)
         w.se(self.slice_qp_delta)
         if pps.deblocking_filter_control_present_flag:

@@ -91,19 +91,26 @@ class SyntaxDecoder:
             headers.append(h)
             if mbs is None:
                 mbs = [None] * (sps.pic_width_in_mbs * sps.frame_height_in_mbs)
-            if not pps.entropy_coding_mode_flag:
-                raise NotImplementedError(
-                    "CAVLC macroblock layer (reference slice/mod.rs:299 todo!)")
-            entropy_start = (h.header_bit_len + 7) & ~7  # cabac alignment
-            init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
-            eng = CabacDecoder(rbsp, entropy_start, h.slice_qp_y(pps),
-                               init_mode)
-            coder = SliceCoder(eng, sps, pps, h, mbs, sid)
             sgmap = None
             if pps.slice_groups is not None:
                 from .avc.slice_map import map_units_to_sgmap
                 sgmap = map_units_to_sgmap(pps, sps,
                                            h.slice_group_change_cycle)
+            if pps.entropy_coding_mode_flag:
+                entropy_start = (h.header_bit_len + 7) & ~7  # cabac align
+                init_mode = (0 if h.slice_type.is_intra
+                             else 1 + h.cabac_init_idc)
+                eng = CabacDecoder(rbsp, entropy_start, h.slice_qp_y(pps),
+                                   init_mode)
+                coder = SliceCoder(eng, sps, pps, h, mbs, sid)
+            else:
+                # CAVLC (the reference's todo!, slice/mod.rs:299)
+                from .bitio import BitReader
+                from .cavlc import CavlcSliceCoder
+                r = BitReader(rbsp)
+                r.skip(h.header_bit_len)
+                coder = CavlcSliceCoder(r, sps, pps, h, mbs, sid,
+                                        encoding=False)
             coder.decode_slice_data(sgmap)
         return sps, pps, mbs, headers
 

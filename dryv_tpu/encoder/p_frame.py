@@ -126,11 +126,15 @@ class SequenceEncoder:
         return best_mv, best_sad
 
     def encode_p(self, src_y, src_cb, src_cr, search: int = 6,
-                 poc: int = None, wp_table=None):
+                 poc: int = None, wp_table=None,
+                 max_search_refs: int = None):
         """Encode one P frame; returns MBState list.
 
         wp_table: PredWeightTable for explicit weighted prediction (PPS
-        must set weighted_pred_flag; pass the table to the slice writer)."""
+        must set weighted_pred_flag; pass the table to the slice writer).
+        max_search_refs: restrict motion search to the first N references
+        (e.g. 1 when a temporal-direct B will use this picture as its
+        co-located reference and older refs may leave the DPB)."""
         from ..refimpl.inter import ExplicitWP
         from ..refimpl.recon import FrameRecon
         sps, pps, qp = self.sps, self.pps, self.qp
@@ -157,6 +161,8 @@ class SequenceEncoder:
             sad_skip = np.abs(src - pred).sum()
             # --- candidate: L0_16x16 motion search (over all refs) -------
             nrefs = len(self.refs)  # prev setter caps at max_num_ref_frames
+            if max_search_refs is not None:
+                nrefs = min(nrefs, max_search_refs)
             best_mv, best_sad, best_ref = None, None, 0
             for ri in range(nrefs):
                 mv_r, sad_r = self._search(self.refs[ri][0], src, x0, y0,
@@ -220,14 +226,22 @@ class SequenceEncoder:
         future = [i for i, p in enumerate(self.ref_pocs) if p > poc]
         if not past or not future:
             raise ValueError("B frame needs a past and a future reference")
-        i0 = max(past, key=lambda i: self.ref_pocs[i])
-        i1 = min(future, key=lambda i: self.ref_pocs[i])
-        l0p, l1p = self.refs[i0], self.refs[i1]
+        # full B lists, mirroring the decoder's DPB ordering (8.2.4.2.3)
+        past_s = sorted(past, key=lambda i: -self.ref_pocs[i])
+        future_s = sorted(future, key=lambda i: self.ref_pocs[i])
+        l0_idx = past_s + future_s
+        l1_idx = future_s + past_s
+        i0, i1 = l0_idx[0], l1_idx[0]
+        l0_list = [self.refs[i] for i in l0_idx]
+        l1_list = [self.refs[i] for i in l1_idx]
+        l0p, l1p = l0_list[0], l1_list[0]
+        self._b_l0_pocs = [self.ref_pocs[i] for i in l0_idx]
+        self._b_l1_pocs = [self.ref_pocs[i] for i in l1_idx]
         if temporal:
             cm0, cm1 = self.ref_maps[i1]
             keys = set(self.ref_pocs) | set(cm0) | set(cm1)
             dctx = TemporalDirectCtx(
-                self.ref_mss[i1], cm0, cm1, [self.ref_pocs[i0]],
+                self.ref_mss[i1], cm0, cm1, self._b_l0_pocs,
                 {k: k for k in keys}, {k: False for k in keys},
                 poc, self.ref_pocs[i1])
         else:
@@ -235,8 +249,9 @@ class SequenceEncoder:
         if wp_table is not None:
             wp = ExplicitWP(wp_table)
         elif implicit_wp:
-            wp = ImplicitWP(poc, [self.ref_pocs[i0]], [self.ref_pocs[i1]],
-                            [False], [False])
+            wp = ImplicitWP(poc, self._b_l0_pocs, self._b_l1_pocs,
+                            [False] * len(self._b_l0_pocs),
+                            [False] * len(self._b_l1_pocs))
         else:
             wp = None
         self._wp = wp
@@ -253,7 +268,7 @@ class SequenceEncoder:
             mb.qp_y = qp
             # --- candidates ----------------------------------------------
             dvals = derive_direct(ms, addr, dctx)
-            dpred = self._direct_pred16(addr, dvals, l0p, l1p, wp)
+            dpred = self._direct_pred16(addr, dvals, l0_list, l1_list, wp)
             sad_d = np.abs(src - dpred).sum()
             mv0, sad0 = self._search(l0p[0], src, x0, y0, search)
             mv1, sad1 = self._search(l1p[0], src, x0, y0, search)
@@ -289,14 +304,14 @@ class SequenceEncoder:
             # --- encode chosen mode --------------------------------------
             if mode == "skip":
                 mb.kind = MbKind.B_SKIP
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
-                               dctx, wp)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
+                               l1_list, dctx, wp)
             elif mode == "direct":
                 mb.kind = MbKind.B_DIRECT
                 mb.mb_type_code = 0
                 self._code_luma_resid(mb, src, dpred)
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
-                               dctx, wp)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
+                               l1_list, dctx, wp)
             elif mode in ("l0", "l1", "bi"):
                 mb.kind = MbKind.B
                 mb.mb_type_code = {"l0": 1, "l1": 2, "bi": 3}[mode]
@@ -313,11 +328,11 @@ class SequenceEncoder:
                     mb.mvd[which][:, 1] = mv[1] - mvp[1]
                 pred = {"l0": p0, "l1": p1, "bi": bi}[mode]
                 self._code_luma_resid(mb, src, pred)
-                recon_inter_mb(R, mb, addr, 0, ms, *l0p, [l0p], [l1p],
-                               dctx, wp)
+                recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
+                               l1_list, dctx, wp)
             elif mode in ("16x8", "8x16", "b8x8"):
                 self._encode_b_partitions(mb, addr, ms, mode, src_y,
-                                          l0p, l1p, dctx, search)
+                                          l0_list, l1_list, dctx, search)
             else:  # intra escape inside B slice
                 self.enc._encode_i16(mb, addr, 0, src_y)
                 self.enc._encode_chroma(mb, addr, 0, src_cb, src_cr)
@@ -325,12 +340,11 @@ class SequenceEncoder:
                 R.mb_done[my, mx] = True
                 ms.set_mb_intra(addr)
             mbs.append(mb)
-        self._maybe_deblock(mbs, ms, [self.ref_pocs[i0]],
-                            [self.ref_pocs[i1]])
+        self._maybe_deblock(mbs, ms, self._b_l0_pocs, self._b_l1_pocs)
         return mbs
 
-    def _encode_b_partitions(self, mb, addr, ms, pkind, src_y, l0p, l1p,
-                             dctx, search):
+    def _encode_b_partitions(self, mb, addr, ms, pkind, src_y, l0_list,
+                             l1_list, dctx, search):
         """Partitioned B MBs: 16x8 (L0 top / L1 bottom), 8x16 (bi both),
         B_8x8 with sub types direct/L0/L1/Bi.  mvds derived on a scratch
         motion state in coding order; no residual (cbp 0)."""
@@ -380,7 +394,7 @@ class SequenceEncoder:
                     scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4,
                                      np.zeros(2, np.int64), -1, which)
                     continue
-                planes = l0p if which == 0 else l1p
+                planes = (l0_list if which == 0 else l1_list)[0]
                 mvt = self._search_block(planes[0], src, px, py, pw, ph)
                 mv = np.array(mvt, np.int64)
                 mvp = mv_pred(scratch, shape, bx0 + ox4, by0 + oy4, w4, h4,
@@ -395,11 +409,11 @@ class SequenceEncoder:
                 scratch.set_part(bx0 + ox4, by0 + oy4, w4, h4, mv, 0, which)
         mb.cbp = 0
         from ..refimpl.inter import recon_inter_mb as _rim
-        _rim(R, mb, addr, 0, ms, *l0p, [l0p], [l1p], dctx,
+        _rim(R, mb, addr, 0, ms, *l0_list[0], l0_list, l1_list, dctx,
              getattr(self, "_wp", None))
 
-    def _direct_pred16(self, addr, dvals, l0p, l1p, wp=None):
-        """16x16 spatial-direct luma prediction (candidate evaluation)."""
+    def _direct_pred16(self, addr, dvals, l0_list, l1_list, wp=None):
+        """16x16 direct-mode luma prediction (candidate evaluation)."""
         from ..refimpl.inter import (ExplicitWP, ImplicitWP, _wp_bi,
                                      _wp_single)
         R = self.enc.recon
@@ -410,12 +424,12 @@ class SequenceEncoder:
             qx, qy = (q & 1) * 8, (q >> 1) * 8
             px, py = mx * 16 + qx, my * 16 + qy
             parts = []
-            for which, r, mv, planes in ((0, r0, m0, l0p),
-                                         (1, r1, m1, l1p)):
+            for which, r, mv, lst in ((0, r0, m0, l0_list),
+                                      (1, r1, m1, l1_list)):
                 if r < 0:
                     continue
                 parts.append((which, r, luma_interp(
-                    planes[0], px, py, 8, 8, int(mv[0]), int(mv[1]))))
+                    lst[r][0], px, py, 8, 8, int(mv[0]), int(mv[1]))))
             if len(parts) == 1:
                 which, r, acc = parts[0]
                 if isinstance(wp, ExplicitWP):

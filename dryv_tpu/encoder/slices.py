@@ -13,7 +13,8 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     chroma_qp_offset: int = 0,
                     crop=None, max_refs: int = 1,
                     poc_type: int = 2, weighted_pred: int = 0,
-                    weighted_bipred_idc: int = 0) -> tuple[SPS, PPS]:
+                    weighted_bipred_idc: int = 0,
+                    cabac: bool = True) -> tuple[SPS, PPS]:
     sps = SPS(
         profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
         level_idc=40,
@@ -27,7 +28,7 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
         from ..avc.sps import FrameCropping
         sps.frame_cropping = FrameCropping(*crop)
     pps = PPS(
-        entropy_coding_mode_flag=1,
+        entropy_coding_mode_flag=1 if cabac else 0,
         weighted_pred_flag=weighted_pred,
         weighted_bipred_idc=weighted_bipred_idc,
         pic_init_qp_minus26=qp - 26,
@@ -85,15 +86,21 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         h.ref_pic_list_modification_l0 = list(rplm_l0)
     w = BitWriter()
     h.write(w, sps, pps, idr, nal_ref_idc=nal_ref_idc)
-    w.byte_align(fill=1)  # cabac_alignment_one_bit
-
-    init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
-    eng = CabacEncoder(h.slice_qp_y(pps), init_mode)
-    coder = SliceCoder(eng, sps, pps, h, mbs_frame, slice_id)
-    coder.encode_slice_data(mb_list)
-    for b in eng.get_bits():
-        w.bit(b)
-    w.byte_align(fill=0)
+    if pps.entropy_coding_mode_flag:
+        w.byte_align(fill=1)  # cabac_alignment_one_bit
+        init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
+        eng = CabacEncoder(h.slice_qp_y(pps), init_mode)
+        coder = SliceCoder(eng, sps, pps, h, mbs_frame, slice_id)
+        coder.encode_slice_data(mb_list)
+        for b in eng.get_bits():
+            w.bit(b)
+        w.byte_align(fill=0)
+    else:
+        from ..cavlc import CavlcSliceCoder
+        coder = CavlcSliceCoder(w, sps, pps, h, mbs_frame, slice_id,
+                                encoding=True)
+        coder.encode_slice_data(mb_list)
+        w.rbsp_trailing_bits()
     rbsp = w.bytes()
     typ = NalUnitType.IDR_SLICE if idr else NalUnitType.NON_IDR_SLICE
     return NalUnit.build(nal_ref_idc, typ, rbsp)
@@ -129,9 +136,10 @@ def encode_sequence_annexb(sps: SPS, pps: PPS, frames,
             sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
             frame_num=frame_num, slice_type_code=st_code,
             pic_order_cnt_lsb=poc_lsb, nal_ref_idc=ref_idc,
-            num_ref_l0=(min(nref, sps.max_num_ref_frames) if st == 0
-                        else 1 if st == 1 else None),
-            num_ref_l1=1 if st == 1 else None,
+            num_ref_l0=(min(nref, sps.max_num_ref_frames) if st in (0, 1)
+                        else None),
+            num_ref_l1=min(nref, sps.max_num_ref_frames) if st == 1
+            else None,
             deblock_disable=deblock_disable, pred_weight_table=pwt,
             direct_spatial=direct_spatial, mmco=mmco, rplm_l0=rplm_l0))
         if ref_idc != 0:

@@ -66,6 +66,13 @@ FIXTURE_SPECS = [
     ("dblk_i8_qp32", 4, 3, 32, "i8", True, None, None),  # 8x8 edge rules
     ("dblk_slices_qp28", 4, 4, 28, "mix", False, 1, None),  # x-slice filter
     ("dblk_c422_qp28", 4, 3, 28, "mix420", False, None, None),
+    # "cavlc_" prefix: CAVLC entropy coding (reference slice/mod.rs:299
+    # todo!) — same reconstruction paths, different entropy layer
+    ("cavlc_mix_qp26", 4, 3, 26, "mix", False, None, None),
+    ("cavlc_i4_qp10", 4, 3, 10, "i4", False, None, None),
+    ("cavlc_mix8_qp30", 4, 3, 30, "mix8", True, 1, None),
+    ("cavlc_c422_qp27", 4, 3, 27, "mix420", False, None, None),
+    ("cavlc_dblk_qp30", 4, 3, 30, "mix", False, None, None),
 ]
 
 
@@ -76,7 +83,8 @@ def get_fixture(name: str):
     _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
     mono = "mono" in name
     c422 = "c422" in name
-    deblock = name.startswith("dblk")
+    deblock = name.startswith("dblk") or "dblk" in name
+    cavlc = name.startswith("cavlc")
     src = make_source(mb_w, mb_h)
     if mono:
         src = (src[0], None, None)
@@ -94,7 +102,7 @@ def get_fixture(name: str):
     if c422:
         profile = 122
     sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8,
-                               crop=crop, profile=profile)
+                               crop=crop, profile=profile, cabac=not cavlc)
     if mono:
         sps.chroma_format_idc = 0
     if c422:

@@ -63,7 +63,8 @@ def test_native_full_temporal_direct():
     se = SequenceEncoder(sps, pps, 28)
     frames = [(se.encode_idr(*frame_at(0), poc=0), 7, True, 0, 0, 3),
               (se.encode_p(*frame_at(2), poc=4), 5, False, 1, 4, 3),
-              (se.encode_p(*frame_at(4), poc=8), 5, False, 2, 8, 3),
+              (se.encode_p(*frame_at(4), poc=8, max_search_refs=1),
+               5, False, 2, 8, 3),
               (se.encode_b(*frame_at(3), poc=6, temporal=True), 6, False,
                3, 6, 0, None, 0)]
     _check(encode_sequence_annexb(sps, pps, frames))
