@@ -16,6 +16,7 @@
 #include <vector>
 
 #include "tables_data.h"
+#include "cavlc_tables.h"
 
 namespace {
 
@@ -1118,6 +1119,491 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
   if (o->bin_count) o->bin_count[slice_index] = s.eng.bins;
 }
 
+// publish one decoded MB into the dense outputs (shared CABAC/CAVLC)
+void publish_mb(SliceCtx& s, Out* o) {
+  MB* mb = s.cur();
+  int64_t a = s.curr;
+  o->kind[a] = mb->kind;
+  o->qp_y[a] = mb->qp_y;
+  o->cbp[a] = mb->cbp;
+  o->i16_mode[a] = mb->i16_mode;
+  o->chroma_mode[a] = mb->chroma_mode;
+  for (int i = 0; i < 16; i++) o->modes4[a * 16 + i] = mb->modes4[i];
+  for (int i = 0; i < 4; i++) o->modes8[a * 4 + i] = mb->modes8[i];
+  if (o->mb_type_code) {
+    o->mb_type_code[a] = mb->mb_type_code;
+    for (int i = 0; i < 4; i++)
+      o->sub_mb_type[a * 4 + i] = mb->sub_mb_type[i];
+    for (int w = 0; w < 2; w++)
+      for (int q = 0; q < 4; q++)
+        o->ref_idx[(a * 2 + w) * 4 + q] = mb->ref_idx[w][q];
+    for (int w = 0; w < 2; w++)
+      for (int b = 0; b < 16; b++)
+        for (int c = 0; c < 2; c++)
+          o->mvd[((a * 2 + w) * 16 + b) * 2 + c] = mb->mvd[w][b][c];
+  }
+}
+
+// ===== CAVLC slice decode (spec 9.2) — mirror of cavlc/syntax.py =====
+
+struct CavlcCtx : SliceCtx {
+  int64_t stop_bit = 0;  // bit index of the rbsp stop-one-bit
+  bool p8x8ref0 = false;
+
+  int rbit() { return eng.read_bit(); }
+  int rbits(int n) { return n ? eng.read_bits(n) : 0; }
+  int rue() {
+    int zeros = 0;
+    while (rbit() == 0) zeros++;
+    return (1 << zeros) - 1 + rbits(zeros);
+  }
+  int rse() {
+    int k = rue();
+    return (k & 1) ? (k + 1) >> 1 : -(k >> 1);
+  }
+  int rte(int maxv) { return maxv == 1 ? 1 - rbit() : rue(); }
+  bool more_data() { return eng.pos < stop_bit; }
+
+  int vlc(const VlcTable& t) {
+    int acc = 0;
+    for (int n = 1; n <= 19; n++) {
+      acc = (acc << 1) | rbit();
+      for (int i = 0; i < t.n; i++)
+        if (t.e[i].len == n && t.e[i].bits == acc) return t.e[i].val;
+    }
+    return 0;  // corrupt stream
+  }
+
+  void coeff_token(int nc, int* tc, int* t1) {
+    if (nc >= 8) {
+      int v = rbits(6);
+      if (v == 3) { *tc = 0; *t1 = 0; }
+      else { *tc = (v >> 2) + 1; *t1 = v & 3; }
+      return;
+    }
+    const VlcTable* t;
+    if (nc == -1) t = &kCtDcTabs[0];
+    else if (nc == -2) t = &kCtDcTabs[1];
+    else if (nc < 2) t = &kCtTabs[0];
+    else if (nc < 4) t = &kCtTabs[1];
+    else t = &kCtTabs[2];
+    int v = vlc(*t);
+    *tc = v >> 2;
+    *t1 = v & 3;
+  }
+
+  bool navail(MB* m) {
+    return m != &unavailable_intra && m != &unavailable_inter;
+  }
+
+  int nc_for(int cat, int idx) {
+    if (cat == CAT_CHROMA_DC) return -pp->chroma_array_type;
+    int comp = 0, blk = idx;
+    MB *a, *b;
+    int ia, ib;
+    if (cat == CAT_LUMA_DC) blk = 0;
+    if (cat == CAT_CHROMA_AC) {
+      comp = (idx >> 3) + 1;
+      blk = idx & 7;
+      a = nb_blkc('A', blk, &ia);
+      b = nb_blkc('B', blk, &ib);
+    } else {
+      a = nb_blk4('A', blk, &ia);
+      b = nb_blk4('B', blk, &ib);
+    }
+    bool av_a = navail(a), av_b = navail(b);
+    int na = av_a ? a->cbf[comp][ia] : 0;
+    int nb_ = av_b ? b->cbf[comp][ib] : 0;
+    if (av_a && av_b) return (na + nb_ + 1) >> 1;
+    if (av_a) return na;
+    if (av_b) return nb_;
+    return 0;
+  }
+
+  void store_count(int cat, int idx, int count) {
+    MB* c = cur();
+    if (cat == CAT_LUMA_DC) return;
+    if (cat == CAT_LUMA_AC || cat == CAT_LUMA_4X4)
+      c->cbf[0][idx] = (uint8_t)count;
+    else if (cat == CAT_CHROMA_AC)
+      c->cbf[(idx >> 3) + 1][idx & 7] = (uint8_t)count;
+  }
+
+  const VlcTable& tz_table(int cat, int tc) {
+    if (cat == CAT_CHROMA_DC)
+      return pp->chroma_array_type == 1 ? kTzCTabs[tc - 1]
+                                        : kTzQTabs[tc - 1];
+    return kTzTabs[tc - 1];
+  }
+
+  // one 4x4-family CAVLC block -> raster coefficients via remap
+  void block4(int cat, int idx, int32_t* coeffs, const int* remap,
+              int out_size, int end, bool coded, int scan_mul = 1,
+              int scan_off = 0, bool clear = true) {
+    if (clear) std::memset(coeffs, 0, out_size * sizeof(int32_t));
+    if (!coded) { store_count(cat, idx, 0); return; }
+    int nc = nc_for(cat, idx);
+    int tc, t1;
+    coeff_token(nc, &tc, &t1);
+    store_count(cat, idx, tc);
+    if (tc == 0) return;
+    int ncoeff = end + 1;
+    int suffix_len = (tc > 10 && t1 < 3) ? 1 : 0;
+    int levels[16];
+    for (int i = 0; i < tc; i++) {
+      if (i < t1) { levels[i] = 1 - 2 * rbit(); continue; }
+      int prefix = 0;
+      while (rbit() == 0) prefix++;
+      int size = suffix_len;
+      if (prefix == 14 && suffix_len == 0) size = 4;
+      else if (prefix >= 15) size = prefix - 3;
+      int code = (prefix < 15 ? prefix : 15) << suffix_len;
+      code += rbits(size);
+      if (prefix >= 15 && suffix_len == 0) code += 15;
+      if (prefix >= 16) code += (1 << (prefix - 3)) - 4096;
+      if (i == t1 && t1 < 3) code += 2;
+      int level = (code % 2 == 0) ? (code + 2) >> 1 : -((code + 1) >> 1);
+      if (suffix_len == 0) suffix_len = 1;
+      if (std::abs(level) > (3 << (suffix_len - 1)) && suffix_len < 6)
+        suffix_len++;
+      levels[i] = level;
+    }
+    int total_zeros = (tc < ncoeff) ? vlc(tz_table(cat, tc)) : 0;
+    int zeros_left = total_zeros;
+    int pos = tc + total_zeros - 1;
+    for (int i = 0; i < tc; i++) {
+      coeffs[remap[pos * scan_mul + scan_off]] = levels[i];
+      if (i == tc - 1) break;
+      int run = 0;
+      if (zeros_left > 0)
+        run = vlc(kRunTabs[(zeros_left < 7 ? zeros_left : 7) - 1]);
+      zeros_left -= run;
+      pos -= 1 + run;
+    }
+  }
+
+  void residual_cavlc(MB* mb, int addr) {
+    Out* o = out;
+    int64_t a = addr;
+    if (mb->kind == KIND_I16) {
+      block4(CAT_LUMA_DC, 0, o->luma_dc + a * 16, kZig4, 16, 15, true);
+      for (int i = 0; i < 16; i++)
+        block4(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16, kAc.ac4, 16,
+               14, (mb->cbp >> (i >> 2)) & 1);
+    } else if (mb->kind == KIND_I8 || mb->transform8) {
+      // four interleaved 4x4 blocks: sub b -> 8x8 scan positions 4k+b
+      for (int i = 0; i < 4; i++) {
+        int32_t* dst = o->luma8 + (a * 4 + i) * 64;
+        std::memset(dst, 0, 64 * sizeof(int32_t));
+        for (int b = 0; b < 4; b++)
+          block4(CAT_LUMA_4X4, i * 4 + b, dst, kZig8, 64, 15,
+                 (mb->cbp >> i) & 1, 4, b, false);
+      }
+    } else {
+      for (int i = 0; i < 16; i++)
+        block4(CAT_LUMA_4X4, i, o->luma4 + (a * 16 + i) * 16, kZig4, 16,
+               15, (mb->cbp >> (i >> 2)) & 1);
+    }
+    int catc = pp->chroma_array_type;
+    if (catc == 1 || catc == 2) {
+      int nc = 4 * catc;
+      for (int c2 = 0; c2 < 2; c2++)
+        block4(CAT_CHROMA_DC, c2, o->chroma_dc + (a * 2 + c2) * 8, kIdent8,
+               8, nc - 1, (mb->cbp & 0x30) != 0);
+      for (int c2 = 0; c2 < 2; c2++)
+        for (int j = 0; j < nc; j++)
+          block4(CAT_CHROMA_AC, c2 * 8 + j,
+                 o->chroma_ac + ((a * 2 + c2) * 8 + j) * 16, kAc.ac4, 16,
+                 14, (mb->cbp & 0x20) != 0);
+    }
+  }
+
+  void mb_type_cavlc(MB* mb) {
+    p8x8ref0 = false;
+    int v = rue();
+    int iv;
+    if (slice_type == ST_I) {
+      iv = v;
+    } else if (slice_type == ST_P || slice_type == ST_SP) {
+      if (v < 5) {
+        if (v >= 3) {
+          mb->kind = KIND_P8X8;
+          mb->mb_type_code = 3;
+          p8x8ref0 = v == 4;
+        } else {
+          mb->kind = KIND_P;
+          mb->mb_type_code = (int8_t)v;
+        }
+        return;
+      }
+      iv = v - 5;
+    } else if (slice_type == ST_SI) {
+      if (v == 0) { mb->kind = KIND_SI; return; }
+      iv = v - 1;
+    } else {  // B
+      if (v < 23) {
+        mb->kind = v == 0 ? KIND_B_DIRECT : (v == 22 ? KIND_B8X8 : KIND_B);
+        mb->mb_type_code = (int8_t)v;
+        return;
+      }
+      iv = v - 23;
+    }
+    if (iv == 0) mb->kind = KIND_I4;
+    else if (iv == 25) mb->kind = KIND_PCM;
+    else {
+      mb->kind = KIND_I16;
+      int c1 = iv - 1;
+      mb->i16_mode = (int8_t)(c1 % 4);
+      mb->cbp = (int16_t)((((c1 / 4) % 3) << 4) | (c1 >= 12 ? 15 : 0));
+    }
+  }
+
+  void intra_modes_cavlc(MB* mb, bool eight) {
+    int n = eight ? 4 : 16;
+    for (int blk = 0; blk < n; blk++) {
+      int ma = eight ? nb_mode8('A', blk) : nb_mode4('A', blk);
+      int mbv = eight ? nb_mode8('B', blk) : nb_mode4('B', blk);
+      int pred = (ma < 0 || mbv < 0) ? 2 : (ma < mbv ? ma : mbv);
+      int mode;
+      if (rbit()) mode = pred;
+      else {
+        int rem = rbits(3);
+        mode = rem < pred ? rem : rem + 1;
+      }
+      if (eight) mb->modes8[blk] = (int8_t)mode;
+      else mb->modes4[blk] = (int8_t)mode;
+    }
+  }
+
+  void mb_pred_inter_cavlc(MB* mb) {
+    const PartInfo& pi = (slice_type == ST_B) ? kBParts[mb->mb_type_code]
+                                              : kPParts[mb->mb_type_code];
+    for (int which = 0; which < 2; which++) {
+      int nref = which ? nref_l1 : nref_l0;
+      for (int p = 0; p < pi.n; p++) {
+        int pred = pi.pred[p];
+        bool uses = which == 0 ? (pred == PRED_L0 || pred == PRED_BI)
+                               : (pred == PRED_L1 || pred == PRED_BI);
+        if (!uses) continue;
+        int v = (nref == 0 || p8x8ref0) ? 0 : rte(nref);
+        if (pi.wh == 0) {
+          for (int q = 0; q < 4; q++) mb->ref_idx[which][q] = (int8_t)v;
+        } else if (pi.wh == 1) {
+          mb->ref_idx[which][p * 2] = (int8_t)v;
+          mb->ref_idx[which][p * 2 + 1] = (int8_t)v;
+        } else {
+          mb->ref_idx[which][p] = (int8_t)v;
+          mb->ref_idx[which][p + 2] = (int8_t)v;
+        }
+      }
+    }
+    for (int which = 0; which < 2; which++) {
+      for (int p = 0; p < pi.n; p++) {
+        int pred = pi.pred[p];
+        bool uses = which == 0 ? (pred == PRED_L0 || pred == PRED_BI)
+                               : (pred == PRED_L1 || pred == PRED_BI);
+        if (!uses) continue;
+        static const int all16[16] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                      10, 11, 12, 13, 14, 15};
+        const int* blks;
+        int nblk;
+        if (pi.wh == 0) { blks = all16; nblk = 16; }
+        else if (pi.wh == 1) { blks = kPart16x8[p]; nblk = 8; }
+        else { blks = kPart8x16[p]; nblk = 8; }
+        for (int comp = 0; comp < 2; comp++) {
+          int v = rse();
+          for (int b = 0; b < nblk; b++)
+            mb->mvd[which][blks[b]][comp] = (int16_t)v;
+        }
+      }
+    }
+  }
+
+  void sub_mb_pred_cavlc(MB* mb) {
+    bool is_b = slice_type == ST_B;
+    for (int which = 0; which < 2; which++) {
+      int nref = which ? nref_l1 : nref_l0;
+      for (int q = 0; q < 4; q++) {
+        const SubInfo& si = is_b ? kBSub[mb->sub_mb_type[q]]
+                                 : kPSub[mb->sub_mb_type[q]];
+        bool uses = which == 0 ? (si.pred == PRED_L0 || si.pred == PRED_BI)
+                               : (si.pred == PRED_L1 || si.pred == PRED_BI);
+        if (!uses) continue;
+        int v = (nref == 0 || p8x8ref0) ? 0 : rte(nref);
+        mb->ref_idx[which][q] = (int8_t)v;
+      }
+    }
+    for (int which = 0; which < 2; which++) {
+      for (int q = 0; q < 4; q++) {
+        const SubInfo& si = is_b ? kBSub[mb->sub_mb_type[q]]
+                                 : kPSub[mb->sub_mb_type[q]];
+        bool uses = which == 0 ? (si.pred == PRED_L0 || si.pred == PRED_BI)
+                               : (si.pred == PRED_L1 || si.pred == PRED_BI);
+        if (!uses) continue;
+        for (int part = 0; part < si.n; part++) {
+          int subs[4];
+          int nsub;
+          if (si.shape == 0) { subs[0] = 0; subs[1] = 1; subs[2] = 2;
+            subs[3] = 3; nsub = 4; }
+          else if (si.shape == 1) { subs[0] = kSub8x4[part][0];
+            subs[1] = kSub8x4[part][1]; nsub = 2; }
+          else if (si.shape == 2) { subs[0] = kSub4x8[part][0];
+            subs[1] = kSub4x8[part][1]; nsub = 2; }
+          else { subs[0] = part; nsub = 1; }
+          for (int comp = 0; comp < 2; comp++) {
+            int v = rse();
+            for (int k = 0; k < nsub; k++)
+              mb->mvd[which][4 * q + subs[k]][comp] = (int16_t)v;
+          }
+        }
+      }
+    }
+  }
+
+  void layer_cavlc(int addr) {
+    MB* mb = cur();
+    *mb = MB();
+    for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
+    for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
+    mb_type_cavlc(mb);
+    if (mb->kind == KIND_PCM) {
+      pcm_cavlc(mb, addr);
+      mb->qp_y = (int16_t)qpy_prev;
+      return;
+    }
+    bool intra = mb->kind == KIND_I4 || mb->kind == KIND_I8 ||
+                 mb->kind == KIND_I16 || mb->kind == KIND_SI;
+    bool no_small = true;
+    if (mb->kind == KIND_P8X8 || mb->kind == KIND_B8X8) {
+      bool is_b = slice_type == ST_B;
+      for (int i = 0; i < 4; i++) mb->sub_mb_type[i] = (int8_t)rue();
+      for (int q = 0; q < 4; q++) {
+        const SubInfo& si = is_b ? kBSub[mb->sub_mb_type[q]]
+                                 : kPSub[mb->sub_mb_type[q]];
+        if (is_b && mb->sub_mb_type[q] == 0) {
+          if (!pp->direct_8x8_inference_flag) no_small = false;
+        } else if (si.shape != 0) {
+          no_small = false;
+        }
+      }
+      sub_mb_pred_cavlc(mb);
+      mb->chroma_mode = 0;
+    } else {
+      if (mb->kind == KIND_I4 && pp->transform_8x8_mode_flag) {
+        mb->transform8 = (int8_t)rbit();
+        if (mb->transform8) mb->kind = KIND_I8;
+      }
+      if (mb->kind == KIND_I4 || mb->kind == KIND_I8 ||
+          mb->kind == KIND_SI)
+        intra_modes_cavlc(mb, mb->kind == KIND_I8);
+      if (intra && (pp->chroma_array_type == 1 ||
+                    pp->chroma_array_type == 2))
+        mb->chroma_mode = (int8_t)rue();
+      if (mb->kind == KIND_P || mb->kind == KIND_B)
+        mb_pred_inter_cavlc(mb);
+    }
+    if (mb->kind != KIND_I16) {
+      bool gray = !(pp->chroma_array_type == 1 ||
+                    pp->chroma_array_type == 2);
+      bool intra_nxn = mb->kind == KIND_I4 || mb->kind == KIND_I8 ||
+                       mb->kind == KIND_SI;
+      int g = rue();
+      const uint8_t* map =
+          intra_nxn ? (gray ? k_golomb_to_intra_cbp_gray
+                            : k_golomb_to_intra_cbp)
+                    : (gray ? k_golomb_to_inter_cbp_gray
+                            : k_golomb_to_inter_cbp);
+      mb->cbp = (int16_t)map[g];
+      if (!intra && (mb->cbp & 0x0F) && pp->transform_8x8_mode_flag &&
+          no_small &&
+          (mb->kind != KIND_B_DIRECT || pp->direct_8x8_inference_flag))
+        mb->transform8 = (int8_t)rbit();
+    }
+    if (mb->cbp != 0 || mb->kind == KIND_I16) mb->qp_delta = (int16_t)rse();
+    else mb->qp_delta = 0;
+    residual_cavlc(mb, addr);
+    int off = 6 * (pp->bit_depth_luma - 8);
+    mb->qp_y = ((qpy_prev + mb->qp_delta + 52 + 2 * off) % (52 + off)) - off;
+    qpy_prev = mb->qp_y;
+    // resolved 8x8 modes propagate to 4x4 slots for neighbor prediction
+    if (mb->kind == KIND_I8)
+      for (int i = 0; i < 16; i++) mb->modes4[i] = mb->modes8[i >> 2];
+  }
+
+  void pcm_cavlc(MB* mb, int addr) {
+    eng.byte_align();
+    int bd_l = pp->bit_depth_luma, bd_c = pp->bit_depth_chroma;
+    for (int i = 0; i < 256; i++)
+      out->pcm_y[(int64_t)addr * 256 + i] = rbits(bd_l);
+    if (pp->chroma_array_type) {
+      int n = 64 << pp->chroma_array_type;
+      for (int i = 0; i < n; i++)
+        out->pcm_c[(int64_t)addr * 128 + i] = rbits(bd_c);
+    }
+    mb->qp_delta = 0;
+    mb->transform8 = 0;
+    mb->cbp = 0x2F;
+    mb->chroma_mode = 0;
+    std::memset(mb->cbf, 16, sizeof(mb->cbf));  // nC of I_PCM is 16
+    for (int i = 0; i < 16; i++) mb->modes4[i] = 2;
+    for (int i = 0; i < 4; i++) mb->modes8[i] = 2;
+  }
+};
+
+void decode_one_slice_cavlc(const uint8_t* rbsp, const SliceParams& sp,
+                            int last_mb, int slice_id, const PicParams* pp,
+                            Out* o, std::vector<MB>* mbs, int slice_index) {
+  CavlcCtx s;
+  s.pp = pp;
+  s.out = o;
+  s.mbs = mbs;
+  s.slice_id = slice_id;
+  s.curr = sp.first_mb;
+  s.qpy_prev = sp.slice_qp;
+  s.slice_type = sp.slice_type;
+  s.nref_l0 = sp.nref_l0;
+  s.nref_l1 = sp.nref_l1;
+  s.eng.data = rbsp;
+  s.eng.pos = sp.bit_off;
+  s.eng.bit_len = sp.rbsp_len * 8;
+  // stop bit: the lowest set bit of the last nonzero byte
+  int64_t k = sp.rbsp_len - 1;
+  while (k >= 0 && rbsp[k] == 0) k--;
+  s.stop_bit = 0;
+  if (k >= 0) {
+    int b = rbsp[k], t = 0;
+    while (!((b >> t) & 1)) t++;
+    s.stop_bit = k * 8 + (7 - t);
+  }
+  bool is_intra = sp.slice_type == ST_I || sp.slice_type == ST_SI;
+  int n = pp->mb_w * pp->mb_h;
+  while (true) {
+    if (!is_intra) {
+      int run = s.rue();  // mb_skip_run
+      for (int i = 0; i < run && s.curr < n; i++) {
+        MB* mb = s.cur();
+        *mb = MB();
+        for (int j = 0; j < 16; j++) mb->modes4[j] = 2;
+        for (int j = 0; j < 4; j++) mb->modes8[j] = 2;
+        mb->kind = (sp.slice_type == ST_B) ? KIND_B_SKIP : KIND_P_SKIP;
+        mb->qp_y = (int16_t)s.qpy_prev;
+        publish_mb(s, o);
+        s.prev_addr = s.curr;
+        s.curr++;
+      }
+      if (run > 0 && !s.more_data()) break;
+    }
+    if (s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
+    s.layer_cavlc(s.curr);
+    publish_mb(s, o);
+    s.prev_addr = s.curr;
+    s.curr++;
+    if (!s.more_data()) break;
+    if (s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
+  }
+  if (o->bin_count) o->bin_count[slice_index] = 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1140,6 +1626,33 @@ int dt_decode_picture_slices(
     int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
     decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp, &o,
                      &mbs, k);
+  };
+  if (n_threads <= 1 || n_slices == 1) {
+    for (int k = 0; k < n_slices; k++) work(k);
+  } else {
+    std::vector<std::thread> ts;
+    for (int k = 0; k < n_slices; k++) ts.emplace_back(work, k);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+// Decode all slices of one picture with CAVLC entropy coding
+// (entropy_coding_mode_flag == 0); same contract as the CABAC entry.
+int dt_decode_picture_slices_cavlc(
+    const uint8_t* rbsp_all, const SliceParams* sp, int32_t n_slices,
+    PicParams pp, Out o, int32_t n_threads) {
+  int n = pp.mb_w * pp.mb_h;
+  std::vector<MB> mbs(n);
+  for (int k = 0; k < n_slices; k++) {
+    int lo = sp[k].first_mb;
+    int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
+    for (int a = lo; a < hi; a++) o.slice_id[a] = k;
+  }
+  auto work = [&](int k) {
+    int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
+    decode_one_slice_cavlc(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp,
+                           &o, &mbs, k);
   };
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);

@@ -93,6 +93,9 @@ def lib():
         fn.restype = ct.c_int
         fn.argtypes = [ct.POINTER(ct.c_uint8), ct.POINTER(SliceParams),
                        ct.c_int32, PicParams, Out, ct.c_int32]
+        fnc = _lib.dt_decode_picture_slices_cavlc
+        fnc.restype = ct.c_int
+        fnc.argtypes = fn.argtypes
         rf = _lib.dt_reconstruct_islices
         rf.restype = ct.c_int
         rf.argtypes = [_P] * 15 + [ct.c_int32] * 4 + \
@@ -177,7 +180,9 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0):
                    sps.direct_8x8_inference_flag)
 
     buf = ct.create_string_buffer(rbsp_all, len(rbsp_all))
-    rc = lib().dt_decode_picture_slices(
+    entry = (lib().dt_decode_picture_slices if pps.entropy_coding_mode_flag
+             else lib().dt_decode_picture_slices_cavlc)
+    rc = entry(
         ct.cast(buf, ct.POINTER(ct.c_uint8)), sp_arr, ct.c_int32(ns), pp,
         ostruct, ct.c_int32(n_threads or min(ns, 16)))
     assert rc == 0

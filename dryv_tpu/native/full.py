@@ -43,8 +43,8 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
     """Decode an Annex-B stream fully on the C++ host path.
 
     Falls back to the Python scalar path for features outside the native
-    scope (CAVLC, non-4:2:0, SP/SI, custom scaling lists, ref list
-    modification)."""
+    scope (non-4:2:0, SP/SI, custom scaling lists, ref list
+    modification).  Both entropy modes (CABAC and CAVLC) are native."""
     from ..avc import split_annexb
     from ..avc.dpb import DecodedPictureBuffer
     from ..avc.slice_header import SliceType
@@ -71,8 +71,7 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             st = h.slice_type
-            if (not pps.entropy_coding_mode_flag
-                    or sps.chroma_array_type != 1
+            if (sps.chroma_array_type != 1
                     or sps.bit_depth_luma_minus8
                     or pps.slice_groups is not None
                     or st in (SliceType.SP, SliceType.SI)
@@ -82,7 +81,11 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
                     or sps.seq_scaling_matrix_present_flag):
                 return decode_annexb_scalar(stream, max_frames)
             headers.append(h)
-            slice_datas.append((rbsp, (h.header_bit_len + 7) & ~7,
+            # CABAC slice data is byte-aligned after the header; CAVLC
+            # starts at the next bit
+            bitoff = ((h.header_bit_len + 7) & ~7
+                      if pps.entropy_coding_mode_flag else h.header_bit_len)
+            slice_datas.append((rbsp, bitoff,
                                 h.first_mb_in_slice, h.slice_qp_y(pps),
                                 int(st), h.cabac_init_idc,
                                 h.num_ref_idx_l0_active_minus1,

@@ -84,8 +84,7 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             pps = sd.pps_map[h0.pic_parameter_set_id]
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
-            if not h.slice_type.is_intra or not pps.entropy_coding_mode_flag \
-                    or sps.chroma_array_type != 1:
+            if not h.slice_type.is_intra or sps.chroma_array_type != 1:
                 # intra pictures reconstruct on device below; inter (P/B)
                 # streams run the full native C++ host path (which itself
                 # falls back to the Python scalar path out of scope)
@@ -95,7 +94,8 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             if slice_datas is None:
                 slice_datas = []
             headers.append(h)
-            bitoff = (h.header_bit_len + 7) & ~7
+            bitoff = ((h.header_bit_len + 7) & ~7
+                      if pps.entropy_coding_mode_flag else h.header_bit_len)
             slice_datas.append((rbsp, bitoff, h.first_mb_in_slice,
                                 h.slice_qp_y(pps)))
         out = decode_picture_islices(slice_datas, sps, pps,

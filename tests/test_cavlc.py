@@ -87,3 +87,35 @@ def test_cavlc_device_path():
     assert np.array_equal(f.y, gy)
     assert np.array_equal(f.cb, gcb)
     assert np.array_equal(f.cr, gcr)
+
+
+@pytest.mark.parametrize("name", ["cavlc_mix_qp26", "cavlc_mix8_qp30",
+                                  "cavlc_dblk_qp30"])
+def test_cavlc_native_full(name):
+    """The C++ CAVLC entropy stage + native recon path is bit-exact."""
+    from dryv_tpu.native.full import decode_annexb_native
+    from dryv_tpu.testing.fixtures import get_fixture
+    stream, (gy, gcb, gcr), sps, pps = get_fixture(name)
+    f = decode_annexb_native(stream)[0]
+    assert np.array_equal(f.y, gy)
+    assert np.array_equal(f.cb, gcb)
+    assert np.array_equal(f.cr, gcr)
+
+
+def test_cavlc_native_inter():
+    """CAVLC P+B sequence through the C++ path matches the scalar path."""
+    from dryv_tpu.native.full import decode_annexb_native
+    mb_w, mb_h = 6, 4
+    frame_at = _sources(109, mb_w, mb_h)
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=29, cabac=False, poc_type=0,
+                               max_refs=2)
+    se = SequenceEncoder(sps, pps, 29, deblock=True)
+    frames = [(se.encode_idr(*frame_at(0), poc=0), 7, True, 0, 0, 3),
+              (se.encode_p(*frame_at(4), poc=8), 5, False, 1, 8, 3),
+              (se.encode_b(*frame_at(2), poc=4), 6, False, 2, 4, 0)]
+    stream = encode_sequence_annexb(sps, pps, frames, deblock_disable=0)
+    ref = sorted(decode_annexb_scalar(stream), key=lambda f: f.poc)
+    ours = sorted(decode_annexb_native(stream), key=lambda f: f.poc)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y)), f"fr {i}"
+        assert np.array_equal(np.asarray(a.cb), np.asarray(b.cb)), f"fr {i}"
