@@ -73,6 +73,11 @@ FIXTURE_SPECS = [
     ("cavlc_mix8_qp30", 4, 3, 30, "mix8", True, 1, None),
     ("cavlc_c422_qp27", 4, 3, 27, "mix420", False, None, None),
     ("cavlc_dblk_qp30", 4, 3, 30, "mix", False, None, None),
+    # extreme QPs: large levels exercise CAVLC suffix escapes
+    # (level_prefix >= 15) and dense blocks (total_coeff == maxNumCoeff)
+    ("cavlc_i16_qp0", 4, 3, 0, "i16", False, None, None),
+    ("cavlc_i4_qp0", 4, 3, 0, "i4", False, None, None),
+    ("cavlc_mix8_qp51", 4, 3, 51, "mix8", True, None, None),
 ]
 
 

@@ -8,6 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from dryv_tpu.decoder import decode_annexb_scalar
+from dryv_tpu.native.full import decode_annexb_native
 from dryv_tpu.pipeline import decode_annexb_tpu
 from dryv_tpu.testing.fixtures import all_fixture_names, get_fixture
 
@@ -17,6 +18,7 @@ def main():
     for name in all_fixture_names():
         stream, (gy, gcb, gcr), _, _ = get_fixture(name)
         for label, fn in (("scalar", decode_annexb_scalar),
+                          ("native", decode_annexb_native),
                           ("jax", decode_annexb_tpu)):
             f = fn(stream)[0]
             if f.cb is None:
