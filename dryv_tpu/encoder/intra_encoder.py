@@ -131,6 +131,9 @@ class IntraEncoder:
         self.q = QuantMaps(self.recon)
         self.qp = qp
         self.deadzone = deadzone
+        # lossless transform bypass (QP'Y == 0 + SPS flag, spec 8.3.5)
+        self.bypass = bool(sps.qpprime_y_zero_transform_bypass_flag) and \
+            qp == 0
         self.policy = mb_kind_policy or (lambda addr: "i16" if addr % 3 == 0
                                          else "i4")
 
@@ -268,6 +271,14 @@ class IntraEncoder:
                 if best_sad is None or sad < best_sad:
                     best, best_sad, best_pred = m, sad, pred
             mb.intra4x4_modes[blk] = best
+            if self.bypass:
+                r = src - best_pred
+                if np.any(r):
+                    cbp_luma |= 1 << (blk >> 2)
+                mb.luma4[blk][:] = r.reshape(-1)[ZIGZAG_4X4]
+                R.y[y0:y0 + 4, x0:x0 + 4] = src  # lossless
+                R.blk_done[by, bx] = True
+                continue
             lv = _round_levels(inv @ (src - best_pred).reshape(-1),
                                self.deadzone)
             if np.any(lv):
@@ -324,6 +335,15 @@ class IntraEncoder:
                 if best_sad is None or sad < best_sad:
                     best, best_sad, best_pred = m, sad, pred
             mb.intra8x8_modes[blk] = best
+            if self.bypass:
+                r = src - best_pred
+                if np.any(r):
+                    cbp_luma |= 1 << blk
+                mb.luma8[blk][:] = r.reshape(-1)[ZIGZAG_8X8]
+                R.y[y0:y0 + 8, x0:x0 + 8] = src  # lossless
+                R.blk_done[y0 // 4:y0 // 4 + 2,
+                           x0 // 4:x0 // 4 + 2] = True
+                continue
             lv = _round_levels(inv @ (src - best_pred).reshape(-1),
                                self.deadzone)
             if np.any(lv):
@@ -384,6 +404,24 @@ class IntraEncoder:
             qp_off = (self.pps.chroma_qp_index_offset if ci == 0
                       else self.pps.second_chroma_qp_offset)
             qpc = qpc_from_qpy(mb.qp_y, qp_off, 0)
+            if self.bypass:
+                assert cat == 1, "bypass chroma fixture is 4:2:0"
+                pred = ip.pred_chroma(best, above, left, corner, avail_a,
+                                      avail_b, avail_d, 8, ch)
+                r = src - pred
+                for j in range(nblk):
+                    bx, by = j & 1, j >> 1
+                    zz = r[by * 4:by * 4 + 4,
+                           bx * 4:bx * 4 + 4].reshape(-1)[ZIGZAG_4X4]
+                    mb.chroma_dc[ci][j] = zz[0]
+                    mb.chroma_ac[ci][j][:15] = zz[1:]
+                    if np.any(zz[1:]):
+                        has_ac = True
+                if np.any(mb.chroma_dc[ci]):
+                    has_dc = True
+                (R.cb if ci == 0 else R.cr)[cy0:cy0 + ch,
+                                            cx0:cx0 + 8] = src
+                continue
             inv = self.q.inv4_dcpass(qpc, 1 + ci)
             pred = ip.pred_chroma(best, above, left, corner, avail_a,
                                   avail_b, avail_d, 8, ch)
@@ -413,3 +451,4 @@ class IntraEncoder:
         if chroma_cbp != 2:
             mb.chroma_ac[:] = 0
         mb.cbp |= chroma_cbp << 4
+

@@ -14,7 +14,10 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     crop=None, max_refs: int = 1,
                     poc_type: int = 2, weighted_pred: int = 0,
                     weighted_bipred_idc: int = 0,
-                    cabac: bool = True) -> tuple[SPS, PPS]:
+                    cabac: bool = True,
+                    lossless: bool = False) -> tuple[SPS, PPS]:
+    if lossless:
+        profile = 244  # High 4:4:4 Predictive hosts the bypass flag
     sps = SPS(
         profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
         level_idc=40,
@@ -23,6 +26,7 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
         pic_order_cnt_type=poc_type,
         log2_max_pic_order_cnt_lsb_minus4=4,  # lsb range 256 (poc type 0)
         max_num_ref_frames=max_refs,
+        qpprime_y_zero_transform_bypass_flag=1 if lossless else 0,
     )
     if crop is not None:
         from ..avc.sps import FrameCropping

@@ -73,6 +73,7 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             st = h.slice_type
             if (sps.chroma_array_type != 1
                     or sps.bit_depth_luma_minus8
+                    or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None
                     or st in (SliceType.SP, SliceType.SI)
                     or h.ref_pic_list_modification_l0

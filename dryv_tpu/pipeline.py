@@ -84,7 +84,8 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             pps = sd.pps_map[h0.pic_parameter_set_id]
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
-            if not h.slice_type.is_intra or sps.chroma_array_type != 1:
+            if not h.slice_type.is_intra or sps.chroma_array_type != 1 \
+                    or sps.qpprime_y_zero_transform_bypass_flag:
                 # intra pictures reconstruct on device below; inter (P/B)
                 # streams run the full native C++ host path (which itself
                 # falls back to the Python scalar path out of scope)
@@ -185,7 +186,8 @@ def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
     frames = []
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
-        if sps.chroma_array_type != 1 or any(
+        if sps.chroma_array_type != 1 \
+                or sps.qpprime_y_zero_transform_bypass_flag or any(
                 h.deblocking is None or h.deblocking.disable_idc != 1
                 for h in headers):
             # device pipeline is 4:2:0 without the in-loop filter;

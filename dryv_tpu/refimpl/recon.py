@@ -66,6 +66,13 @@ class FrameRecon:
         self.ls8 = [level_scale_8x8(dezigzag8(sl.l8x8[i]).astype(np.int64))
                     for i in range(6)]
         self.qp_bd_offset_c = 6 * sps.bit_depth_chroma_minus8
+        self.qp_bd_offset_y = 6 * sps.bit_depth_luma_minus8
+        self.bypass_flag = sps.qpprime_y_zero_transform_bypass_flag
+
+    def bypass(self, qpy: int) -> bool:
+        """TransformBypassModeFlag (8.5): lossless when QP'Y == 0 and the
+        SPS bypass flag is set — the reference leaves lossless as todo!."""
+        return bool(self.bypass_flag) and qpy + self.qp_bd_offset_y == 0
 
     # -- availability ----------------------------------------------------
     def luma_avail(self, x: int, y: int, slice_id: int) -> bool:
@@ -148,11 +155,13 @@ class FrameRecon:
 
     def _recon_i4(self, mb, mx, my, slice_id, qpy, maxv):
         ls4 = self.ls4[0]
+        byp = self.bypass(qpy)
         for blk in range(16):
             ox, oy = ZSCAN_4X4_POS[blk]
             bx, by = mx * 4 + ox, my * 4 + oy
             c = dezigzag4(mb.luma4[blk])
-            r = dequant_idct_4x4(c, qpy, ls4, dc_passthrough=False)
+            r = (c if byp
+                 else dequant_idct_4x4(c, qpy, ls4, dc_passthrough=False))
             above, left, corner, aa, ab, ac, ad = \
                 self._luma_window4(bx, by, slice_id)
             mode = int(mb.intra4x4_modes[blk])
@@ -168,7 +177,8 @@ class FrameRecon:
             ox, oy = blk & 1, blk >> 1
             x0, y0 = mx * 16 + ox * 8, my * 16 + oy * 8
             c = dezigzag8(mb.luma8[blk])
-            r = dequant_idct_8x8(c, qpy, ls8)
+            byp = self.bypass(qpy)
+            r = c if byp else dequant_idct_8x8(c, qpy, ls8)
             avail_a = self.luma_avail(x0 - 1, y0, slice_id)
             avail_b = self.luma_avail(x0, y0 - 1, slice_id)
             avail_c = self.luma_avail(x0 + 8, y0 - 1, slice_id)
@@ -186,16 +196,19 @@ class FrameRecon:
                 left[:] = self.y[y0:y0 + 8, x0 - 1]
             if avail_d:
                 corner = int(self.y[y0 - 1, x0 - 1])
-            fa, fl, fz = ip.filter_ref_8x8(above, left, corner,
-                                           avail_a, avail_b, avail_c, avail_d)
             mode = int(mb.intra8x8_modes[blk])
-            pred = ip.pred8x8(mode, fa, fl, fz, avail_a, avail_b, avail_d,
-                              self.bitdepth)
+            fa, fl, fz = ip.filter_ref_8x8(above, left, corner, avail_a,
+                                           avail_b, avail_c, avail_d)
+            pred = ip.pred8x8(mode, fa, fl, fz, avail_a, avail_b,
+                              avail_d, self.bitdepth)
             u = np.clip(pred + r, 0, maxv)
             self.y[y0:y0 + 8, x0:x0 + 8] = u
             self.blk_done[y0 // 4:y0 // 4 + 2, x0 // 4:x0 // 4 + 2] = True
 
     def _recon_i16(self, mb, mx, my, slice_id, qpy, maxv):
+        if self.bypass(qpy):
+            raise NotImplementedError(
+                "transform-bypass I_16x16 (lossless streams use I_NxN)")
         ls4 = self.ls4[0]
         x0, y0 = mx * 16, my * 16
         avail_a = self.mb_avail(mx - 1, my, slice_id)
@@ -238,6 +251,12 @@ class FrameRecon:
             qp_base = mb.qs_y if mb.kind == MbKind.SI else mb.qp_y
             qpc = qpc_from_qpy(qp_base, qp_off, self.qp_bd_offset_c)
             ls4 = self.ls4[1 + ci]
+            if self.bypass(mb.qp_y):
+                if cat != 1:
+                    raise NotImplementedError("bypass chroma is 4:2:0-only")
+                self._recon_chroma_bypass(mb, ci, plane, cx0, cy0, avail_a,
+                                          avail_b, avail_d, maxv)
+                continue
             if cat == 1:
                 dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
                 dc_vals = idct_chroma_dc(dc_in, qpc, ls4, 1)
@@ -265,3 +284,26 @@ class FrameRecon:
                 resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = r
             u = np.clip(pred + resid, 0, maxv)
             plane[cy0:cy0 + ch, cx0:cx0 + 8] = u
+
+    def _recon_chroma_bypass(self, mb, ci, plane, cx0, cy0, avail_a,
+                             avail_b, avail_d, maxv):
+        """Lossless chroma (8.3.5 + 8.5.11 identity DC): residual placed
+        directly; DPCM for horizontal/vertical chroma modes."""
+        resid = np.zeros((8, 8), dtype=np.int64)
+        for j in range(4):
+            bx, by = j & 1, j >> 1
+            full = np.zeros(16, dtype=np.int64)
+            full[0] = mb.chroma_dc[ci][j]
+            full[1:] = mb.chroma_ac[ci][j][:15]
+            resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = dezigzag4(full)
+        mode = int(mb.chroma_mode)
+        above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else \
+            np.zeros(8, np.int64)
+        left = plane[cy0:cy0 + 8, cx0 - 1] if avail_a else \
+            np.zeros(8, np.int64)
+        corner = int(plane[cy0 - 1, cx0 - 1]) if avail_d else 0
+        pred = ip.pred_chroma(mode, above, left, corner, avail_a,
+                              avail_b, avail_d, 8, 8, self.bitdepth)
+        u = np.clip(pred + resid, 0, maxv)
+        plane[cy0:cy0 + 8, cx0:cx0 + 8] = u
+

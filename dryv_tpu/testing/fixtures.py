@@ -29,6 +29,7 @@ def make_source(mb_w: int, mb_h: int, seed: int = 42):
 
 
 POLICIES = {
+    "mix48": lambda a: ["i4", "i8"][a % 2],
     "i16": lambda a: "i16",
     "i4": lambda a: "i4",
     "i8": lambda a: "i8",
@@ -78,6 +79,10 @@ FIXTURE_SPECS = [
     ("cavlc_i16_qp0", 4, 3, 0, "i16", False, None, None),
     ("cavlc_i4_qp0", 4, 3, 0, "i4", False, None, None),
     ("cavlc_mix8_qp51", 4, 3, 51, "mix8", True, None, None),
+    # "lossless_" prefix: transform bypass (QP'Y == 0 + SPS flag); the
+    # reference leaves lossless as todo!()
+    ("lossless_i4", 4, 3, 0, "i4", False, None, None),
+    ("lossless_mix48", 4, 3, 0, "mix48", True, 1, None),
 ]
 
 
@@ -90,6 +95,7 @@ def get_fixture(name: str):
     c422 = "c422" in name
     deblock = name.startswith("dblk") or "dblk" in name
     cavlc = name.startswith("cavlc")
+    lossless = name.startswith("lossless")
     src = make_source(mb_w, mb_h)
     if mono:
         src = (src[0], None, None)
@@ -107,7 +113,8 @@ def get_fixture(name: str):
     if c422:
         profile = 122
     sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8,
-                               crop=crop, profile=profile, cabac=not cavlc)
+                               crop=crop, profile=profile, cabac=not cavlc,
+                               lossless=lossless)
     if mono:
         sps.chroma_format_idc = 0
     if c422:

@@ -34,3 +34,15 @@ def test_parameter_set_roundtrip():
     pps2 = PPS.parse(pps.write(), sps2)
     assert pps2.transform_8x8_mode_flag == pps.transform_8x8_mode_flag
     assert pps2.pic_init_qp_minus26 == pps.pic_init_qp_minus26
+
+
+def test_lossless_identity():
+    """Transform-bypass streams reconstruct the source exactly (the
+    reference leaves lossless as todo!)."""
+    from dryv_tpu.testing.fixtures import make_source
+    stream, (gy, gcb, gcr), sps, pps = get_fixture("lossless_mix48")
+    src_y, src_cb, src_cr = make_source(4, 3)
+    frame = decode_annexb_scalar(stream)[0]
+    assert np.array_equal(frame.y, src_y)
+    assert np.array_equal(frame.cb, src_cb)
+    assert np.array_equal(frame.cr, src_cr)
