@@ -106,19 +106,60 @@ struct AcMaps {
 // (state 0 LPS flips valMPS; transLps[0] == 0)
 struct PackedTransTab {
   uint8_t mps[128], lps[128];
+  // interleaved for branchless select: next[(s << 1) | is_lps]
+  uint8_t next[256];
+  // LPS range indexed directly by packed state: lpsp[s * 4 + quarter]
+  uint8_t lpsp[512];
   PackedTransTab() {
     for (int s = 0; s < 128; s++) {
       int st = s >> 1, m = s & 1;
       mps[s] = (uint8_t)((kTransMps[st] << 1) | m);
       lps[s] = (uint8_t)((kTransLps[st] << 1) | (st == 0 ? m ^ 1 : m));
+      next[(s << 1) | 0] = mps[s];
+      next[(s << 1) | 1] = lps[s];
+      for (int q = 0; q < 4; q++) lpsp[s * 4 + q] = kRangeLps[st * 4 + q];
     }
   }
 };
 const PackedTransTab kPackedTrans;
 
+// precomputed significance-map context indices per residual category
+// (kills the per-bin branches of sig_ctx in the hottest loop).
+// ctxIdx = tab[cat][scan_pos]; chroma DC depends on chroma_array_type.
+struct SigCtxTabs {
+  uint16_t sig[6][64], last[6][64];      // chroma_dc slot = 4:2:0 variant
+  uint16_t sig_cdc2[8], last_cdc2[8];    // chroma_dc, 4:2:2
+  SigCtxTabs() {
+    for (int cat = 0; cat < 6; cat++) {
+      int n = (cat == CAT_LUMA_8X8) ? 63 : (cat == CAT_CHROMA_DC ? 8 : 15);
+      for (int i = 0; i < n; i++) {
+        int sinc, linc;
+        if (cat == CAT_CHROMA_DC) {
+          sinc = linc = i < 3 ? i : 2;  // 4:2:0: i / 1 clamped
+        } else if (cat == CAT_LUMA_8X8) {
+          sinc = kSig8x8[i * 3 + 0];
+          linc = kSig8x8[i * 3 + 2];
+        } else {
+          sinc = linc = i;
+        }
+        sig[cat][i] = (uint16_t)(kSigFrame[cat] + sinc);
+        last[cat][i] = (uint16_t)(kLastFrame[cat] + linc);
+      }
+    }
+    for (int i = 0; i < 8; i++) {  // 4:2:2 chroma DC: inc = min(i/2, 2)
+      int inc = (i >> 1) < 2 ? (i >> 1) : 2;
+      sig_cdc2[i] = (uint16_t)(kSigFrame[CAT_CHROMA_DC] + inc);
+      last_cdc2[i] = (uint16_t)(kLastFrame[CAT_CHROMA_DC] + inc);
+    }
+  }
+};
+const SigCtxTabs kSigCtx;
+
 struct Engine {
   const uint8_t* data;
-  int64_t pos;      // consumed-bit position (raw reads + alignment)
+  int64_t pos;      // raw-read bit cursor (PCM samples, CAVLC); while the
+                    // CABAC engine runs, the consumed-bit position is
+                    // derived as fetch_pos - lowbits (see cabac_pos())
   int64_t bit_len;
   int32_t range;
   int64_t bins = 0;  // decoded bin counter (reference cabac/mod.rs:68)
@@ -211,44 +252,59 @@ struct Engine {
     fetch_pos = pos + 48;
     pos += 9;
   }
+  // consumed-bit position of the CABAC engine (== the old `pos` chain:
+  // init leaves fetch_pos - lowbits == pos + 9, every renorm/bypass
+  // decrements lowbits by the bits consumed, refill moves both by 32)
+  int64_t cabac_pos() const { return fetch_pos - lowbits; }
   inline void renorm() {
-    if (range >= 256) return;
-    // shift count via count-leading-zeros: range in [2, 255]
+    // branchless shift count: range in [2, 510]; clz==23 -> 0 shift
     int n = __builtin_clz((unsigned)range) - 23;
     range <<= n;
     lowbits -= n;
-    pos += n;
-    if (lowbits < 8) refill_low();
+    if (__builtin_expect(lowbits < 8, 0)) refill_low();
   }
   int decision(int ctx) {
     bins++;
     unsigned s = ctx_state[ctx];
-    uint32_t lps = kRangeLps[(s >> 1) * 4 + ((range >> 6) & 3)];
-    uint32_t rng = (uint32_t)range - lps;
-    uint64_t scaled = (uint64_t)rng << lowbits;
-    int bin;
-    if (low >= scaled) {
-      bin = (s & 1) ^ 1;
-      low -= scaled;
-      rng = lps;
-      ctx_state[ctx] = kPackedTrans.lps[s];
-    } else {
-      bin = s & 1;
-      ctx_state[ctx] = kPackedTrans.mps[s];
-    }
-    range = (int32_t)rng;
-    renorm();
+    uint32_t lps = kPackedTrans.lpsp[s * 4 + (((uint32_t)range >> 6) & 3)];
+    uint32_t mps_rng = (uint32_t)range - lps;
+    uint64_t scaled = (uint64_t)mps_rng << lowbits;
+    uint64_t is_lps = (uint64_t)(low >= scaled);
+    uint64_t m = 0 - is_lps;
+    low -= scaled & m;
+    uint32_t rng = (mps_rng & ~(uint32_t)m) | (lps & (uint32_t)m);
+    int bin = (int)((s ^ is_lps) & 1);
+    ctx_state[ctx] = kPackedTrans.next[(s << 1) | (unsigned)is_lps];
+    int n = __builtin_clz(rng) - 23;
+    range = (int32_t)(rng << n);
+    lowbits -= n;
+    if (__builtin_expect(lowbits < 8, 0)) refill_low();
     return bin;
   }
   int bypass() {
     bins++;
     lowbits--;
-    pos++;
     uint64_t scaled = (uint64_t)range << lowbits;
-    int bin = 0;
-    if (low >= scaled) { low -= scaled; bin = 1; }
-    if (lowbits < 8) refill_low();
-    return bin;
+    uint64_t b = (uint64_t)(low >= scaled);
+    low -= scaled & (0 - b);
+    if (__builtin_expect(lowbits < 8, 0)) refill_low();
+    return (int)b;
+  }
+  // n bypass bins MSB-first with a single refill guard (n <= 16:
+  // keeps lowbits + 9 < 64 after a refill at lowbits <= 23)
+  int bypass_n(int n) {
+    bins += n;
+    if (lowbits < n + 8) refill_low();
+    int v = 0;
+    for (int i = 0; i < n; i++) {
+      lowbits--;
+      uint64_t scaled = (uint64_t)range << lowbits;
+      uint64_t b = (uint64_t)(low >= scaled);
+      low -= scaled & (0 - b);
+      v = (v << 1) | (int)b;
+    }
+    if (__builtin_expect(lowbits < 8, 0)) refill_low();
+    return v;
   }
   int terminate() {
     bins++;
@@ -606,7 +662,9 @@ struct SliceCtx {
     if (pre >= 9) {  // UEG3 suffix
       int k = 3;
       while (eng.bypass()) { v += 1 << k; k++; }
-      while (k > 0) { k--; if (eng.bypass()) v += 1 << k; }
+      if (k <= 16) v += eng.bypass_n(k);
+      else
+        while (k > 0) { k--; if (eng.bypass()) v += 1 << k; }
     }
     if (v != 0 && eng.bypass()) v = -v;
     mb->mvd[which][blk4][comp] = (int16_t)v;
@@ -840,19 +898,6 @@ struct SliceCtx {
     return v;
   }
 
-  int sig_ctx(int cat, int i, bool last) {
-    int inc;
-    if (cat == CAT_CHROMA_DC) {
-      inc = i / pp->chroma_array_type;
-      if (inc > 2) inc = 2;
-    } else if (cat == CAT_LUMA_8X8) {
-      inc = kSig8x8[i * 3 + (last ? 2 : 0)];  // frame coding
-    } else {
-      inc = i;
-    }
-    return (last ? kLastFrame[cat] : kSigFrame[cat]) + inc;
-  }
-
   void residual_block(int cat, int idx, int32_t* coeffs, const int* remap,
                       int out_size, int start, int end, int maxnumcoeff,
                       bool coded) {
@@ -880,33 +925,49 @@ struct SliceCtx {
     std::memset(coeffs, 0, out_size * sizeof(int32_t));
     if (!cbf) return;
 
-    uint8_t sig[64] = {0};
+    const uint16_t* sigtab = kSigCtx.sig[cat];
+    const uint16_t* lasttab = kSigCtx.last[cat];
+    if (cat == CAT_CHROMA_DC && pp->chroma_array_type == 2) {
+      sigtab = kSigCtx.sig_cdc2;
+      lasttab = kSigCtx.last_cdc2;
+    }
+    // significant positions gathered into a compact local list; decoded
+    // magnitudes buffered locally so the engine state stays in registers
+    // (stores through `coeffs` would force reloads)
+    uint8_t sigpos[64];
+    int32_t vals[64];
+    int nsig = 0;
     int numcoeff = end + 1;
     for (int i = start; i < numcoeff - 1; i++) {
-      if (eng.decision(sig_ctx(cat, i, false))) {
-        sig[i] = 1;
-        if (eng.decision(sig_ctx(cat, i, true))) numcoeff = i + 1;
+      if (eng.decision(sigtab[i])) {
+        sigpos[nsig++] = (uint8_t)i;
+        if (eng.decision(lasttab[i])) { numcoeff = i + 1; goto levels; }
       }
     }
-    sig[numcoeff - 1] = 1;
-    int num1 = 0, numgt1 = 0;
-    for (int i = numcoeff - 1; i >= start; i--) {
-      if (!sig[i]) continue;
-      int base = kAbsBase[cat];
-      int c0 = base + (numgt1 != 0 ? 0 : (num1 >= 4 ? 4 : num1 + 1));
-      int clampv = (cat == CAT_CHROMA_DC) ? 3 : 4;
-      int c1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
-      int pre = 0;
-      while (pre < 14 && eng.decision(pre == 0 ? c0 : c1)) pre++;
-      int mag = pre;
-      if (pre >= 14) {  // UEG0 suffix
-        int k = 0;
-        while (eng.bypass()) { mag += 1 << k; k++; }
-        while (k > 0) { k--; if (eng.bypass()) mag += 1 << k; }
+    sigpos[nsig++] = (uint8_t)(numcoeff - 1);
+  levels:;
+    {
+      int num1 = 0, numgt1 = 0;
+      const int base = kAbsBase[cat];
+      const int clampv = (cat == CAT_CHROMA_DC) ? 3 : 4;
+      for (int j = nsig - 1; j >= 0; j--) {
+        int c0 = base + (numgt1 != 0 ? 0 : (num1 >= 4 ? 4 : num1 + 1));
+        int c1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
+        int pre = 0;
+        while (pre < 14 && eng.decision(pre == 0 ? c0 : c1)) pre++;
+        int mag = pre;
+        if (pre >= 14) {  // UEG0 suffix
+          int k = 0;
+          while (eng.bypass()) { mag += 1 << k; k++; }
+          if (k <= 16) mag += eng.bypass_n(k);
+          else
+            while (k > 0) { k--; if (eng.bypass()) mag += 1 << k; }
+        }
+        int s = eng.bypass();
+        vals[j] = s ? -(mag + 1) : mag + 1;
+        if (mag != 0) numgt1++; else num1++;
       }
-      int s = eng.bypass();
-      coeffs[remap[i]] = s ? -(mag + 1) : mag + 1;
-      if (mag != 0) numgt1++; else num1++;
+      for (int j = 0; j < nsig; j++) coeffs[remap[sigpos[j]]] = vals[j];
     }
   }
 
@@ -945,6 +1006,7 @@ struct SliceCtx {
   }
 
   void pcm(MB* mb, int addr) {
+    eng.pos = eng.cabac_pos();  // raw cursor takes over from CABAC state
     eng.byte_align();
     int bd_l = pp->bit_depth_luma;
     int bd_c = pp->bit_depth_chroma;

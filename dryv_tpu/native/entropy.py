@@ -116,31 +116,25 @@ def _ptr(a):
     return a.ctypes.data_as(_P)
 
 
-def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0):
+def decode_picture_islices(slice_datas, sps, pps, n_threads: int = 0,
+                           reuse: bool = False):
     """Back-compat intra entry: slice_datas = [(rbsp, bit_off, first_mb,
     slice_qp)]."""
     full = [(rbsp, bitoff, first, qp, 2, 0, 0, 0)
             for rbsp, bitoff, first, qp in slice_datas]
-    return decode_picture_slices(full, sps, pps, n_threads)
+    return decode_picture_slices(full, sps, pps, n_threads, reuse)
 
 
-def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0):
-    """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
-    cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict."""
-    mb_w = sps.pic_width_in_mbs
-    mb_h = sps.frame_height_in_mbs
-    n = mb_w * mb_h
-    ns = len(slice_datas)
+# output-buffer arena keyed by (n_mbs, n_slices): fresh np.zeros for every
+# frame costs ~10 ms of page faults at 1080p (45 MB of arrays); the decoder
+# overwrites/clears every slot a downstream consumer reads for the decoded
+# MB kind, so steady-state reuse is safe for the pipeline (opt-in).
+_ARENA: dict = {}
 
-    rbsp_all = b"".join(s[0] for s in slice_datas)
-    sp_arr = (SliceParams * ns)()
-    off = 0
-    for k, (rbsp, bitoff, first, qp, st, cinit, n0, n1) in \
-            enumerate(slice_datas):
-        sp_arr[k] = SliceParams(off, len(rbsp), bitoff, first, qp, st,
-                                cinit, n0, n1)
-        off += len(rbsp)
 
+def _alloc_out(n: int, ns: int, reuse: bool):
+    if reuse and (n, ns) in _ARENA:
+        return _ARENA[(n, ns)]
     out = {
         "kind": np.zeros(n, np.int32),
         "qp_y": np.zeros(n, np.int32),
@@ -163,6 +157,34 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0):
         "ref_idx": np.zeros((n, 2, 4), np.int32),
         "mvd": np.zeros((n, 2, 16, 2), np.int32),
     }
+    if reuse:
+        _ARENA[(n, ns)] = out
+    return out
+
+
+def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
+                          reuse: bool = False):
+    """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
+    cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict.
+
+    reuse=True hands back arena-cached output buffers (overwritten on the
+    next reuse=True call with the same geometry) — use for throughput
+    pipelines that consume the arrays before the next frame decode."""
+    mb_w = sps.pic_width_in_mbs
+    mb_h = sps.frame_height_in_mbs
+    n = mb_w * mb_h
+    ns = len(slice_datas)
+
+    rbsp_all = b"".join(s[0] for s in slice_datas)
+    sp_arr = (SliceParams * ns)()
+    off = 0
+    for k, (rbsp, bitoff, first, qp, st, cinit, n0, n1) in \
+            enumerate(slice_datas):
+        sp_arr[k] = SliceParams(off, len(rbsp), bitoff, first, qp, st,
+                                cinit, n0, n1)
+        off += len(rbsp)
+
+    out = _alloc_out(n, ns, reuse)
 
     ostruct = Out(
         _ptr(out["kind"]), _ptr(out["qp_y"]), _ptr(out["cbp"]),
@@ -179,11 +201,12 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0):
                    8 + sps.bit_depth_chroma_minus8,
                    sps.direct_8x8_inference_flag)
 
-    buf = ct.create_string_buffer(rbsp_all, len(rbsp_all))
+    # zero-copy: the native stage only reads the rbsp bytes
+    buf = ct.cast(ct.c_char_p(rbsp_all), ct.POINTER(ct.c_uint8))
     entry = (lib().dt_decode_picture_slices if pps.entropy_coding_mode_flag
              else lib().dt_decode_picture_slices_cavlc)
     rc = entry(
-        ct.cast(buf, ct.POINTER(ct.c_uint8)), sp_arr, ct.c_int32(ns), pp,
+        buf, sp_arr, ct.c_int32(ns), pp,
         ostruct, ct.c_int32(n_threads or min(ns, 16)))
     assert rc == 0
     return out
