@@ -9,9 +9,13 @@
 // slice boundaries, so there is no shared mutable state.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread entropy.cc -o libdryv_entropy.so
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -19,6 +23,93 @@
 #include "cavlc_tables.h"
 
 namespace {
+
+// Persistent worker pool for slice-parallel decode: spawning and joining
+// one std::thread per slice costs ~1-2 ms/frame at 17 slices; a resident
+// pool makes per-frame dispatch ~free.  run_parallel(n, f) executes
+// f(0..n-1) across the pool (including the calling thread) and returns
+// when all are done.
+class SlicePool {
+ public:
+  static SlicePool& inst() {
+    static SlicePool p;
+    return p;
+  }
+
+  void run_parallel(int n, const std::function<void(int)>& f) {
+    std::unique_lock<std::mutex> lk(m_);
+    task_ = &f;
+    n_tasks_ = n;
+    next_.store(0, std::memory_order_relaxed);
+    pending_.store(n, std::memory_order_relaxed);
+    gen_++;
+    cv_.notify_all();
+    lk.unlock();
+    work();  // caller participates
+    lk.lock();
+    // wait for completion AND worker quiescence: no worker may still be
+    // inside work() when we return (it could otherwise observe the next
+    // generation's state mid-publication)
+    done_cv_.wait(lk, [&] {
+      return pending_.load(std::memory_order_acquire) == 0 && running_ == 0;
+    });
+    task_ = nullptr;
+  }
+
+ private:
+  SlicePool() {
+    int n = (int)std::thread::hardware_concurrency();
+    if (n < 2) n = 2;
+    for (int i = 0; i < n - 1; i++)
+      workers_.emplace_back([this] { worker_loop(); });
+  }
+  ~SlicePool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+      cv_.notify_all();
+    }
+    for (auto& t : workers_) t.join();
+  }
+
+  void work() {
+    while (true) {
+      int i = next_.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n_tasks_) return;
+      (*task_)(i);
+      pending_.fetch_sub(1, std::memory_order_acq_rel);
+    }
+  }
+
+  void worker_loop() {
+    uint64_t seen = 0;
+    std::unique_lock<std::mutex> lk(m_);
+    while (true) {
+      cv_.wait(lk, [&] { return stop_ || gen_ != seen; });
+      if (stop_) return;
+      seen = gen_;
+      running_++;
+      lk.unlock();
+      work();
+      lk.lock();
+      running_--;
+      if (running_ == 0 &&
+          pending_.load(std::memory_order_acquire) == 0)
+        done_cv_.notify_all();
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(int)>* task_ = nullptr;
+  int n_tasks_ = 0;
+  std::atomic<int> next_{0};
+  std::atomic<int> pending_{0};
+  int running_ = 0;
+  uint64_t gen_ = 0;
+  bool stop_ = false;
+};
 
 constexpr int kCtxCount = 1031;
 
@@ -1684,7 +1775,7 @@ int dt_decode_picture_slices(
     int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
     for (int a = lo; a < hi; a++) o.slice_id[a] = k;
   }
-  auto work = [&](int k) {
+  std::function<void(int)> work = [&](int k) {
     int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
     decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp, &o,
                      &mbs, k);
@@ -1692,9 +1783,7 @@ int dt_decode_picture_slices(
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);
   } else {
-    std::vector<std::thread> ts;
-    for (int k = 0; k < n_slices; k++) ts.emplace_back(work, k);
-    for (auto& t : ts) t.join();
+    SlicePool::inst().run_parallel(n_slices, work);
   }
   return 0;
 }
@@ -1711,7 +1800,7 @@ int dt_decode_picture_slices_cavlc(
     int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
     for (int a = lo; a < hi; a++) o.slice_id[a] = k;
   }
-  auto work = [&](int k) {
+  std::function<void(int)> work = [&](int k) {
     int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
     decode_one_slice_cavlc(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp,
                            &o, &mbs, k);
@@ -1719,9 +1808,7 @@ int dt_decode_picture_slices_cavlc(
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);
   } else {
-    std::vector<std::thread> ts;
-    for (int k = 0; k < n_slices; k++) ts.emplace_back(work, k);
-    for (auto& t : ts) t.join();
+    SlicePool::inst().run_parallel(n_slices, work);
   }
   return 0;
 }
