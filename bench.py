@@ -132,6 +132,42 @@ def main():
     e2e_batch()
     t_e2e_frame = (time.perf_counter() - t0) / (2 * F)
 
+    # secondary: deblocked 1080p intra fully on device (recon + in-loop
+    # filter as a second wavefront pass, kernels/deblock.py); bit-exact
+    # gated against its own libavcodec golden
+    dblk_fps = None
+    dblk_path = os.path.join(HERE, "benchdata", "bench1080p_dblk.264")
+    if os.path.exists(dblk_path):
+        from dryv_tpu.kernels.deblock import (PRE_KEYS,
+                                              deblock_precompute_intra)
+        from dryv_tpu.parallel.gop import _frame_recon_fn as _frf
+        dstream = open(dblk_path, "rb").read()
+        dg = np.load(os.path.join(HERE, "benchdata",
+                                  "bench1080p_dblk_golden.npz"))
+        dsd, dsps, dpps = parse_slices(dstream)
+        dout = decode_picture_islices(dsd, dsps, dpps, n_threads=nthreads)
+        dfs = pack_from_native(dout, dsps, dpps)
+        pre = deblock_precompute_intra(
+            dfs.kind, dfs.qp_y, dout["slice_id"], [(0, 0, 0)] * len(dsd),
+            dfs.mb_w, dfs.mb_h, dpps.chroma_qp_index_offset,
+            dpps.second_chroma_qp_offset)
+        Fd = min(F, 16)
+        sd2 = {k: jnp.asarray(np.stack([np.asarray(getattr(dfs, k))] * Fd))
+               for k in SYNTAX_KEYS}
+        for k in PRE_KEYS:
+            sd2[k] = jnp.asarray(np.stack([pre[k]] * Fd))
+        dfn = jax.jit(jax.vmap(_frf(dfs.mb_w, dfs.mb_h, True)))
+        r = dfn(sd2)
+        jax.block_until_ready(r[0])
+        assert np.array_equal(np.asarray(r[0][0])[:1080], dg["y"]), \
+            "device deblock path not bit-exact"
+
+        def dev_dblk():
+            r = dfn(sd2)
+            jax.block_until_ready(r[0])
+
+        dblk_fps = Fd / best_of(dev_dblk, 3)
+
     # secondary: full IPB + deblocking decode on the native host path
     # (640x368 I/P/B stream, quarter-pel MC, direct/bi, in-loop filter —
     # capabilities the reference decoder lacks entirely)
@@ -156,6 +192,8 @@ def main():
             "entropy_ms_per_frame": round(t_entropy * 1e3, 1),
             "pack_ms": round(t_pack * 1e3, 1),
             "device_recon_fps_gop": round(F / t_recon_gop, 1),
+            "device_recon_deblock_fps_gop": (round(dblk_fps, 1)
+                                             if dblk_fps else None),
             "gop_batch": F,
             "host_threads": nthreads,
             "device": str(jax.devices()[0]),

@@ -477,14 +477,16 @@ def _use_pallas_default() -> bool:
 
 
 def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8,
-                      use_pallas=None):
+                      use_pallas=None, return_tiles: bool = False):
     """Single-chip wavefront reconstruction (lane-aligned frontier).
 
     The per-diagonal step runs as one fused Pallas kernel on TPU (env
     DRYV_WAVEFRONT_PALLAS=0 forces the pure-XLA step).
 
     Returns fn(syntax_dict, y_resid_tiles [n,16,16], c_resid_tiles
-    [n,2,8,8]) -> (y, cb, cr) planes."""
+    [n,2,8,8]) -> (y, cb, cr) planes, or with return_tiles=True the raw
+    diagonal-layout tiles (tiles_y [n_diag,K,16,16], tiles_c
+    [n_diag,K,2,8,8]) for further wavefront passes (deblocking)."""
     sched_np, d_of, k_of = diag_schedule(mb_w, mb_h)
     s_ab, s_ar, s_lf, s_cn = diag_shifts(mb_w, mb_h)
     sched = jnp.asarray(sched_np)
@@ -518,6 +520,8 @@ def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8,
 
         _, (tiles_y, tiles_c) = jax.lax.scan(
             step, init_lane_state(K, s["kind"][0]), xs)
+        if return_tiles:
+            return tiles_y, tiles_c
         return tiles_to_planes(tiles_y, tiles_c, d_of, k_of, mb_w, mb_h)
 
     return run

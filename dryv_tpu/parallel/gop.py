@@ -27,8 +27,13 @@ def stack_frames(fs_list):
 
 
 @lru_cache(maxsize=None)
-def _frame_recon_fn(mb_w: int, mb_h: int):
-    wavefront = make_wavefront_fn(mb_w, mb_h)
+def _frame_recon_fn(mb_w: int, mb_h: int, deblock: bool = False):
+    wavefront = make_wavefront_fn(mb_w, mb_h, return_tiles=deblock)
+    if deblock:
+        from ..kernels.deblock import make_deblock_tiles_fn, PRE_KEYS
+        from ..kernels.wavefront import diag_schedule, tiles_to_planes
+        dbfn = make_deblock_tiles_fn(mb_w, mb_h)
+        _, d_of, k_of = diag_schedule(mb_w, mb_h)
 
     def recon_one(s):
         n = mb_w * mb_h
@@ -41,7 +46,12 @@ def _frame_recon_fn(mb_w: int, mb_h: int):
         wf = {k: s[k] for k in SYNTAX_KEYS if k not in
               ("qp_y", "qp_cb", "qp_cr", "luma4", "luma8", "luma_dc",
                "chroma_dc", "chroma_ac")}
-        return wavefront(wf, y_resid, c_resid)
+        if not deblock:
+            return wavefront(wf, y_resid, c_resid)
+        tiles_y, tiles_c = wavefront(wf, y_resid, c_resid)
+        ty, tc = dbfn(tiles_y, tiles_c, {k: s[k] for k in PRE_KEYS})
+        return tiles_to_planes(ty, tc, jnp.asarray(d_of), jnp.asarray(k_of),
+                               mb_w, mb_h)
 
     return recon_one
 

@@ -27,10 +27,18 @@ SYNTAX_KEYS = ["kind", "qp_y", "qp_cb", "qp_cr", "i16_mode", "chroma_mode",
 
 
 @lru_cache(maxsize=None)
-def _build(mb_w: int, mb_h: int):
-    wavefront = make_wavefront_fn(mb_w, mb_h)
+def _build(mb_w: int, mb_h: int, deblock: bool = False):
+    from .kernels.wavefront import diag_schedule, tiles_to_planes
 
-    def recon(s, ls4y, ls4cb, ls4cr, ls8y):
+    wavefront = make_wavefront_fn(mb_w, mb_h, return_tiles=deblock)
+    if deblock:
+        from .kernels.deblock import make_deblock_tiles_fn
+        dbfn = make_deblock_tiles_fn(mb_w, mb_h)
+        _, d_of, k_of = diag_schedule(mb_w, mb_h)
+        d_of = jnp.asarray(d_of)
+        k_of = jnp.asarray(k_of)
+
+    def recon(s, ls4y, ls4cb, ls4cr, ls8y, pre=None):
         n = mb_w * mb_h
         y_resid = luma_residual_tiles(
             s["kind"], s["qp_y"], s["luma4"], s["luma8"], s["luma_dc"],
@@ -41,20 +49,34 @@ def _build(mb_w: int, mb_h: int):
         wf = {k: s[k] for k in SYNTAX_KEYS if k not in
               ("qp_y", "qp_cb", "qp_cr", "luma4", "luma8", "luma_dc",
                "chroma_dc", "chroma_ac")}
-        return wavefront(wf, y_resid, c_resid)
+        if not deblock:
+            return wavefront(wf, y_resid, c_resid)
+        tiles_y, tiles_c = wavefront(wf, y_resid, c_resid)
+        ty, tc = dbfn(tiles_y, tiles_c, pre)
+        return tiles_to_planes(ty, tc, d_of, k_of, mb_w, mb_h)
 
     return jax.jit(recon)
 
 
-def reconstruct_frame_jax(fs: FrameSyntax, ls4=None, ls8=None):
-    """Returns (y, cb, cr) numpy uint8-range int32 planes (uncropped)."""
+def reconstruct_frame_jax(fs: FrameSyntax, ls4=None, ls8=None,
+                          deblock_pre=None):
+    """Returns (y, cb, cr) numpy uint8-range int32 planes (uncropped).
+
+    deblock_pre: edge-parameter dict from
+    kernels.deblock.deblock_precompute_intra — runs the in-loop filter
+    on device as a second wavefront pass."""
     s = {k: jnp.asarray(getattr(fs, k)) for k in SYNTAX_KEYS}
     ls4y = jnp.asarray(ls4[0] if ls4 is not None else LS4_FLAT)
     ls4cb = jnp.asarray(ls4[1] if ls4 is not None else LS4_FLAT)
     ls4cr = jnp.asarray(ls4[2] if ls4 is not None else LS4_FLAT)
     ls8y = jnp.asarray(ls8 if ls8 is not None else LS8_FLAT)
-    fn = _build(fs.mb_w, fs.mb_h)
-    y, cb, cr = fn(s, ls4y, ls4cb, ls4cr, ls8y)
+    if deblock_pre is not None:
+        fn = _build(fs.mb_w, fs.mb_h, True)
+        y, cb, cr = fn(s, ls4y, ls4cb, ls4cr, ls8y,
+                       {k: jnp.asarray(v) for k, v in deblock_pre.items()})
+    else:
+        fn = _build(fs.mb_w, fs.mb_h)
+        y, cb, cr = fn(s, ls4y, ls4cb, ls4cr, ls8y)
     return np.asarray(y), np.asarray(cb), np.asarray(cr)
 
 
@@ -102,11 +124,21 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
         out = decode_picture_islices(slice_datas, sps, pps,
                                      n_threads=n_threads)
         fs = pack_from_native(out, sps, pps)
-        y, cb, cr = reconstruct_frame_jax(fs)
+        pre = None
         if any(h.deblocking is None or h.deblocking.disable_idc != 1
                for h in headers):
-            y, cb, cr = _deblock_native_intra(y, cb, cr, out, sps, pps,
-                                              headers)
+            # in-loop filter runs on device as a second wavefront pass
+            from .kernels.deblock import deblock_precompute_intra
+            ctl = [(0, 0, 0) if h.deblocking is None else
+                   (h.deblocking.disable_idc,
+                    h.deblocking.alpha_c0_offset_div2 * 2,
+                    h.deblocking.beta_offset_div2 * 2) for h in headers]
+            off1 = pps.second_chroma_qp_index_offset
+            pre = deblock_precompute_intra(
+                fs.kind, fs.qp_y, out["slice_id"], ctl, fs.mb_w, fs.mb_h,
+                pps.chroma_qp_index_offset,
+                off1 if off1 is not None else pps.chroma_qp_index_offset)
+        y, cb, cr = reconstruct_frame_jax(fs, deblock_pre=pre)
         frames.append(DecodedFrame(y, cb, cr).crop(sps))
         if max_frames and len(frames) >= max_frames:
             break
