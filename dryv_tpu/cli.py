@@ -18,7 +18,7 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="temp/yuv_frame",
                     help="YUV output path (reference writes temp/yuv_frame)")
     ap.add_argument("--frames", type=int, default=1)
-    ap.add_argument("--backend", choices=("jax", "native", "scalar"),
+    ap.add_argument("--backend", choices=("jax", "device-ipb", "native", "scalar"),
                     default="jax")
     ap.add_argument("-s", "--seek", default=None,
                     help="seek position: Ns | Nms | N%% | Nts")

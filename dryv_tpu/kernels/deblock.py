@@ -52,13 +52,63 @@ def _qpc_vec(qp, off):
 PRE_KEYS = ["bsv", "tc0v", "av", "bv", "bsh", "tc0h", "ah", "bh",
             "bscv", "tc0cv", "acv", "bcv", "bsch", "tc0ch", "ach", "bch"]
 
+# device kind numbering: intra kinds (coeffs.py + native extension)
+_INTRA_KINDS = (0, 1, 2, 3, 11)  # I4, I8, I16, PCM, SI
 
-def deblock_precompute_intra(kind, qp_y, slice_id, ctl, mb_w, mb_h,
-                             chroma_off0, chroma_off1):
-    """Edge parameters for an all-intra 4:2:0 picture.
 
-    kind/qp_y/slice_id: [n] int arrays (device kind numbering);
-    ctl: [n_slices, 3] (disable_idc, offA, offB) per slice.
+def _pair_bs(intra_p, intra_q, mb_edge, nz_p, nz_q, mv0p, mv1p, mv0q, mv1q,
+             rk0p, rk1p, rk0q, rk1q):
+    """Vectorized 8.7.2.1 block-pair boundary strength (frames).
+
+    All args broadcastable grids; mv* [..., 2]; rk* (-1 = list unused).
+    Mirrors refimpl/deblock.py:_PicInfo.bs including the B-slice
+    two-vector pairing rules."""
+    def far(a, b):
+        return (np.abs(a - b) >= 4).any(axis=-1)
+
+    np_cnt = (rk0p >= 0).astype(np.int64) + (rk1p >= 0)
+    nq_cnt = (rk0q >= 0).astype(np.int64) + (rk1q >= 0)
+    # multiset of used keys: (lo, hi) with -1 sorting first
+    lo_p = np.minimum(rk0p, rk1p)
+    hi_p = np.maximum(rk0p, rk1p)
+    lo_q = np.minimum(rk0q, rk1q)
+    hi_q = np.maximum(rk0q, rk1q)
+    keys_differ = (np_cnt != nq_cnt) | (lo_p != lo_q) | (hi_p != hi_q)
+
+    # single-vector compare (the used list may differ between p and q)
+    mvp1 = np.where((rk0p >= 0)[..., None], mv0p, mv1p)
+    mvq1 = np.where((rk0q >= 0)[..., None], mv0q, mv1q)
+    far1 = far(mvp1, mvq1)
+
+    # two vectors, distinct pictures: pair by picture key
+    aligned = rk0p == rk0q
+    fa = far(mv0p, mv0q) | far(mv1p, mv1q)
+    fx = far(mv0p, mv1q) | far(mv1p, mv0q)
+    far2_distinct = np.where(aligned, fa, fx)
+    # two vectors, same picture twice: bS 1 only if BOTH pairings far
+    far2_same = fa & fx
+    same_pic = rk0p == rk1p
+
+    mv_bs = np.where(
+        np_cnt == 1, far1,
+        np.where(same_pic, far2_same, far2_distinct)).astype(np.int64)
+    bs = np.where(keys_differ, 1, mv_bs)
+    bs = np.where(nz_p | nz_q, 2, bs)
+    intra_bs = np.where(mb_edge, 4, 3)
+    return np.where(intra_p | intra_q, intra_bs, bs)
+
+
+def deblock_precompute(kind, qp_y, slice_id, ctl, mb_w, mb_h,
+                       chroma_off0, chroma_off1, t8=None, nz4=None,
+                       mv0=None, mv1=None, rk0=None, rk1=None):
+    """Edge parameters for a 4:2:0 picture (intra and/or inter MBs).
+
+    kind/qp_y/slice_id: [n] int arrays (device kind numbering, native
+    inter kinds 4..10 allowed); ctl: [n_slices, 3] (disable_idc, offA,
+    offB).  Inter inputs (raster 4x4-block grids, optional for all-intra
+    pictures): t8 [n] transform-size flags, nz4 [H4,W4] bool, mv0/mv1
+    [H4,W4,2], rk0/rk1 [H4,W4] reference-picture keys (-1 unused).
+
     Returns dict of numpy arrays (see PRE_KEYS), all [n, ...] int32:
       bsv/tc0v  [n,4,4]  luma vertical edges x 4-row groups
       av/bv     [n,4]    alpha/beta per luma vertical edge
@@ -68,7 +118,9 @@ def deblock_precompute_intra(kind, qp_y, slice_id, ctl, mb_w, mb_h,
       bsch/...           horizontal mirrors
     """
     n = mb_w * mb_h
+    H4, W4 = mb_h * 4, mb_w * 4
     kind = np.asarray(kind).reshape(mb_h, mb_w)
+    intra_mb = np.isin(kind, _INTRA_KINDS)
     qpy = np.where(kind == KIND_PCM, 0,
                    np.asarray(qp_y).reshape(mb_h, mb_w)).astype(np.int64)
     sid = np.asarray(slice_id).reshape(mb_h, mb_w)
@@ -76,21 +128,51 @@ def deblock_precompute_intra(kind, qp_y, slice_id, ctl, mb_w, mb_h,
     dis = ctl[sid, 0]
     offa = ctl[sid, 1]
     offb = ctl[sid, 2]
-    t8 = kind == KIND_I8
+    if t8 is None:
+        t8 = kind == KIND_I8
+    else:
+        t8 = np.asarray(t8).reshape(mb_h, mb_w) != 0
+        t8 = t8 | (kind == KIND_I8)
     qpc = np.stack([_qpc_vec(qpy, chroma_off0), _qpc_vec(qpy, chroma_off1)])
 
     mx = np.arange(mb_w)[None, :] * np.ones((mb_h, 1), np.int64)
     my = np.arange(mb_h)[:, None] * np.ones((1, mb_w), np.int64)
 
     def left(a, fill=0):
+        """Shift a [rows, cols, ...] grid right by one column."""
         out = np.full_like(a, fill)
-        out[..., :, 1:] = a[..., :, :-1]
+        out[:, 1:, ...] = a[:, :-1, ...]
         return out
 
     def up(a, fill=0):
         out = np.full_like(a, fill)
-        out[..., 1:, :] = a[..., :-1, :]
+        out[1:, :, ...] = a[:-1, :, ...]
         return out
+
+    # ---- block-pair strength grids BSV/BSH over the 4x4 lattice --------
+    intra4 = np.repeat(np.repeat(intra_mb, 4, 0), 4, 1)
+    if nz4 is None:
+        nz4 = np.zeros((H4, W4), bool)
+    else:
+        nz4 = np.asarray(nz4).reshape(H4, W4) != 0
+    z2 = np.zeros((H4, W4, 2), np.int64)
+    neg = np.full((H4, W4), -1, np.int64)
+    mv0 = z2 if mv0 is None else np.asarray(mv0, np.int64).reshape(H4, W4, 2)
+    mv1 = z2 if mv1 is None else np.asarray(mv1, np.int64).reshape(H4, W4, 2)
+    rk0 = neg if rk0 is None else np.asarray(rk0, np.int64).reshape(H4, W4)
+    rk1 = neg if rk1 is None else np.asarray(rk1, np.int64).reshape(H4, W4)
+
+    mbe_v = (np.arange(W4) % 4 == 0)[None, :] * np.ones((H4, 1), bool)
+    mbe_h = (np.arange(H4) % 4 == 0)[:, None] * np.ones((1, W4), bool)
+    BSV = _pair_bs(left(intra4), intra4, mbe_v, left(nz4), nz4,
+                   left(mv0), left(mv1), mv0, mv1,
+                   left(rk0, -1), left(rk1, -1), rk0, rk1)
+    BSH = _pair_bs(up(intra4), intra4, mbe_h, up(nz4), nz4,
+                   up(mv0), up(mv1), mv0, mv1,
+                   up(rk0, -1), up(rk1, -1), rk0, rk1)
+    # [mb_h, mb_w, edge(4), group(4)]: BSV[my*4+g, mx*4+e]
+    BSVg = BSV.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 3, 1)
+    BSHg = BSH.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
 
     on_self = dis != 1
     # MB-boundary edge enables (8.7: skip at picture edge; disable_idc 1
@@ -104,62 +186,61 @@ def deblock_precompute_intra(kind, qp_y, slice_id, ctl, mb_w, mb_h,
     def tc0_of(ia, bs):
         return TC0[ia, np.clip(bs, 1, 3) - 1]
 
-    def luma_dir(on_e0, qp_nb):
-        """bs/tc0/alpha/beta for one direction's 4 edges (intra rules)."""
-        bs = np.zeros((mb_h, mb_w, 4), np.int64)
+    def luma_dir(on_e0, qp_nb, BSg):
+        bs = np.zeros((mb_h, mb_w, 4, 4), np.int64)
         al = np.zeros((mb_h, mb_w, 4), np.int64)
         be = np.zeros((mb_h, mb_w, 4), np.int64)
-        tc = np.zeros((mb_h, mb_w, 4), np.int64)
-        # edge 0 (MB boundary): bS 4, thresholds from the QP average
+        tc = np.zeros((mb_h, mb_w, 4, 4), np.int64)
+        # edge 0 (MB boundary): thresholds from the QP average
         qpav = (qp_nb + qpy + 1) >> 1
         ia = idx_ab(qpav, offa)
         ib = idx_ab(qpav, offb)
-        bs[..., 0] = 4 * on_e0
+        bs[..., 0, :] = BSg[..., 0, :] * on_e0[..., None]
         al[..., 0] = ALPHA[ia]
         be[..., 0] = BETA[ib]
-        tc[..., 0] = tc0_of(ia, bs[..., 0])
-        # internal edges: bS 3; 8x8 transform keeps only edge 2
+        tc[..., 0, :] = tc0_of(ia[..., None], bs[..., 0, :])
+        # internal edges; 8x8 transform keeps only edge 2
         ia_i = idx_ab(qpy, offa)
         ib_i = idx_ab(qpy, offb)
         for e in (1, 2, 3):
             on_e = on_self & ((e == 2) | ~t8)
-            bs[..., e] = 3 * on_e
+            bs[..., e, :] = BSg[..., e, :] * on_e[..., None]
             al[..., e] = ALPHA[ia_i]
             be[..., e] = BETA[ib_i]
-            tc[..., e] = tc0_of(ia_i, bs[..., e])
-        # groups: intra bs uniform across the 4 sample groups
-        return (np.repeat(bs[..., None], 4, -1),
-                np.repeat(tc[..., None], 4, -1), al, be)
+            tc[..., e, :] = tc0_of(ia_i[..., None], bs[..., e, :])
+        return bs, tc, al, be
 
-    bsv, tc0v, av, bv = luma_dir(on_v0, left(qpy))
-    bsh, tc0h, ah, bh = luma_dir(on_h0, up(qpy))
+    bsv, tc0v, av, bv = luma_dir(on_v0, left(qpy), BSVg)
+    bsh, tc0h, ah, bh = luma_dir(on_h0, up(qpy), BSHg)
 
-    def chroma_dir(on_e0, qpc_nb):
-        """Chroma (4:2:0): 2 edges x 8 lines, per plane thresholds."""
+    def chroma_dir(on_e0, qpc_nb, BSg):
+        """Chroma (4:2:0): 2 edges x 8 lines; line cy maps to luma block
+        group cy//2; chroma edges 0/4 map to luma edge cols {0, 2}."""
         bs = np.zeros((mb_h, mb_w, 2, 8), np.int64)
         al = np.zeros((mb_h, mb_w, 2, 2), np.int64)
         be = np.zeros((mb_h, mb_w, 2, 2), np.int64)
         tc = np.zeros((mb_h, mb_w, 2, 2, 8), np.int64)
-        bs[..., 0, :] = (4 * on_e0)[..., None]
-        bs[..., 1, :] = (3 * on_self)[..., None]
+        rep = np.repeat(np.arange(4), 2)  # line -> group
+        bs[..., 0, :] = BSg[..., 0, :][..., rep] * on_e0[..., None]
+        bs[..., 1, :] = BSg[..., 2, :][..., rep] * on_self[..., None]
         for pl in (0, 1):
             qpav = (qpc_nb[pl] + qpc[pl] + 1) >> 1
             ia = idx_ab(qpav, offa)
             ib = idx_ab(qpav, offb)
             al[..., 0, pl] = ALPHA[ia]
             be[..., 0, pl] = BETA[ib]
-            tc[..., 0, pl, :] = tc0_of(ia, bs[..., 0, 0])[..., None]
+            tc[..., 0, pl, :] = tc0_of(ia[..., None], bs[..., 0, :])
             ia_i = idx_ab(qpc[pl], offa)
             ib_i = idx_ab(qpc[pl], offb)
             al[..., 1, pl] = ALPHA[ia_i]
             be[..., 1, pl] = BETA[ib_i]
-            tc[..., 1, pl, :] = tc0_of(ia_i, bs[..., 1, 0])[..., None]
+            tc[..., 1, pl, :] = tc0_of(ia_i[..., None], bs[..., 1, :])
         return bs, tc, al, be
 
     qpc_l = np.stack([left(qpc[0]), left(qpc[1])])
     qpc_u = np.stack([up(qpc[0]), up(qpc[1])])
-    bscv, tc0cv, acv, bcv = chroma_dir(on_v0, qpc_l)
-    bsch, tc0ch, ach, bch = chroma_dir(on_h0, qpc_u)
+    bscv, tc0cv, acv, bcv = chroma_dir(on_v0, qpc_l, BSVg)
+    bsch, tc0ch, ach, bch = chroma_dir(on_h0, qpc_u, BSHg)
 
     out = dict(bsv=bsv, tc0v=tc0v, av=av, bv=bv,
                bsh=bsh, tc0h=tc0h, ah=ah, bh=bh,
@@ -167,6 +248,10 @@ def deblock_precompute_intra(kind, qp_y, slice_id, ctl, mb_w, mb_h,
                bsch=bsch, tc0ch=tc0ch, ach=ach, bch=bch)
     return {k: v.reshape((n,) + v.shape[2:]).astype(np.int32)
             for k, v in out.items()}
+
+
+# back-compat name (intra pictures)
+deblock_precompute_intra = deblock_precompute
 
 
 # ---------------------------------------------------------------------------

@@ -497,6 +497,7 @@ struct Out {
   int32_t* sub_mb_type;   // [n*4]
   int32_t* ref_idx;       // [n*2*4]
   int32_t* mvd;           // [n*2*16*2]
+  int32_t* transform8;    // [n] (inter MBs; intra folds it into kind)
 };
 
 struct SliceCtx {
@@ -1250,6 +1251,7 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
     o->chroma_mode[a] = mb->chroma_mode;
     for (int i = 0; i < 16; i++) o->modes4[(int64_t)a * 16 + i] = mb->modes4[i];
     for (int i = 0; i < 4; i++) o->modes8[(int64_t)a * 4 + i] = mb->modes8[i];
+    if (o->transform8) o->transform8[a] = mb->transform8;
     if (o->mb_type_code) {
       o->mb_type_code[a] = mb->mb_type_code;
       for (int i = 0; i < 4; i++)
@@ -1283,6 +1285,7 @@ void publish_mb(SliceCtx& s, Out* o) {
   o->chroma_mode[a] = mb->chroma_mode;
   for (int i = 0; i < 16; i++) o->modes4[a * 16 + i] = mb->modes4[i];
   for (int i = 0; i < 4; i++) o->modes8[a * 4 + i] = mb->modes8[i];
+  if (o->transform8) o->transform8[a] = mb->transform8;
   if (o->mb_type_code) {
     o->mb_type_code[a] = mb->mb_type_code;
     for (int i = 0; i < 4; i++)

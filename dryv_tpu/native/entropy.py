@@ -52,7 +52,7 @@ class Out(ct.Structure):
                 ("pcm_c", _P), ("slice_id", _P),
                 ("bin_count", ct.POINTER(ct.c_int64)),
                 ("mb_type_code", _P), ("sub_mb_type", _P),
-                ("ref_idx", _P), ("mvd", _P)]
+                ("ref_idx", _P), ("mvd", _P), ("transform8", _P)]
 
 
 _U8P = ct.POINTER(ct.c_uint8)
@@ -79,7 +79,7 @@ class InterParams(ct.Structure):
         ("out_mv0", _P), ("out_mv1", _P),
         ("out_refidx0", _P), ("out_refidx1", _P),
         ("out_refkey0", _P), ("out_refkey1", _P),
-        ("out_nz4", _U8P)]
+        ("out_nz4", _U8P), ("motion_only", ct.c_int32)]
 
 
 _lib = None
@@ -156,6 +156,7 @@ def _alloc_out(n: int, ns: int, reuse: bool):
         "sub_mb_type": np.zeros((n, 4), np.int32),
         "ref_idx": np.zeros((n, 2, 4), np.int32),
         "mvd": np.zeros((n, 2, 16, 2), np.int32),
+        "transform8": np.zeros(n, np.int32),
     }
     if reuse:
         _ARENA[(n, ns)] = out
@@ -194,7 +195,7 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
         _ptr(out["pcm_y"]), _ptr(out["pcm_c"]), _ptr(out["slice_id"]),
         out["bin_count"].ctypes.data_as(ct.POINTER(ct.c_int64)),
         _ptr(out["mb_type_code"]), _ptr(out["sub_mb_type"]),
-        _ptr(out["ref_idx"]), _ptr(out["mvd"]))
+        _ptr(out["ref_idx"]), _ptr(out["mvd"]), _ptr(out["transform8"]))
     pp = PicParams(mb_w, mb_h, sps.chroma_array_type,
                    pps.transform_8x8_mode_flag,
                    8 + sps.bit_depth_luma_minus8,

@@ -140,10 +140,54 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
     return frames
 
 
+def wp_tables(h0, pps, poc, l0, l1):
+    """Weighted-prediction tables for one picture.
+
+    Returns (wp_mode, expl [2, nmax, 6] | None, denom_y, denom_c,
+    imp [n0, n1, 2] | None) — shared by the host recon path and the
+    device MC pipeline."""
+    from ..avc.slice_header import SliceType
+    from ..refimpl.inter import ImplicitWP
+
+    st0 = h0.slice_type
+    is_inter = not st0.is_intra
+    if is_inter and h0.pred_weight_table is not None and (
+            (pps.weighted_pred_flag and st0 == SliceType.P) or
+            (pps.weighted_bipred_idc == 1 and st0 == SliceType.B)):
+        t = h0.pred_weight_table
+        nmax = max(len(l0), len(l1), 1)
+        expl = np.zeros((2, nmax, 6), np.int32)
+        dy, dc = t.luma_log2_weight_denom, t.chroma_log2_weight_denom
+        for which, (luma, chroma, n) in enumerate(
+                ((t.luma_l0, t.chroma_l0, len(l0)),
+                 (t.luma_l1, t.chroma_l1, len(l1)))):
+            for i in range(n):
+                e = luma[i] if i < len(luma) else None
+                expl[which, i, 0:2] = (e.weight, e.offset) if e else \
+                    (1 << dy, 0)
+                ce = chroma[i] if i < len(chroma) else None
+                if ce:
+                    expl[which, i, 2:4] = (ce[0].weight, ce[0].offset)
+                    expl[which, i, 4:6] = (ce[1].weight, ce[1].offset)
+                else:
+                    expl[which, i, 2:6] = (1 << dc, 0, 1 << dc, 0)
+        return 1, expl, dy, dc, None
+    if st0 == SliceType.B and pps.weighted_bipred_idc == 2:
+        iwp = ImplicitWP(poc, [p.pic_order_cnt for p in l0],
+                         [p.pic_order_cnt for p in l1],
+                         [p.is_long_term for p in l0],
+                         [p.is_long_term for p in l1])
+        imp = np.zeros((max(1, len(l0)), max(1, len(l1)), 2), np.int32)
+        for r0 in range(len(l0)):
+            for r1 in range(len(l1)):
+                imp[r0, r1] = iwp.biweights(r0, r1)
+        return 2, None, 0, 0, imp
+    return 0, None, 0, 0, None
+
+
 def _build_inter_params(h0, pps, poc, dpb, stored, exp, nz4):
     """Assemble the InterParams struct; returns (params, keepalive)."""
     from ..avc.slice_header import SliceType
-    from ..refimpl.inter import ImplicitWP
 
     keep = []  # keepalive for ctypes arrays
     ip = InterParams()
@@ -214,45 +258,17 @@ def _build_inter_params(h0, pps, poc, dpb, stored, exp, nz4):
             ip.t_ident, ip.t_dsf = _ptr(ta[2]), _ptr(ta[3])
 
     # weighted prediction
-    wp_mode = 0
-    if is_inter and h0.pred_weight_table is not None and (
-            (pps.weighted_pred_flag and st0 == SliceType.P) or
-            (pps.weighted_bipred_idc == 1 and st0 == SliceType.B)):
-        wp_mode = 1
-        t = h0.pred_weight_table
-        nmax = max(len(l0), len(l1), 1)
-        expl = np.zeros((2, nmax, 6), np.int32)
-        dy, dc = t.luma_log2_weight_denom, t.chroma_log2_weight_denom
-        for which, (luma, chroma, n) in enumerate(
-                ((t.luma_l0, t.chroma_l0, len(l0)),
-                 (t.luma_l1, t.chroma_l1, len(l1)))):
-            for i in range(n):
-                e = luma[i] if i < len(luma) else None
-                expl[which, i, 0:2] = (e.weight, e.offset) if e else \
-                    (1 << dy, 0)
-                ce = chroma[i] if i < len(chroma) else None
-                if ce:
-                    expl[which, i, 2:4] = (ce[0].weight, ce[0].offset)
-                    expl[which, i, 4:6] = (ce[1].weight, ce[1].offset)
-                else:
-                    expl[which, i, 2:6] = (1 << dc, 0, 1 << dc, 0)
-        expl = np.ascontiguousarray(expl.reshape(-1))
-        keep.append(expl)
+    wp_mode, expl, dy, dc, imp = wp_tables(h0, pps, poc, l0, l1)
+    if wp_mode == 1:
+        expl_flat = np.ascontiguousarray(expl.reshape(-1))
+        keep.append(expl_flat)
         ip.wp_mode, ip.wp_denom_y, ip.wp_denom_c = 1, dy, dc
-        ip.wp_expl, ip.wp_stride = _ptr(expl), nmax * 6
-    elif st0 == SliceType.B and pps.weighted_bipred_idc == 2:
-        iwp = ImplicitWP(poc, [p.pic_order_cnt for p in l0],
-                         [p.pic_order_cnt for p in l1],
-                         [p.is_long_term for p in l0],
-                         [p.is_long_term for p in l1])
-        imp = np.zeros((max(1, len(l0)), max(1, len(l1)), 2), np.int32)
-        for r0 in range(len(l0)):
-            for r1 in range(len(l1)):
-                imp[r0, r1] = iwp.biweights(r0, r1)
-        imp = np.ascontiguousarray(imp.reshape(-1))
-        keep.append(imp)
+        ip.wp_expl, ip.wp_stride = _ptr(expl_flat), expl.shape[1] * 6
+    elif wp_mode == 2:
+        imp_flat = np.ascontiguousarray(imp.reshape(-1))
+        keep.append(imp_flat)
         ip.wp_mode = 2
-        ip.wp_imp = _ptr(imp)
+        ip.wp_imp = _ptr(imp_flat)
 
     ip.out_mv0, ip.out_mv1 = _ptr(exp["mv0"]), _ptr(exp["mv1"])
     ip.out_refidx0, ip.out_refidx1 = _ptr(exp["ri0"]), _ptr(exp["ri1"])

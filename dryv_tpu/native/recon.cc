@@ -606,6 +606,9 @@ struct InterParams {
   int32_t* out_refidx0; int32_t* out_refidx1;
   int32_t* out_refkey0; int32_t* out_refkey1;
   uint8_t* out_nz4;
+  // 1 = derive motion/nz only (no pixel work): the device MC pipeline
+  // consumes the exported dense motion field instead of host MC
+  int32_t motion_only;
 };
 
 struct InterRecon {
@@ -894,6 +897,7 @@ struct InterRecon {
                const int64_t mvs[2][2], const int ridx[2], int mbx, int mby,
                int64_t predY[16][16], int64_t predCb[8][8],
                int64_t predCr[8][8]) {
+    if (ip->motion_only) return;
     int px = mbx * 16 + ox4 * 4, py = mby * 16 + oy4 * 4;
     int pw = w4 * 4, ph = h4 * 4;
     int64_t py_[2][16 * 16], pcb[2][8 * 8], pcr[2][8 * 8];
@@ -1007,6 +1011,7 @@ struct InterRecon {
   void add_residuals(int addr, int mbx, int mby, int64_t predY[16][16],
                      int64_t predCb[8][8], int64_t predCr[8][8],
                      bool skip) {
+    if (ip->motion_only) return;
     Recon& R = *rec;
     int qp = R.qp_y[addr];
     int x0 = mbx * 16, y0 = mby * 16;
@@ -1206,7 +1211,9 @@ struct InterRecon {
       int sid = rec->slice_id[addr];
       int k = rec->kind[addr];
       if (k == KIND_I16 || k == KIND_I4 || k == KIND_I8 || k == KIND_PCM) {
-        if (k == KIND_PCM) {
+        if (ip->motion_only) {
+          // no pixel work; intra MBs only mark the motion field
+        } else if (k == KIND_PCM) {
           for (int i = 0; i < 16; i++)
             for (int j = 0; j < 16; j++)
               rec->Y.set(mx * 16 + j, my * 16 + i,

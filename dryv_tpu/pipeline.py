@@ -108,9 +108,14 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or sps.chroma_array_type != 1 \
                     or sps.qpprime_y_zero_transform_bypass_flag:
-                # intra pictures reconstruct on device below; inter (P/B)
-                # streams run the full native C++ host path (which itself
-                # falls back to the Python scalar path out of scope)
+                # inter (P/B) and non-4:2:0/lossless streams run the
+                # native C++ host path: reference-frame chains defeat
+                # GOP batching, so at sub-HD sizes the host decoder beats
+                # the per-frame wavefront dispatch cost.  The full device
+                # inter pipeline (MC kernel + device deblock) is
+                # decode_annexb_device (device_ipb.py; CLI
+                # --backend device-ipb), bit-exact and preferable for
+                # large frames / TPU-resident consumers.
                 from .native.full import decode_annexb_native
                 return decode_annexb_native(stream, max_frames,
                                             n_threads=n_threads)

@@ -114,6 +114,8 @@ class Video:
         stream = self.annexb_stream()
         if backend == "jax":
             from .pipeline import decode_annexb_fast as fn
+        elif backend == "device-ipb":
+            from .device_ipb import decode_annexb_device as fn
         elif backend == "native":
             from .native.full import decode_annexb_native as fn
         else:
