@@ -26,6 +26,7 @@ from .sps import (
     ScalingLists,
     parse_scaling_list,
     resolve_scaling_lists,
+    write_scaling_list,
 )
 
 
@@ -175,9 +176,24 @@ class PPS:
         w.bit(self.deblocking_filter_control_present_flag)
         w.bit(self.constrained_intra_pred_flag)
         w.bit(self.redundant_pic_cnt_present_flag)
-        if self.transform_8x8_mode_flag or self.second_chroma_qp_index_offset is not None:
+        if self.transform_8x8_mode_flag \
+                or self.second_chroma_qp_index_offset is not None \
+                or self.pic_scaling_matrix_present_flag:
             w.bit(self.transform_8x8_mode_flag)
-            w.bit(0)  # pic_scaling_matrix_present_flag
+            if self.pic_scaling_matrix_present_flag and \
+                    self.pic_scaling_lists is not None:
+                w.bit(1)
+                sl = self.pic_scaling_lists
+                # 4:4:4 not supported by the writer; n8 per 7.3.2.2
+                n8 = 2 if self.transform_8x8_mode_flag else 0
+                for i in range(6):
+                    w.bit(1)
+                    write_scaling_list(w, sl.l4x4[i], False)
+                for i in range(n8):
+                    w.bit(1)
+                    write_scaling_list(w, sl.l8x8[i], False)
+            else:
+                w.bit(0)  # pic_scaling_matrix_present_flag
             w.se(self.second_chroma_qp_offset)
         w.rbsp_trailing_bits()
         return w.bytes()

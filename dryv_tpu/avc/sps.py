@@ -60,7 +60,9 @@ def write_scaling_list(w: BitWriter, values, use_default: bool):
 
 @dataclass
 class ScalingLists:
-    """Resolved 4x4[6][16] and 8x8[6][64] weight matrices, raster order."""
+    """Resolved 4x4[6][16] and 8x8[6][64] weight lists, **zigzag scan
+    order** (as coded; Table 7-3 defaults are specified in this order).
+    Consumers de-zigzag to raster before building LevelScale tables."""
     l4x4: np.ndarray = field(default_factory=lambda: np.tile(FLAT_16, (6, 1)))
     l8x8: np.ndarray = field(default_factory=lambda: np.tile(FLAT_64, (6, 1)))
 
@@ -115,7 +117,7 @@ def resolve_scaling_lists(present4, lists4, present8, lists8,
             if use_def:
                 out4[i] = DEFAULT_4X4_INTRA if i < 3 else DEFAULT_4X4_INTER
             else:
-                out4[i] = dezigzag(vals, 4)
+                out4[i] = vals
     for i in range(6):
         if not present8[i] or lists8[i] is None:
             if i == 0:
@@ -129,7 +131,7 @@ def resolve_scaling_lists(present4, lists4, present8, lists8,
             if use_def:
                 out8[i] = DEFAULT_8X8_INTRA if i % 2 == 0 else DEFAULT_8X8_INTER
             else:
-                out8[i] = dezigzag(vals, 8)
+                out8[i] = vals
     return ScalingLists(out4, out8)
 
 
@@ -292,7 +294,19 @@ class SPS:
             w.ue(self.bit_depth_luma_minus8)
             w.ue(self.bit_depth_chroma_minus8)
             w.bit(self.qpprime_y_zero_transform_bypass_flag)
-            w.bit(0)  # seq_scaling_matrix_present_flag: fixtures use flat
+            if self.seq_scaling_matrix_present_flag and \
+                    self.seq_scaling_lists is not None:
+                w.bit(1)
+                sl = self.seq_scaling_lists
+                n8 = 6 if self.chroma_format_idc == 3 else 2
+                for i in range(6):
+                    w.bit(1)
+                    write_scaling_list(w, sl.l4x4[i], False)
+                for i in range(n8):
+                    w.bit(1)
+                    write_scaling_list(w, sl.l8x8[i], False)
+            else:
+                w.bit(0)  # seq_scaling_matrix_present_flag
         w.ue(self.log2_max_frame_num_minus4)
         w.ue(self.pic_order_cnt_type)
         if self.pic_order_cnt_type == 0:

@@ -107,7 +107,9 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or sps.chroma_array_type != 1 \
-                    or sps.qpprime_y_zero_transform_bypass_flag:
+                    or sps.qpprime_y_zero_transform_bypass_flag \
+                    or sps.bit_depth_luma_minus8 \
+                    or pps.slice_groups is not None:
                 # inter (P/B) and non-4:2:0/lossless streams run the
                 # native C++ host path: reference-frame chains defeat
                 # GOP batching, so at sub-HD sizes the host decoder beats
@@ -129,6 +131,18 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
         out = decode_picture_islices(slice_datas, sps, pps,
                                      n_threads=n_threads)
         fs = pack_from_native(out, sps, pps)
+        ls4 = ls8 = None
+        if sps.seq_scaling_matrix_present_flag \
+                or pps.pic_scaling_matrix_present_flag:
+            # custom weight matrices -> per-list LevelScale tables (intra
+            # lists 0-2 + 8x8 intra; inter streams don't reach this path)
+            from .refimpl.recon import dezigzag4, dezigzag8
+            from .refimpl.transform import level_scale_4x4, level_scale_8x8
+            sl = pps.resolve_active_scaling_lists(sps)
+            ls4 = [np.asarray(level_scale_4x4(dezigzag4(sl.l4x4[i])),
+                              np.int32) for i in range(3)]
+            ls8 = np.asarray(level_scale_8x8(dezigzag8(sl.l8x8[0])),
+                             np.int32)
         pre = None
         if any(h.deblocking is None or h.deblocking.disable_idc != 1
                for h in headers):
@@ -143,7 +157,7 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
                 fs.kind, fs.qp_y, out["slice_id"], ctl, fs.mb_w, fs.mb_h,
                 pps.chroma_qp_index_offset,
                 off1 if off1 is not None else pps.chroma_qp_index_offset)
-        y, cb, cr = reconstruct_frame_jax(fs, deblock_pre=pre)
+        y, cb, cr = reconstruct_frame_jax(fs, ls4, ls8, deblock_pre=pre)
         frames.append(DecodedFrame(y, cb, cr).crop(sps))
         if max_frames and len(frames) >= max_frames:
             break

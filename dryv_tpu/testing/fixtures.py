@@ -83,6 +83,11 @@ FIXTURE_SPECS = [
     # reference leaves lossless as todo!()
     ("lossless_i4", 4, 3, 0, "i4", False, None, None),
     ("lossless_mix48", 4, 3, 0, "mix48", True, 1, None),
+    # "scal_" prefix: custom scaling matrices (non-flat weight lists;
+    # reference sps.rs:179-249 parses them, header.rs:317-332 activates)
+    ("scal_mix8_qp28", 4, 3, 28, "mix8", True, None, None),   # SPS matrix
+    ("scal_pps_qp30", 4, 3, 30, "mix", False, None, None),    # PPS matrix
+    ("scal_dblk_qp32", 4, 3, 32, "mix8", True, None, None),   # + deblock
 ]
 
 
@@ -119,6 +124,21 @@ def get_fixture(name: str):
         sps.chroma_format_idc = 0
     if c422:
         sps.chroma_format_idc = 2
+    if name.startswith("scal"):
+        from ..avc.sps import ScalingLists
+        rng = np.random.RandomState(7)
+        l4 = np.stack([np.sort(np.clip(10 + rng.randint(-6, 26, 16), 1, 255))
+                       for _ in range(6)]).astype(np.int32)
+        l8 = np.stack([np.sort(np.clip(10 + rng.randint(-6, 38, 64), 1, 255))
+                       for _ in range(6)]).astype(np.int32)
+        sl = ScalingLists(l4, l8)
+        sps.profile_idc = 100
+        if "pps" in name:
+            pps.pic_scaling_matrix_present_flag = 1
+            pps.pic_scaling_lists = sl
+        else:
+            sps.seq_scaling_matrix_present_flag = 1
+            sps.seq_scaling_lists = sl
     enc = IntraEncoder(sps, pps, qp, mb_kind_policy=POLICIES[policy])
     if rps:
         bounds = list(range(0, mb_w * mb_h, rps * mb_w))

@@ -9,7 +9,7 @@ import pytest
 from dryv_tpu.pipeline import decode_annexb_tpu
 from dryv_tpu.testing.fixtures import get_fixture
 
-SUBSET = ["mix_qp26", "mix8_qp30", "slices_qp28"]
+SUBSET = ["mix_qp26", "mix8_qp30", "slices_qp28", "scal_mix8_qp28"]
 
 
 @pytest.mark.parametrize("name", SUBSET)
@@ -32,3 +32,33 @@ def test_fast_path_deblock_bit_exact(name):
     assert np.array_equal(frame.y, gy), f"{name}: luma mismatch"
     assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
     assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
+
+
+@pytest.mark.parametrize("name", ["scal_mix8_qp28", "scal_pps_qp30",
+                                  "scal_dblk_qp32"])
+def test_fast_path_scaling_matrices(name):
+    """Custom SPS/PPS scaling matrices feed per-list LevelScale tables to
+    the device dequant (flat tables would decode these wrong)."""
+    from dryv_tpu.pipeline import decode_annexb_fast
+    stream, (gy, gcb, gcr), sps, pps = get_fixture(name)
+    frame = decode_annexb_fast(stream)[0]
+    assert np.array_equal(frame.y, gy), f"{name}: luma mismatch"
+    assert np.array_equal(frame.cb, gcb), f"{name}: cb mismatch"
+    assert np.array_equal(frame.cr, gcr), f"{name}: cr mismatch"
+
+
+def test_scaling_list_roundtrip():
+    """SPS/PPS scaling-list write -> parse preserves the resolved lists."""
+    from dryv_tpu.avc import SPS, PPS
+    stream, _, sps, pps = get_fixture("scal_mix8_qp28")
+    sps2 = SPS.parse(sps.write())
+    assert sps2.seq_scaling_matrix_present_flag
+    assert np.array_equal(sps2.seq_scaling_lists.l4x4,
+                          sps.seq_scaling_lists.l4x4)
+    assert np.array_equal(sps2.seq_scaling_lists.l8x8[:2],
+                          sps.seq_scaling_lists.l8x8[:2])
+    _, _, sps3, pps3 = get_fixture("scal_pps_qp30")
+    pps4 = PPS.parse(pps3.write(), sps3)
+    assert pps4.pic_scaling_matrix_present_flag
+    assert np.array_equal(pps4.pic_scaling_lists.l4x4,
+                          pps3.pic_scaling_lists.l4x4)

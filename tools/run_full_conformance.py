@@ -9,7 +9,7 @@ import numpy as np
 
 from dryv_tpu.decoder import decode_annexb_scalar
 from dryv_tpu.native.full import decode_annexb_native
-from dryv_tpu.pipeline import decode_annexb_tpu
+from dryv_tpu.pipeline import decode_annexb_fast, decode_annexb_tpu
 from dryv_tpu.testing.fixtures import all_fixture_names, get_fixture
 
 
@@ -19,7 +19,8 @@ def main():
         stream, (gy, gcb, gcr), _, _ = get_fixture(name)
         for label, fn in (("scalar", decode_annexb_scalar),
                           ("native", decode_annexb_native),
-                          ("jax", decode_annexb_tpu)):
+                          ("jax", decode_annexb_tpu),
+                          ("fast", decode_annexb_fast)):
             f = fn(stream)[0]
             if f.cb is None:
                 # monochrome: libavcodec synthesizes constant-128 chroma
