@@ -355,22 +355,34 @@ struct Engine {
     if (__builtin_expect(lowbits < 8, 0)) refill_low();
   }
   int decision(int ctx) {
+    // Branchy MPS fast path: CABAC bins are heavily MPS-skewed, so a
+    // predicted branch lets the out-of-order core speculate past the
+    // per-bin range/low dependency chain (a fully branchless select
+    // pays the whole chain latency on every bin — measured slower).
     bins++;
     unsigned s = ctx_state[ctx];
     uint32_t lps = kPackedTrans.lpsp[s * 4 + (((uint32_t)range >> 6) & 3)];
     uint32_t mps_rng = (uint32_t)range - lps;
     uint64_t scaled = (uint64_t)mps_rng << lowbits;
-    uint64_t is_lps = (uint64_t)(low >= scaled);
-    uint64_t m = 0 - is_lps;
-    low -= scaled & m;
-    uint32_t rng = (mps_rng & ~(uint32_t)m) | (lps & (uint32_t)m);
-    int bin = (int)((s ^ is_lps) & 1);
-    ctx_state[ctx] = kPackedTrans.next[(s << 1) | (unsigned)is_lps];
-    int n = __builtin_clz(rng) - 23;
-    range = (int32_t)(rng << n);
+    if (__builtin_expect(low < scaled, 1)) {  // MPS
+      ctx_state[ctx] = kPackedTrans.mps[s];
+      if (__builtin_expect(mps_rng >= 256, 1)) {
+        range = (int32_t)mps_rng;
+        return s & 1;
+      }
+      int n = __builtin_clz(mps_rng) - 23;
+      range = (int32_t)(mps_rng << n);
+      lowbits -= n;
+      if (__builtin_expect(lowbits < 8, 0)) refill_low();
+      return s & 1;
+    }
+    low -= scaled;  // LPS
+    ctx_state[ctx] = kPackedTrans.lps[s];
+    int n = __builtin_clz(lps) - 23;
+    range = (int32_t)(lps << n);
     lowbits -= n;
     if (__builtin_expect(lowbits < 8, 0)) refill_low();
-    return bin;
+    return (int)((s & 1) ^ 1);
   }
   int bypass() {
     bins++;
