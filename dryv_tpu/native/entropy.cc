@@ -201,6 +201,10 @@ struct PackedTransTab {
   uint8_t next[256];
   // LPS range indexed directly by packed state: lpsp[s * 4 + quarter]
   uint8_t lpsp[512];
+  // fused per-state record: byte0 = packed state, bytes1-4 = LPS range
+  // per quarter — lets decision() resolve state AND the LPS lookup with
+  // ONE dependent load instead of two chained ones
+  uint64_t rec[128], mrec[128], lrec[128];
   PackedTransTab() {
     for (int s = 0; s < 128; s++) {
       int st = s >> 1, m = s & 1;
@@ -209,6 +213,16 @@ struct PackedTransTab {
       next[(s << 1) | 0] = mps[s];
       next[(s << 1) | 1] = lps[s];
       for (int q = 0; q < 4; q++) lpsp[s * 4 + q] = kRangeLps[st * 4 + q];
+    }
+    for (int s = 0; s < 128; s++) {
+      uint64_t r = (uint64_t)s;
+      for (int q = 0; q < 4; q++)
+        r |= (uint64_t)lpsp[s * 4 + q] << (8 + 8 * q);
+      rec[s] = r;
+    }
+    for (int s = 0; s < 128; s++) {
+      mrec[s] = rec[mps[s]];
+      lrec[s] = rec[lps[s]];
     }
   }
 };
@@ -265,8 +279,10 @@ struct Engine {
   // next unread bits
   uint64_t win = 0;
   int win_bits = 0;
-  // packed context state: (pStateIdx << 1) | valMPS — one load per bin
-  uint8_t ctx_state[kCtxCount];
+  // packed context record: kPackedTrans.rec[(pStateIdx << 1) | valMPS]
+  // (state byte + the 4 quarter LPS ranges) — one load per bin resolves
+  // both the state and the LPS table row
+  uint64_t ctx_rec[kCtxCount];
 
   // 64-bit big-endian window starting at `bitpos`; past-the-end is zero.
   uint64_t fetch64(int64_t bitpos) const {
@@ -330,8 +346,8 @@ struct Engine {
       int pre = ((m * qp) >> 4) + n;
       if (pre < 1) pre = 1;
       if (pre > 126) pre = 126;
-      if (pre <= 63) ctx_state[i] = (uint8_t)((63 - pre) << 1);
-      else ctx_state[i] = (uint8_t)(((pre - 64) << 1) | 1);
+      int s = (pre <= 63) ? ((63 - pre) << 1) : (((pre - 64) << 1) | 1);
+      ctx_rec[i] = kPackedTrans.rec[s];
     }
   }
   void init_engine() {
@@ -360,12 +376,14 @@ struct Engine {
     // per-bin range/low dependency chain (a fully branchless select
     // pays the whole chain latency on every bin — measured slower).
     bins++;
-    unsigned s = ctx_state[ctx];
-    uint32_t lps = kPackedTrans.lpsp[s * 4 + (((uint32_t)range >> 6) & 3)];
+    uint64_t r = ctx_rec[ctx];
+    unsigned s = (unsigned)r & 0xff;
+    uint32_t lps =
+        (uint32_t)(r >> (8 + (((uint32_t)range >> 3) & 24))) & 0xff;
     uint32_t mps_rng = (uint32_t)range - lps;
     uint64_t scaled = (uint64_t)mps_rng << lowbits;
     if (__builtin_expect(low < scaled, 1)) {  // MPS
-      ctx_state[ctx] = kPackedTrans.mps[s];
+      ctx_rec[ctx] = kPackedTrans.mrec[s];
       if (__builtin_expect(mps_rng >= 256, 1)) {
         range = (int32_t)mps_rng;
         return s & 1;
@@ -377,7 +395,7 @@ struct Engine {
       return s & 1;
     }
     low -= scaled;  // LPS
-    ctx_state[ctx] = kPackedTrans.lps[s];
+    ctx_rec[ctx] = kPackedTrans.lrec[s];
     int n = __builtin_clz(lps) - 23;
     range = (int32_t)(lps << n);
     lowbits -= n;
