@@ -1,0 +1,606 @@
+"""Whole-frame wavefront reconstruction as ONE Pallas kernel.
+
+Round-1's device floor was the per-diagonal ``lax.scan``: ~253 XLA
+dispatches x ~0.6 ms fixed overhead per 1080p frame (docs/ROADMAP.md).
+This module replaces the scan with a single ``pallas_call`` whose grid
+walks the anti-diagonals *sequentially on the TensorCore*: the dependency
+frontier (bottom rows / right cols of the last three diagonals — the intra
+feedback loop, reference /root/reference/src/video/frame/pred4x4.rs:62)
+lives in VMEM scratch that persists across grid steps, so a whole GOP
+batch reconstructs in one kernel launch.
+
+Hardware layout (the fix for round-1's parked pallas_step.py, whose
+[K, 17, 25] blocks were lane-misaligned):
+
+- the 128-wide TPU *lane* dimension carries ``Fi`` frame segments of
+  ``Kpad`` diagonal slots each (N = Fi*Kpad lanes): every macroblock being
+  reconstructed this step is one lane;
+- *sublanes* carry pixels/samples, so every slice is full lane width;
+- neighbor aprons are lane-shifted reads of the frontier scratch (shift in
+  {-1, 0, +1}, precomputed per diagonal, delivered via scalar prefetch);
+- directional intra prediction evaluates as small f32 matmuls against the
+  static tap tables (kernels/pred_tables.py), exact because |acc| < 2^24.
+
+Output is bit-identical to kernels/wavefront.lane_step (asserted in
+tests/test_pallas_wavefront.py) and therefore to the libavcodec goldens.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..coeffs import KIND_I8, KIND_I16, KIND_PCM
+from .pred_tables import filter_tables_8x8, tables_4x4, tables_8x8, to_matrix
+from .wavefront import (BLK4_A, BLK4_B, BLK4_C, BLK4_D, BLK8_A, BLK8_B,
+                        BLK8_C, BLK8_D, ZSCAN_4X4_POS, diag_schedule,
+                        diag_shifts)
+
+# meta row layout: one (32, N) int32 block carries every per-MB scalar
+ROW_KIND, ROW_I16M, ROW_CMODE = 0, 1, 2
+ROW_AVA, ROW_AVB, ROW_AVC, ROW_AVD = 3, 4, 5, 6
+ROW_M4 = 7            # 16 rows: z-scan 4x4 modes
+ROW_M8 = 23           # 4 rows: 8x8 modes
+META_ROWS = 32
+
+
+@lru_cache(maxsize=None)
+def _mats():
+    I4, W4, R4, S4 = tables_4x4()
+    I8, W8, R8, S8 = tables_8x8()
+    (F1i, F1w, _, _), (F0i, F0w, _, _) = filter_tables_8x8()
+    return {
+        "M4": to_matrix(I4, W4, 13),                       # [13, 144]
+        "R4": R4.reshape(-1, 1).astype(np.int32),          # [144, 1]
+        "S4": S4.reshape(-1, 1).astype(np.int32),
+        "M8": to_matrix(I8, W8, 25),                       # [25, 576]
+        "R8": R8.reshape(-1, 1).astype(np.int32),
+        "S8": S8.reshape(-1, 1).astype(np.int32),
+        "MF1": to_matrix(F1i[None], F1w[None], 25),        # [25, 25]
+        "MF0": to_matrix(F0i[None], F0w[None], 25),
+    }
+
+
+def _av_row(code, av):
+    """Static availability source code -> (1, N) bool row."""
+    code = int(code)
+    if code == 0:
+        return av["t"]
+    if code == 5:
+        return av["f"]
+    return [None, av["a"], av["b"], av["c"], av["d"]][code]
+
+
+def _mm(M, sv):
+    """acc[out, l] = sum_s M[s, out] * sv[s, l]; exact (|acc| < 2^24).
+
+    Precision.HIGHEST keeps the MXU in full-f32 passes (values here are
+    11-bit sample sums; the bf16-default would round them)."""
+    return jax.lax.dot_general(M, sv, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _build_kernel(N: int, maxv: int, dcv: int):
+    """The per-diagonal kernel body; all arrays are (sublanes, N-lanes)."""
+
+    def _sh(X, s):
+        """out[.., l] = X[.., l+s] for s in {-1,0,1}; zero fill at edges."""
+        zero = jnp.zeros_like(X[:, :1])
+        xm = jnp.concatenate([zero, X[:, :-1]], axis=1)    # l-1
+        xp = jnp.concatenate([X[:, 1:], zero], axis=1)     # l+1
+        return jnp.where(s < 0, xm, jnp.where(s > 0, xp, X))
+
+    def _pred16(mode, above, left, corner, av):
+        p_v = jnp.broadcast_to(above[None], (16, 16, N))
+        p_h = jnp.broadcast_to(left[:, None, :], (16, 16, N))
+        suma = jnp.sum(above, axis=0, keepdims=True)
+        suml = jnp.sum(left, axis=0, keepdims=True)
+        dcf = jnp.full_like(suma, dcv)
+        dc = jnp.where(av["a"] & av["b"], (suma + suml + 16) >> 5,
+                       jnp.where(av["a"], (suml + 8) >> 4,
+                                 jnp.where(av["b"], (suma + 8) >> 4, dcf)))
+        hh = sum((x + 1) * (above[8 + x:9 + x] -
+                            (above[6 - x:7 - x] if x < 7 else corner))
+                 for x in range(8))
+        vv = sum((y + 1) * (left[8 + y:9 + y] -
+                            (left[6 - y:7 - y] if y < 7 else corner))
+                 for y in range(8))
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        aa = 16 * (above[15:16] + left[15:16])
+        xs = jax.lax.broadcasted_iota(jnp.int32, (16, 16, N), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (16, 16, N), 0)
+        val = (aa[:, None] + b[:, None] * (xs - 7)
+               + c[:, None] * (ys - 7) + 16) >> 5
+        p_pl = jnp.clip(val, 0, maxv)
+        m3 = mode[:, None]
+        return jnp.where(m3 == 0, p_v,
+                         jnp.where(m3 == 1, p_h,
+                                   jnp.where(m3 == 2, dc[:, None], p_pl)))
+
+    def _pred_chroma(mode, above, left, corner, av):
+        p_h = jnp.broadcast_to(left[:, None, :], (8, 8, N))
+        p_v = jnp.broadcast_to(above[None], (8, 8, N))
+        asum = [jnp.sum(above[b:b + 4], axis=0, keepdims=True) for b in
+                (0, 4)]
+        lsum = [jnp.sum(left[b:b + 4], axis=0, keepdims=True) for b in
+                (0, 4)]
+        dcf = jnp.full_like(asum[0], dcv)
+
+        def q_corner(ai, li):     # (0,0) and (4,4): full fallback chain
+            return jnp.where(av["a"] & av["b"], (asum[ai] + lsum[li] + 4) >> 3,
+                             jnp.where(av["a"], (lsum[li] + 2) >> 2,
+                                       jnp.where(av["b"], (asum[ai] + 2) >> 2,
+                                                 dcf)))
+        q00 = q_corner(0, 0)
+        q11 = q_corner(1, 1)
+        q01 = jnp.where(av["b"], (asum[1] + 2) >> 2,             # bx=4, by=0
+                        jnp.where(av["a"], (lsum[0] + 2) >> 2, dcf))
+        q10 = jnp.where(av["a"], (lsum[1] + 2) >> 2,             # bx=0, by=4
+                        jnp.where(av["b"], (asum[0] + 2) >> 2, dcf))
+
+        def bcq(q):
+            return jnp.broadcast_to(q[:, None], (4, 4, N))
+        p_dc = jnp.concatenate([
+            jnp.concatenate([bcq(q00), bcq(q01)], axis=1),
+            jnp.concatenate([bcq(q10), bcq(q11)], axis=1)], axis=0)
+        hs = sum((x + 1) * (above[4 + x:5 + x] -
+                            (above[2 - x:3 - x] if x <= 2 else corner))
+                 for x in range(4))
+        vs = sum((y + 1) * (left[4 + y:5 + y] -
+                            (left[2 - y:3 - y] if y <= 2 else corner))
+                 for y in range(4))
+        b = (34 * hs + 32) >> 6
+        c = (34 * vs + 32) >> 6
+        aa = 16 * (above[7:8] + left[7:8])
+        xs = jax.lax.broadcasted_iota(jnp.int32, (8, 8, N), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (8, 8, N), 0)
+        val = (aa[:, None] + b[:, None] * (xs - 3)
+               + c[:, None] * (ys - 3) + 16) >> 5
+        p_pl = jnp.clip(val, 0, maxv)
+        m3 = mode[:, None]
+        return jnp.where(m3 == 0, p_dc,
+                         jnp.where(m3 == 1, p_h,
+                                   jnp.where(m3 == 2, p_v, p_pl)))
+
+    def kernel(shifts_ref,                       # scalar prefetch [n_diag,4]
+               meta_ref, yres_ref, cres_ref,
+               m4_ref, r4_ref, s4_ref, m8_ref, r8_ref, s8_ref,
+               mf1_ref, mf0_ref,
+               ty_ref, tc_ref,
+               W, yb1, yb2, yb3, yr1, cb1, cb2, cb3, cr1):
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _init():
+            z = jnp.zeros((16, N), jnp.int32)
+            yb1[:] = z
+            yb2[:] = z
+            yb3[:] = z
+            yr1[:] = z
+            cb1[:] = z
+            cb2[:] = z
+            cb3[:] = z
+            cr1[:] = z
+
+        s_ab = shifts_ref[d, 0]
+        s_ar = shifts_ref[d, 1]
+        s_lf = shifts_ref[d, 2]
+        s_cn = shifts_ref[d, 3]
+
+        meta = meta_ref[0, 0]                    # (32, N)
+        kind = meta[ROW_KIND:ROW_KIND + 1]
+        i16m = meta[ROW_I16M:ROW_I16M + 1]
+        cmode = meta[ROW_CMODE:ROW_CMODE + 1]
+        ava = meta[ROW_AVA:ROW_AVA + 1] != 0
+        avb = meta[ROW_AVB:ROW_AVB + 1] != 0
+        avc = meta[ROW_AVC:ROW_AVC + 1] != 0
+        avd = meta[ROW_AVD:ROW_AVD + 1] != 0
+        av = {"a": ava, "b": avb, "c": avc, "d": avd,
+              "t": jnp.ones_like(ava), "f": jnp.zeros_like(ava)}
+
+        # ---- aprons from the lane-shifted frontier ----------------------
+        above16 = _sh(yb2[:], s_ab)              # (16, N)
+        abover8 = _sh(yb1[0:8], s_ar)            # (8, N)
+        corner = _sh(yb3[15:16], s_cn)           # (1, N)
+        left16 = _sh(yr1[:], s_lf)               # (16, N)
+
+        W[0:1, 0:1] = corner[:, None]
+        W[0:1, 1:17] = above16[None]
+        W[0:1, 17:25] = abover8[None]
+        W[1:17, 0:1] = left16[:, None]
+
+        resid = yres_ref[0, 0].astype(jnp.int32)  # (16, 16, N)
+        M4 = m4_ref[:]
+        R4 = r4_ref[:]
+        S4 = s4_ref[:]
+        M8 = m8_ref[:]
+        R8 = r8_ref[:]
+        S8 = s8_ref[:]
+        MF1 = mf1_ref[:]
+        MF0 = mf0_ref[:]
+
+        # ---- I8 first (shares W; apron row/col stay intact) -------------
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            r0, c0 = 8 * by, 8 * bx
+            aa8 = _av_row(BLK8_A[blk], av)
+            ab8 = _av_row(BLK8_B[blk], av)
+            ac8 = _av_row(BLK8_C[blk], av)
+            ad8 = _av_row(BLK8_D[blk], av)
+            row = W[r0:r0 + 1, c0:c0 + 17][0]                 # (17, N)
+            above = jnp.concatenate(
+                [row[1:9], jnp.where(ac8, row[9:17], row[8:9])], axis=0)
+            left8 = W[r0 + 1:r0 + 9, c0:c0 + 1][:, 0]         # (8, N)
+            corn = row[0:1]
+            sv = jnp.concatenate([corn, above, left8],
+                                 axis=0).astype(jnp.float32)
+            f1 = (_mm(MF1, sv).astype(jnp.int32) + 2) >> 2
+            f0 = (_mm(MF0, sv).astype(jnp.int32) + 2) >> 2
+            f = jnp.where(ad8, f1, f0)                        # (25, N)
+            a0 = above[0:1]
+            l0 = left8[0:1]
+            fz = jnp.where(aa8 & ab8, (a0 + 2 * corn + l0 + 2) >> 2,
+                           jnp.where(ab8, (3 * corn + a0 + 2) >> 2,
+                                     jnp.where(aa8, (3 * corn + l0 + 2) >> 2,
+                                               corn)))
+            fz = jnp.where(ad8, fz, corn)
+            fa = jnp.where(ab8, f[1:17], above)
+            fl = jnp.where(aa8, f[17:25], left8)
+            sv2 = jnp.concatenate([fz, fa, fl],
+                                  axis=0).astype(jnp.float32)
+            vals = (_mm(M8, sv2).astype(jnp.int32) + R8) >> S8  # (576, N)
+            m8 = meta[ROW_M8 + blk:ROW_M8 + blk + 1]
+            sel = jnp.zeros((64, N), jnp.int32)
+            for m in range(9):
+                if m == 2:
+                    continue
+                sel = sel + jnp.where(m8 == m, vals[64 * m:64 * m + 64], 0)
+            suma = jnp.sum(fa[0:8], axis=0, keepdims=True)
+            suml = jnp.sum(fl, axis=0, keepdims=True)
+            dcf = jnp.full_like(suma, dcv)
+            dc = jnp.where(aa8 & ab8, (suma + suml + 8) >> 4,
+                           jnp.where(aa8, (suml + 4) >> 3,
+                                     jnp.where(ab8, (suma + 4) >> 3, dcf)))
+            pred = jnp.where(m8 == 2, dc, sel)                # (64, N)
+            rblk = jnp.concatenate(
+                [resid[8 * by + dy, 8 * bx:8 * bx + 8] for dy in range(8)],
+                axis=0)
+            u = jnp.clip(pred + rblk, 0, maxv)
+            for dy in range(8):
+                W[r0 + 1 + dy:r0 + 2 + dy, c0 + 1:c0 + 9] = \
+                    u[8 * dy:8 * dy + 8][None]
+        o8 = W[1:17, 1:17]                                    # (16, 16, N)
+
+        # ---- I4 (16 z-scan sub-blocks over the same window) -------------
+        for blk in range(16):
+            bx, by = ZSCAN_4X4_POS[blk]
+            r0, c0 = 4 * by, 4 * bx
+            aa4 = _av_row(BLK4_A[blk], av)
+            ab4 = _av_row(BLK4_B[blk], av)
+            ac4 = _av_row(BLK4_C[blk], av)
+            row = W[r0:r0 + 1, c0:c0 + 9][0]                  # (9, N)
+            above8 = jnp.concatenate(
+                [row[1:5], jnp.where(ac4, row[5:9], row[4:5])], axis=0)
+            left4 = W[r0 + 1:r0 + 5, c0:c0 + 1][:, 0]         # (4, N)
+            corn = row[0:1]
+            sv = jnp.concatenate([corn, above8, left4],
+                                 axis=0).astype(jnp.float32)
+            vals = (_mm(M4, sv).astype(jnp.int32) + R4) >> S4  # (144, N)
+            m4 = meta[ROW_M4 + blk:ROW_M4 + blk + 1]
+            sel = jnp.zeros((16, N), jnp.int32)
+            for m in range(9):
+                if m == 2:
+                    continue
+                sel = sel + jnp.where(m4 == m, vals[16 * m:16 * m + 16], 0)
+            suma = jnp.sum(above8[0:4], axis=0, keepdims=True)
+            suml = jnp.sum(left4, axis=0, keepdims=True)
+            dcf = jnp.full_like(suma, dcv)
+            dc = jnp.where(aa4 & ab4, (suma + suml + 4) >> 3,
+                           jnp.where(aa4, (suml + 2) >> 2,
+                                     jnp.where(ab4, (suma + 2) >> 2, dcf)))
+            pred = jnp.where(m4 == 2, dc, sel)                # (16, N)
+            rblk = jnp.concatenate(
+                [resid[4 * by + dy, 4 * bx:4 * bx + 4] for dy in range(4)],
+                axis=0)
+            u = jnp.clip(pred + rblk, 0, maxv)
+            for dy in range(4):
+                W[r0 + 1 + dy:r0 + 2 + dy, c0 + 1:c0 + 5] = \
+                    u[4 * dy:4 * dy + 4][None]
+        o4 = W[1:17, 1:17]
+
+        # ---- I16 + final select -----------------------------------------
+        p16 = _pred16(i16m, above16, left16, corner, av)
+        o16 = jnp.clip(p16 + resid, 0, maxv)
+        k3 = kind[:, None]
+        out = jnp.where(k3 == KIND_PCM, resid,
+                        jnp.where(k3 == KIND_I16, o16,
+                                  jnp.where(k3 == KIND_I8, o8, o4)))
+        ty_ref[0, 0] = out.astype(jnp.uint8)
+
+        # ---- chroma ------------------------------------------------------
+        cres = cres_ref[0, 0].astype(jnp.int32)               # (16, 8, N)
+        cab = _sh(cb2[:], s_ab)
+        ccn = _sh(jnp.concatenate([cb3[7:8], cb3[15:16]], axis=0), s_cn)
+        clf = _sh(cr1[:], s_lf)
+        ocs = []
+        for ci in range(2):
+            pc = _pred_chroma(cmode, cab[8 * ci:8 * ci + 8],
+                              clf[8 * ci:8 * ci + 8], ccn[ci:ci + 1], av)
+            oc = jnp.clip(pc + cres[8 * ci:8 * ci + 8], 0, maxv)
+            ocs.append(jnp.where(k3 == KIND_PCM,
+                                 cres[8 * ci:8 * ci + 8], oc))
+        outc = jnp.concatenate(ocs, axis=0)                   # (16, 8, N)
+        tc_ref[0, 0] = outc.astype(jnp.uint8)
+
+        # ---- frontier rotation ------------------------------------------
+        t2 = yb2[:]
+        t1 = yb1[:]
+        yb3[:] = t2
+        yb2[:] = t1
+        yb1[:] = out[15]
+        yr1[:] = out[:, 15, :]
+        c2 = cb2[:]
+        c1 = cb1[:]
+        cb3[:] = c2
+        cb2[:] = c1
+        cb1[:] = jnp.concatenate([outc[7], outc[15]], axis=0)
+        cr1[:] = jnp.concatenate([outc[0:8, 7, :], outc[8:16, 7, :]],
+                                 axis=0)
+
+    return kernel
+
+
+def _pack_lanes(arr, addrs, Fo, Fi, K, Kpad):
+    """[F, n, *rest] -> [Fo, n_diag, *rest, Fi*Kpad] (lane offset 1)."""
+    g = arr[:, addrs]                       # [F, n_diag, K, *rest]
+    pads = [(0, 0), (0, 0), (1, Kpad - K - 1)] + [(0, 0)] * (g.ndim - 3)
+    g = jnp.pad(g, pads)
+    g = g.reshape((Fo, Fi) + g.shape[1:])   # [Fo, Fi, n_diag, Kpad, *rest]
+    nrest = g.ndim - 4
+    perm = (0, 2) + tuple(range(4, 4 + nrest)) + (1, 3)
+    g = jnp.transpose(g, perm)              # [Fo, n_diag, *rest, Fi, Kpad]
+    return g.reshape(g.shape[:-2] + (Fi * Kpad,))
+
+
+def _unpack_lanes(t, F, Fi, Kpad):
+    """[Fo, n_diag, *rest, N] -> [F, n_diag, Kpad, *rest]."""
+    t = t.reshape(t.shape[:-1] + (Fi, Kpad))
+    nrest = t.ndim - 4
+    perm = (0, t.ndim - 2, 1, t.ndim - 1) + tuple(range(2, 2 + nrest))
+    t = jnp.transpose(t, perm)              # [Fo, Fi, n_diag, Kpad, *rest]
+    return t.reshape((F,) + t.shape[2:])
+
+
+@lru_cache(maxsize=None)
+def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
+                          bitdepth: int = 8, interpret=None,
+                          return_tiles: bool = False, has_pcm: bool = True):
+    """Returns recon(syntax [F,n,...], y_resid [F,n,16,16],
+    c_resid [F,n,2,8,8]) -> (y [F,H,W], cb, cr) uint8 planes.
+
+    Fi = frames folded into the lane dimension (0 = auto, targets ~1024
+    lanes); the rest (Fo = F/Fi) becomes the outer sequential grid dim."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    maxv = (1 << bitdepth) - 1
+    dcv = 1 << (bitdepth - 1)
+    sched_np, d_of_np, k_of_np = diag_schedule(mb_w, mb_h)
+    n_diag, K = sched_np.shape
+    Kpad = -(-(K + 2) // 8) * 8
+    if not Fi:
+        Fi = max(1, min(F, 1024 // Kpad))
+        while F % Fi:
+            Fi -= 1
+    assert F % Fi == 0, (F, Fi)
+    Fo = F // Fi
+    N = Fi * Kpad
+    n = mb_w * mb_h
+
+    shifts = np.stack(diag_shifts(mb_w, mb_h), axis=1).astype(np.int32)
+    mats = _mats()
+    addrs = jnp.asarray(np.maximum(sched_np, 0))
+    d_of = jnp.asarray(d_of_np)
+    k_of = jnp.asarray(k_of_np)
+
+    kernel = _build_kernel(N, maxv, dcv)
+    vmem = pltpu.VMEM
+
+    def im_step(f, d, sref):
+        return (f, d, 0, 0, 0)
+
+    def im_const(f, d, sref):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Fo, n_diag),
+        in_specs=[
+            pl.BlockSpec((1, 1, META_ROWS, N),
+                         lambda f, d, s: (f, d, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 16, 16, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 16, 8, N), im_step, memory_space=vmem),
+            pl.BlockSpec((13, 144), im_const, memory_space=vmem),
+            pl.BlockSpec((144, 1), im_const, memory_space=vmem),
+            pl.BlockSpec((144, 1), im_const, memory_space=vmem),
+            pl.BlockSpec((25, 576), im_const, memory_space=vmem),
+            pl.BlockSpec((576, 1), im_const, memory_space=vmem),
+            pl.BlockSpec((576, 1), im_const, memory_space=vmem),
+            pl.BlockSpec((25, 25), im_const, memory_space=vmem),
+            pl.BlockSpec((25, 25), im_const, memory_space=vmem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 16, 16, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 16, 8, N), im_step, memory_space=vmem),
+        ],
+        scratch_shapes=[pltpu.VMEM((17, 25, N), jnp.int32)] +
+                       [pltpu.VMEM((16, N), jnp.int32)] * 8,
+    )
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Fo, n_diag, 16, 16, N), jnp.uint8),
+            jax.ShapeDtypeStruct((Fo, n_diag, 16, 8, N), jnp.uint8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def recon(s, y_resid, c_resid):
+        # PCM samples pre-merged into the residual tiles (the kernel
+        # selects them directly); clamp keeps residuals exact in int16
+        # (clip(pred + resid) is invariant for pred in [0, maxv]).
+        if has_pcm:
+            pcm = s["kind"] == KIND_PCM
+            y = jnp.where(pcm[:, :, None, None], s["pcm_y"],
+                          jnp.clip(y_resid, -maxv, maxv)).astype(jnp.int16)
+            c = jnp.where(pcm[:, :, None, None, None], s["pcm_c"],
+                          jnp.clip(c_resid, -maxv, maxv)).astype(jnp.int16)
+        else:
+            y = jnp.clip(y_resid, -maxv, maxv).astype(jnp.int16)
+            c = jnp.clip(c_resid, -maxv, maxv).astype(jnp.int16)
+        meta_mb = jnp.concatenate([
+            s["kind"][..., None].astype(jnp.int32),
+            s["i16_mode"][..., None].astype(jnp.int32),
+            s["chroma_mode"][..., None].astype(jnp.int32),
+            s["avail_a"][..., None].astype(jnp.int32),
+            s["avail_b"][..., None].astype(jnp.int32),
+            s["avail_c"][..., None].astype(jnp.int32),
+            s["avail_d"][..., None].astype(jnp.int32),
+            s["modes4"].astype(jnp.int32),
+            s["modes8"].astype(jnp.int32),
+            jnp.zeros((F, n, META_ROWS - ROW_M8 - 4), jnp.int32),
+        ], axis=-1)                                  # [F, n, 32]
+        meta = _pack_lanes(meta_mb, addrs, Fo, Fi, K, Kpad)
+        yres = _pack_lanes(y, addrs, Fo, Fi, K, Kpad)
+        cres = _pack_lanes(c.reshape(F, n, 16, 8), addrs, Fo, Fi, K, Kpad)
+        ty, tc = pallas_fn(
+            jnp.asarray(shifts), meta, yres, cres,
+            jnp.asarray(mats["M4"]), jnp.asarray(mats["R4"]),
+            jnp.asarray(mats["S4"]), jnp.asarray(mats["M8"]),
+            jnp.asarray(mats["R8"]), jnp.asarray(mats["S8"]),
+            jnp.asarray(mats["MF1"]), jnp.asarray(mats["MF0"]))
+        ty = _unpack_lanes(ty, F, Fi, Kpad)          # [F, n_diag, Kpad,16,16]
+        tc = _unpack_lanes(tc, F, Fi, Kpad)
+        if return_tiles:
+            return ty[:, :, 1:K + 1], tc[:, :, 1:K + 1]
+        tmb_y = ty[:, d_of, 1 + k_of]                # [F, n, 16, 16]
+        tmb_c = tc[:, d_of, 1 + k_of]                # [F, n, 16, 8]
+        yp = tmb_y.reshape(F, mb_h, mb_w, 16, 16).transpose(0, 1, 3, 2, 4) \
+            .reshape(F, mb_h * 16, mb_w * 16)
+        cbp = tmb_c[:, :, 0:8].reshape(F, mb_h, mb_w, 8, 8) \
+            .transpose(0, 1, 3, 2, 4).reshape(F, mb_h * 8, mb_w * 8)
+        crp = tmb_c[:, :, 8:16].reshape(F, mb_h, mb_w, 8, 8) \
+            .transpose(0, 1, 3, 2, 4).reshape(F, mb_h * 8, mb_w * 8)
+        return yp, cbp, crp
+
+    return recon
+
+
+@lru_cache(maxsize=None)
+def make_gop_pipeline_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
+                             interpret=None, has_pcm: bool = True):
+    """Full device pipeline: stage-A IQ/IDCT (batched XLA) + the Pallas
+    whole-GOP wavefront; jitted.  fn(stacked_syntax, ls4y, ls4cb, ls4cr,
+    ls8y) -> (y, cb, cr) uint8 [F, H, W] planes.
+
+    Accepts either the full int32 SYNTAX_KEYS dict or the compact-ABI
+    dict from stack_gop_compact (uint8/int16 payload, luma4/luma8
+    overlaid in one ``luma_lv`` buffer) — the compact form cuts the
+    host->device transfer ~4.5x, which dominates end-to-end time when the
+    device is remote."""
+    from .transform import chroma_residual_tiles, luma_residual_tiles
+
+    recon = make_gop_recon_pallas(mb_w, mb_h, F, Fi, interpret=interpret,
+                                  has_pcm=has_pcm)
+    n = mb_w * mb_h
+
+    def run(s, ls4y, ls4cb, ls4cr, ls8y):
+        s = dict(s)
+        if "luma_lv" in s:
+            lv = s.pop("luma_lv").astype(jnp.int32)       # [F, n, 256]
+            s["luma4"] = lv.reshape(F, n, 16, 4, 4)
+            s["luma8"] = lv.reshape(F, n, 4, 8, 8)
+            s["luma_dc"] = s["luma_dc"].reshape(F, n, 4, 4)
+            s["chroma_dc"] = s["chroma_dc"].reshape(F, n, 2, 2, 2)
+            s["chroma_ac"] = s["chroma_ac"].reshape(F, n, 2, 4, 4, 4)
+        up = {}
+        for k, v in s.items():
+            if k.startswith("pcm") or k.startswith("avail"):
+                up[k] = v
+            else:
+                up[k] = v.astype(jnp.int32)
+        s = up
+
+        def resid_one(sf):
+            yr = luma_residual_tiles(sf["kind"], sf["qp_y"], sf["luma4"],
+                                     sf["luma8"], sf["luma_dc"], n,
+                                     ls4y, ls8y)
+            cr = chroma_residual_tiles(sf["qp_cb"], sf["qp_cr"],
+                                       sf["chroma_dc"], sf["chroma_ac"], n,
+                                       ls4cb, ls4cr)
+            return yr, cr
+
+        keys = ["kind", "qp_y", "qp_cb", "qp_cr", "luma4", "luma8",
+                "luma_dc", "chroma_dc", "chroma_ac"]
+        y_resid, c_resid = jax.vmap(resid_one)({k: s[k] for k in keys})
+        return recon(s, y_resid, c_resid)
+
+    return jax.jit(run)
+
+
+def stack_gop_compact(fs_list, has_pcm=None):
+    """Stack per-frame FrameSyntax into the compact host->device ABI.
+
+    Levels are int16 (entropy guarantees |level| < 2^15), flags/modes/QPs
+    are uint8, and the mutually-exclusive luma4 (I4/I16) / luma8 (I8)
+    coefficient buffers overlay into one [F, n, 256] plane — each MB's
+    kind selects the interpretation on device.  Returns (dict, has_pcm)."""
+    F = len(fs_list)
+    n = fs_list[0].n_mbs
+    kind = np.stack([np.asarray(f.kind) for f in fs_list]).astype(np.uint8)
+    if has_pcm is None:
+        has_pcm = bool((kind == KIND_PCM).any())
+    lv = np.empty((F, n, 256), np.int16)
+    for i, f in enumerate(fs_list):
+        l4 = np.asarray(f.luma4).reshape(n, 256)
+        l8 = np.asarray(f.luma8).reshape(n, 256)
+        i8 = np.asarray(f.kind) == KIND_I8
+        lv[i] = np.where(i8[:, None], l8, l4)
+    out = {
+        "kind": kind,
+        "qp_y": _stk(fs_list, "qp_y", np.uint8),
+        "qp_cb": _stk(fs_list, "qp_cb", np.uint8),
+        "qp_cr": _stk(fs_list, "qp_cr", np.uint8),
+        "i16_mode": _stk(fs_list, "i16_mode", np.uint8),
+        "chroma_mode": _stk(fs_list, "chroma_mode", np.uint8),
+        "modes4": _stk(fs_list, "modes4", np.uint8),
+        "modes8": _stk(fs_list, "modes8", np.uint8),
+        "avail_a": _stk(fs_list, "avail_a", np.bool_),
+        "avail_b": _stk(fs_list, "avail_b", np.bool_),
+        "avail_c": _stk(fs_list, "avail_c", np.bool_),
+        "avail_d": _stk(fs_list, "avail_d", np.bool_),
+        "luma_lv": lv,
+        "luma_dc": _stk(fs_list, "luma_dc", np.int16).reshape(F, n, 16),
+        "chroma_dc": _stk(fs_list, "chroma_dc", np.int16).reshape(F, n, 8),
+        "chroma_ac": _stk(fs_list, "chroma_ac", np.int16)
+        .reshape(F, n, 128),
+    }
+    if has_pcm:
+        out["pcm_y"] = _stk(fs_list, "pcm_y", np.uint8)
+        out["pcm_c"] = _stk(fs_list, "pcm_c", np.uint8)
+    return out, has_pcm
+
+
+def _stk(fs_list, key, dt):
+    return np.stack([np.asarray(getattr(f, key)) for f in fs_list]) \
+        .astype(dt)

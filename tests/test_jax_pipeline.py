@@ -62,3 +62,34 @@ def test_scaling_list_roundtrip():
     assert pps4.pic_scaling_matrix_present_flag
     assert np.array_equal(pps4.pic_scaling_lists.l4x4,
                           pps3.pic_scaling_lists.l4x4)
+
+
+def test_lane_major_stage_a_matches_reference():
+    """The lane-major (16,B) stage A (augmented-matmul IDCTs) is
+    bit-identical to the block-major reference implementation across the
+    conformance envelope (levels bounded so dequantized coefficients stay
+    within the spec's 16-bit intermediate guarantee, 8.5.12.1)."""
+    import jax.numpy as jnp
+    from dryv_tpu.kernels import transform as T
+
+    rng = np.random.default_rng(5)
+    J = jnp.asarray
+    n = 400
+    qp = J(rng.integers(0, 52, n).astype(np.int32))
+    luma4 = J(rng.integers(-64, 64, (n, 16, 4, 4)).astype(np.int32))
+    luma8 = J(rng.integers(-64, 64, (n, 4, 8, 8)).astype(np.int32))
+    luma_dc = J(rng.integers(-64, 64, (n, 4, 4)).astype(np.int32))
+    cdc = J(rng.integers(-64, 64, (n, 2, 2, 2)).astype(np.int32))
+    cac = J(rng.integers(-64, 64, (n, 2, 4, 4, 4)).astype(np.int32))
+    kind = J(rng.integers(0, 3, n).astype(np.int32))
+    ls4 = J(T.LS4_FLAT)
+    ls8 = J(T.LS8_FLAT)
+    a = T.luma_residual_tiles_ref(kind, qp, luma4, luma8, luma_dc, n,
+                                  ls4, ls8)
+    b = T.luma_residual_tiles(kind, qp, luma4, luma8, luma_dc, n, ls4, ls8)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    qpc = J(rng.integers(0, 52, n).astype(np.int32))
+    qpr = J(rng.integers(0, 52, n).astype(np.int32))
+    ca = T.chroma_residual_tiles_ref(qpc, qpr, cdc, cac, n, ls4, ls4)
+    cb = T.chroma_residual_tiles(qpc, qpr, cdc, cac, n, ls4, ls4)
+    assert np.array_equal(np.asarray(ca), np.asarray(cb))
