@@ -36,9 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..coeffs import KIND_I8, KIND_I16, KIND_PCM
 from .pred_tables import filter_tables_8x8, tables_4x4, tables_8x8, to_matrix
+from ..avc.neighbors import POS_TO_ZSCAN
 from .wavefront import (BLK4_A, BLK4_B, BLK4_C, BLK4_D, BLK8_A, BLK8_B,
                         BLK8_C, BLK8_D, ZSCAN_4X4_POS, diag_schedule,
                         diag_shifts)
+
+# z-row index maps: luma tiles travel as 256 rows in STORAGE order
+# (16*zb + 4*dy + dx for 4x4 z-blocks; 64*q + 8*dy + dx for I8 quadrants),
+# never as spatial 16x16 tiles — the spatial relayout was the round-1
+# stage-A bottleneck and is absorbed into the (cheap) plane gather.
+_Z2SP = np.zeros(256, np.int32)      # z-row -> spatial 16*y + x
+for _zb, (_bx, _by) in enumerate(ZSCAN_4X4_POS):
+    for _dy in range(4):
+        for _dx in range(4):
+            _Z2SP[16 * _zb + 4 * _dy + _dx] = \
+                16 * (4 * _by + _dy) + 4 * _bx + _dx
+_SP2Z = np.argsort(_Z2SP).astype(np.int32)   # spatial -> z-row
+_Q2SP = np.zeros(256, np.int32)      # I8 quad-row -> spatial 16*y + x
+for _q in range(4):
+    for _dy in range(8):
+        for _dx in range(8):
+            _Q2SP[64 * _q + 8 * _dy + _dx] = \
+                16 * (8 * (_q >> 1) + _dy) + 8 * (_q & 1) + _dx
+_ZB_BOTTOM = [POS_TO_ZSCAN[(bx, 3)] for bx in range(4)]
+_ZB_RIGHT = [POS_TO_ZSCAN[(3, by)] for by in range(4)]
 
 # meta row layout: one (32, N) int32 block carries every per-MB scalar
 ROW_KIND, ROW_I16M, ROW_CMODE = 0, 1, 2
@@ -50,19 +71,51 @@ META_ROWS = 32
 
 @lru_cache(maxsize=None)
 def _mats():
+    """Tap tables as EXACT int8 matmul operands.
+
+    Samples are 8-bit (0..255) and tap weights <= 3, so each prediction
+    matmul runs as one native int8 MXU pass instead of six f32 passes:
+    acc = M^T (s - 128) + 128 * colsum(M), with the 128*colsum offset
+    folded into the rounding-constant tables."""
     I4, W4, R4, S4 = tables_4x4()
     I8, W8, R8, S8 = tables_8x8()
     (F1i, F1w, _, _), (F0i, F0w, _, _) = filter_tables_8x8()
+    M4 = to_matrix(I4, W4, 13)                             # [13, 144]
+    M8 = to_matrix(I8, W8, 25)                             # [25, 576]
+    MF1 = to_matrix(F1i[None], F1w[None], 25)              # [25, 25]
+    MF0 = to_matrix(F0i[None], F0w[None], 25)
+    # filter rows all weigh 4 -> a single scalar offset (asserted)
+    assert np.all(MF1.sum(0) == 4) and np.all(MF0.sum(0) == 4)
     return {
-        "M4": to_matrix(I4, W4, 13),                       # [13, 144]
-        "R4": R4.reshape(-1, 1).astype(np.int32),          # [144, 1]
+        "M4": M4.astype(np.int8),
+        "R4": (R4.reshape(-1, 1) + 128 * M4.sum(0).reshape(-1, 1))
+        .astype(np.int32),                                 # [144, 1]
         "S4": S4.reshape(-1, 1).astype(np.int32),
-        "M8": to_matrix(I8, W8, 25),                       # [25, 576]
-        "R8": R8.reshape(-1, 1).astype(np.int32),
+        "M8": M8.astype(np.int8),
+        "R8": (R8.reshape(-1, 1) + 128 * M8.sum(0).reshape(-1, 1))
+        .astype(np.int32),
         "S8": S8.reshape(-1, 1).astype(np.int32),
-        "MF1": to_matrix(F1i[None], F1w[None], 25),        # [25, 25]
-        "MF0": to_matrix(F0i[None], F0w[None], 25),
+        "MF1": MF1.astype(np.int8),
+        "MF0": MF0.astype(np.int8),
+        "SELV": _i16_sel(lambda bx, by, dy, dx: 4 * bx + dx),
+        "SELH": _i16_sel(lambda bx, by, dy, dx: 4 * by + dy),
+        "XSZ": (np.arange(256) % 4 + 4 * np.array(
+            [ZSCAN_4X4_POS[r // 16][0] for r in range(256)]))
+        .reshape(256, 1).astype(np.int32),
+        "YSZ": (np.arange(256) // 4 % 4 + 4 * np.array(
+            [ZSCAN_4X4_POS[r // 16][1] for r in range(256)]))
+        .reshape(256, 1).astype(np.int32),
     }
+
+
+def _i16_sel(which):
+    """(16, 256) int8 0/1 row-select matrix: p16[r] = sample[which(r)]."""
+    S = np.zeros((16, 256), np.int8)
+    for zb, (bx, by) in enumerate(ZSCAN_4X4_POS):
+        for dy in range(4):
+            for dx in range(4):
+                S[which(bx, by, dy, dx), 16 * zb + 4 * dy + dx] = 1
+    return S
 
 
 def _av_row(code, av):
@@ -75,14 +128,12 @@ def _av_row(code, av):
     return [None, av["a"], av["b"], av["c"], av["d"]][code]
 
 
-def _mm(M, sv):
-    """acc[out, l] = sum_s M[s, out] * sv[s, l]; exact (|acc| < 2^24).
-
-    Precision.HIGHEST keeps the MXU in full-f32 passes (values here are
-    11-bit sample sums; the bf16-default would round them)."""
-    return jax.lax.dot_general(M, sv, (((0,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
+def _mm8(M, sv):
+    """acc[out, l] = sum_s M[s, out] * (sv[s, l] - 128), one exact int8
+    MXU pass (caller's rounding table carries the +128*colsum offset)."""
+    sv8 = (sv - 128).astype(jnp.int8)
+    return jax.lax.dot_general(M, sv8, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
 
 
 def _build_kernel(N: int, maxv: int, dcv: int):
@@ -95,9 +146,10 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         xp = jnp.concatenate([X[:, 1:], zero], axis=1)     # l+1
         return jnp.where(s < 0, xm, jnp.where(s > 0, xp, X))
 
-    def _pred16(mode, above, left, corner, av):
-        p_v = jnp.broadcast_to(above[None], (16, 16, N))
-        p_h = jnp.broadcast_to(left[:, None, :], (16, 16, N))
+    def _pred16z(mode, above, left, corner, av, SELV, SELH, XSZ, YSZ):
+        """I16 prediction directly in z-row order (256, N)."""
+        p_v = _mm8(SELV, above) + 128          # one int8 select-matmul
+        p_h = _mm8(SELH, left) + 128
         suma = jnp.sum(above, axis=0, keepdims=True)
         suml = jnp.sum(left, axis=0, keepdims=True)
         dcf = jnp.full_like(suma, dcv)
@@ -113,15 +165,11 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         b = (5 * hh + 32) >> 6
         c = (5 * vv + 32) >> 6
         aa = 16 * (above[15:16] + left[15:16])
-        xs = jax.lax.broadcasted_iota(jnp.int32, (16, 16, N), 1)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (16, 16, N), 0)
-        val = (aa[:, None] + b[:, None] * (xs - 7)
-               + c[:, None] * (ys - 7) + 16) >> 5
+        val = (aa + b * (XSZ - 7) + c * (YSZ - 7) + 16) >> 5
         p_pl = jnp.clip(val, 0, maxv)
-        m3 = mode[:, None]
-        return jnp.where(m3 == 0, p_v,
-                         jnp.where(m3 == 1, p_h,
-                                   jnp.where(m3 == 2, dc[:, None], p_pl)))
+        return jnp.where(mode == 0, p_v,
+                         jnp.where(mode == 1, p_h,
+                                   jnp.where(mode == 2, dc, p_pl)))
 
     def _pred_chroma(mode, above, left, corner, av):
         p_h = jnp.broadcast_to(left[:, None, :], (8, 8, N))
@@ -171,7 +219,7 @@ def _build_kernel(N: int, maxv: int, dcv: int):
     def kernel(shifts_ref,                       # scalar prefetch [n_diag,4]
                meta_ref, yres_ref, cres_ref,
                m4_ref, r4_ref, s4_ref, m8_ref, r8_ref, s8_ref,
-               mf1_ref, mf0_ref,
+               mf1_ref, mf0_ref, selv_ref, selh_ref, xsz_ref, ysz_ref,
                ty_ref, tc_ref,
                W, yb1, yb2, yb3, yr1, cb1, cb2, cb3, cr1):
         d = pl.program_id(1)
@@ -215,7 +263,7 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         W[0:1, 17:25] = abover8[None]
         W[1:17, 0:1] = left16[:, None]
 
-        resid = yres_ref[0, 0].astype(jnp.int32)  # (16, 16, N)
+        resid = yres_ref[0, 0].astype(jnp.int32)  # (256, N) z-rows
         M4 = m4_ref[:]
         R4 = r4_ref[:]
         S4 = s4_ref[:]
@@ -226,6 +274,7 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         MF0 = mf0_ref[:]
 
         # ---- I8 first (shares W; apron row/col stay intact) -------------
+        us8 = []
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             r0, c0 = 8 * by, 8 * bx
@@ -238,10 +287,9 @@ def _build_kernel(N: int, maxv: int, dcv: int):
                 [row[1:9], jnp.where(ac8, row[9:17], row[8:9])], axis=0)
             left8 = W[r0 + 1:r0 + 9, c0:c0 + 1][:, 0]         # (8, N)
             corn = row[0:1]
-            sv = jnp.concatenate([corn, above, left8],
-                                 axis=0).astype(jnp.float32)
-            f1 = (_mm(MF1, sv).astype(jnp.int32) + 2) >> 2
-            f0 = (_mm(MF0, sv).astype(jnp.int32) + 2) >> 2
+            sv = jnp.concatenate([corn, above, left8], axis=0)
+            f1 = (_mm8(MF1, sv) + 514) >> 2      # 514 = 128*colsum + 2
+            f0 = (_mm8(MF0, sv) + 514) >> 2
             f = jnp.where(ad8, f1, f0)                        # (25, N)
             a0 = above[0:1]
             l0 = left8[0:1]
@@ -252,9 +300,8 @@ def _build_kernel(N: int, maxv: int, dcv: int):
             fz = jnp.where(ad8, fz, corn)
             fa = jnp.where(ab8, f[1:17], above)
             fl = jnp.where(aa8, f[17:25], left8)
-            sv2 = jnp.concatenate([fz, fa, fl],
-                                  axis=0).astype(jnp.float32)
-            vals = (_mm(M8, sv2).astype(jnp.int32) + R8) >> S8  # (576, N)
+            sv2 = jnp.concatenate([fz, fa, fl], axis=0)
+            vals = (_mm8(M8, sv2) + R8) >> S8                 # (576, N)
             m8 = meta[ROW_M8 + blk:ROW_M8 + blk + 1]
             sel = jnp.zeros((64, N), jnp.int32)
             for m in range(9):
@@ -268,16 +315,21 @@ def _build_kernel(N: int, maxv: int, dcv: int):
                            jnp.where(aa8, (suml + 4) >> 3,
                                      jnp.where(ab8, (suma + 4) >> 3, dcf)))
             pred = jnp.where(m8 == 2, dc, sel)                # (64, N)
-            rblk = jnp.concatenate(
-                [resid[8 * by + dy, 8 * bx:8 * bx + 8] for dy in range(8)],
-                axis=0)
+            rblk = resid[64 * blk:64 * blk + 64]
             u = jnp.clip(pred + rblk, 0, maxv)
+            us8.append(u)
             for dy in range(8):
                 W[r0 + 1 + dy:r0 + 2 + dy, c0 + 1:c0 + 9] = \
                     u[8 * dy:8 * dy + 8][None]
-        o8 = W[1:17, 1:17]                                    # (16, 16, N)
+        # I8 output regrouped into z-row order (4 row-runs per z-block)
+        o8 = jnp.concatenate(
+            [us8[(bx // 2) + 2 * (by // 2)]
+             [8 * (4 * (by % 2) + dy) + 4 * (bx % 2):
+              8 * (4 * (by % 2) + dy) + 4 * (bx % 2) + 4]
+             for (bx, by) in ZSCAN_4X4_POS for dy in range(4)], axis=0)
 
         # ---- I4 (16 z-scan sub-blocks over the same window) -------------
+        us4 = []
         for blk in range(16):
             bx, by = ZSCAN_4X4_POS[blk]
             r0, c0 = 4 * by, 4 * bx
@@ -289,9 +341,8 @@ def _build_kernel(N: int, maxv: int, dcv: int):
                 [row[1:5], jnp.where(ac4, row[5:9], row[4:5])], axis=0)
             left4 = W[r0 + 1:r0 + 5, c0:c0 + 1][:, 0]         # (4, N)
             corn = row[0:1]
-            sv = jnp.concatenate([corn, above8, left4],
-                                 axis=0).astype(jnp.float32)
-            vals = (_mm(M4, sv).astype(jnp.int32) + R4) >> S4  # (144, N)
+            sv = jnp.concatenate([corn, above8, left4], axis=0)
+            vals = (_mm8(M4, sv) + R4) >> S4                  # (144, N)
             m4 = meta[ROW_M4 + blk:ROW_M4 + blk + 1]
             sel = jnp.zeros((16, N), jnp.int32)
             for m in range(9):
@@ -305,23 +356,23 @@ def _build_kernel(N: int, maxv: int, dcv: int):
                            jnp.where(aa4, (suml + 2) >> 2,
                                      jnp.where(ab4, (suma + 2) >> 2, dcf)))
             pred = jnp.where(m4 == 2, dc, sel)                # (16, N)
-            rblk = jnp.concatenate(
-                [resid[4 * by + dy, 4 * bx:4 * bx + 4] for dy in range(4)],
-                axis=0)
+            rblk = resid[16 * blk:16 * blk + 16]
             u = jnp.clip(pred + rblk, 0, maxv)
+            us4.append(u)
             for dy in range(4):
                 W[r0 + 1 + dy:r0 + 2 + dy, c0 + 1:c0 + 5] = \
                     u[4 * dy:4 * dy + 4][None]
-        o4 = W[1:17, 1:17]
+        o4 = jnp.concatenate(us4, axis=0)                     # z-rows
 
-        # ---- I16 + final select -----------------------------------------
-        p16 = _pred16(i16m, above16, left16, corner, av)
+        # ---- I16 + final select (all in z-row order) ---------------------
+        p16 = _pred16z(i16m, above16, left16, corner, av,
+                       selv_ref[:], selh_ref[:], xsz_ref[:], ysz_ref[:])
         o16 = jnp.clip(p16 + resid, 0, maxv)
-        k3 = kind[:, None]
-        out = jnp.where(k3 == KIND_PCM, resid,
-                        jnp.where(k3 == KIND_I16, o16,
-                                  jnp.where(k3 == KIND_I8, o8, o4)))
+        out = jnp.where(kind == KIND_PCM, resid,
+                        jnp.where(kind == KIND_I16, o16,
+                                  jnp.where(kind == KIND_I8, o8, o4)))
         ty_ref[0, 0] = out.astype(jnp.uint8)
+        k3 = kind[:, None]
 
         # ---- chroma ------------------------------------------------------
         cres = cres_ref[0, 0].astype(jnp.int32)               # (16, 8, N)
@@ -343,8 +394,11 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         t1 = yb1[:]
         yb3[:] = t2
         yb2[:] = t1
-        yb1[:] = out[15]
-        yr1[:] = out[:, 15, :]
+        yb1[:] = jnp.concatenate(
+            [out[16 * zb + 12:16 * zb + 16] for zb in _ZB_BOTTOM], axis=0)
+        yr1[:] = jnp.concatenate(
+            [out[16 * zb + 4 * dy + 3:16 * zb + 4 * dy + 4]
+             for zb in _ZB_RIGHT for dy in range(4)], axis=0)
         c2 = cb2[:]
         c1 = cb1[:]
         cb3[:] = c2
@@ -412,6 +466,9 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
     vmem = pltpu.VMEM
 
     def im_step(f, d, sref):
+        return (f, d, 0, 0)
+
+    def im_step5(f, d, sref):
         return (f, d, 0, 0, 0)
 
     def im_const(f, d, sref):
@@ -423,8 +480,8 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
         in_specs=[
             pl.BlockSpec((1, 1, META_ROWS, N),
                          lambda f, d, s: (f, d, 0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, 16, 16, N), im_step, memory_space=vmem),
-            pl.BlockSpec((1, 1, 16, 8, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 256, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 16, 8, N), im_step5, memory_space=vmem),
             pl.BlockSpec((13, 144), im_const, memory_space=vmem),
             pl.BlockSpec((144, 1), im_const, memory_space=vmem),
             pl.BlockSpec((144, 1), im_const, memory_space=vmem),
@@ -433,10 +490,14 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
             pl.BlockSpec((576, 1), im_const, memory_space=vmem),
             pl.BlockSpec((25, 25), im_const, memory_space=vmem),
             pl.BlockSpec((25, 25), im_const, memory_space=vmem),
+            pl.BlockSpec((16, 256), im_const, memory_space=vmem),
+            pl.BlockSpec((16, 256), im_const, memory_space=vmem),
+            pl.BlockSpec((256, 1), im_const, memory_space=vmem),
+            pl.BlockSpec((256, 1), im_const, memory_space=vmem),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 16, 16, N), im_step, memory_space=vmem),
-            pl.BlockSpec((1, 1, 16, 8, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 256, N), im_step, memory_space=vmem),
+            pl.BlockSpec((1, 1, 16, 8, N), im_step5, memory_space=vmem),
         ],
         scratch_shapes=[pltpu.VMEM((17, 25, N), jnp.int32)] +
                        [pltpu.VMEM((16, N), jnp.int32)] * 8,
@@ -445,7 +506,7 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Fo, n_diag, 16, 16, N), jnp.uint8),
+            jax.ShapeDtypeStruct((Fo, n_diag, 256, N), jnp.uint8),
             jax.ShapeDtypeStruct((Fo, n_diag, 16, 8, N), jnp.uint8),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -455,15 +516,42 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
         interpret=interpret,
     )
 
+    # lane table: (fo, d, fi*Kpad + 1 + k) -> flat MB column f*n + addr
+    lane_tbl = np.zeros((Fo, n_diag, N), np.int32)
+    lane_ok = np.zeros((Fo, n_diag, N), bool)
+    for fo in range(Fo):
+        for fi in range(Fi):
+            f = fo * Fi + fi
+            for d in range(n_diag):
+                for k in range(K):
+                    a = sched_np[d, k]
+                    if a >= 0:
+                        lane_tbl[fo, d, fi * Kpad + 1 + k] = f * n + a
+                        lane_ok[fo, d, fi * Kpad + 1 + k] = True
+    lane_tbl_j = jnp.asarray(lane_tbl)
+
+    def _pack_cols(Zarr):
+        """(R, F*n) -> [Fo, n_diag, R, N] via one lane gather."""
+        G = Zarr[:, lane_tbl_j]                  # (R, Fo, n_diag, N)
+        return jnp.transpose(G, (1, 2, 0, 3))
+
     def recon(s, y_resid, c_resid):
-        # PCM samples pre-merged into the residual tiles (the kernel
-        # selects them directly); clamp keeps residuals exact in int16
-        # (clip(pred + resid) is invariant for pred in [0, maxv]).
+        """y_resid: (256, F*n) int32 z-row columns (fast path) or
+        [F, n, 16, 16] spatial tiles (converted); c_resid [F,n,2,8,8]."""
+        if y_resid.ndim == 4:
+            # storage-row order is per-kind: 4x4 z-blocks vs I8 quadrants
+            sp = y_resid.reshape(F * n, 256)
+            zi = sp[:, jnp.asarray(_Z2SP)]
+            qi = sp[:, jnp.asarray(_Q2SP)]
+            i8c = (s["kind"] == KIND_I8).reshape(F * n, 1)
+            y_resid = jnp.where(i8c, qi, zi).T
         if has_pcm:
-            pcm = s["kind"] == KIND_PCM
-            y = jnp.where(pcm[:, :, None, None], s["pcm_y"],
+            pcm = (s["kind"] == KIND_PCM).reshape(1, F * n)
+            pcm_z = s["pcm_y"].reshape(F * n, 256)[:, jnp.asarray(_Z2SP)].T
+            y = jnp.where(pcm, pcm_z,
                           jnp.clip(y_resid, -maxv, maxv)).astype(jnp.int16)
-            c = jnp.where(pcm[:, :, None, None, None], s["pcm_c"],
+            pcm4 = (s["kind"] == KIND_PCM)[:, :, None, None, None]
+            c = jnp.where(pcm4, s["pcm_c"],
                           jnp.clip(c_resid, -maxv, maxv)).astype(jnp.int16)
         else:
             y = jnp.clip(y_resid, -maxv, maxv).astype(jnp.int16)
@@ -481,21 +569,20 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
             jnp.zeros((F, n, META_ROWS - ROW_M8 - 4), jnp.int32),
         ], axis=-1)                                  # [F, n, 32]
         meta = _pack_lanes(meta_mb, addrs, Fo, Fi, K, Kpad)
-        yres = _pack_lanes(y, addrs, Fo, Fi, K, Kpad)
+        yres = _pack_cols(y)                         # [Fo, n_diag, 256, N]
         cres = _pack_lanes(c.reshape(F, n, 16, 8), addrs, Fo, Fi, K, Kpad)
-        ty, tc = pallas_fn(
-            jnp.asarray(shifts), meta, yres, cres,
-            jnp.asarray(mats["M4"]), jnp.asarray(mats["R4"]),
-            jnp.asarray(mats["S4"]), jnp.asarray(mats["M8"]),
-            jnp.asarray(mats["R8"]), jnp.asarray(mats["S8"]),
-            jnp.asarray(mats["MF1"]), jnp.asarray(mats["MF0"]))
-        ty = _unpack_lanes(ty, F, Fi, Kpad)          # [F, n_diag, Kpad,16,16]
+        mats_j = [jnp.asarray(mats[k]) for k in
+                  ("M4", "R4", "S4", "M8", "R8", "S8", "MF1", "MF0",
+                   "SELV", "SELH", "XSZ", "YSZ")]
+        ty, tc = pallas_fn(jnp.asarray(shifts), meta, yres, cres, *mats_j)
+        ty = _unpack_lanes(ty, F, Fi, Kpad)          # [F, n_diag, Kpad, 256]
         tc = _unpack_lanes(tc, F, Fi, Kpad)
         if return_tiles:
             return ty[:, :, 1:K + 1], tc[:, :, 1:K + 1]
-        tmb_y = ty[:, d_of, 1 + k_of]                # [F, n, 16, 16]
+        tmb_y = ty[:, d_of, 1 + k_of]                # [F, n, 256] z-rows
         tmb_c = tc[:, d_of, 1 + k_of]                # [F, n, 16, 8]
-        yp = tmb_y.reshape(F, mb_h, mb_w, 16, 16).transpose(0, 1, 3, 2, 4) \
+        yp = tmb_y[:, :, jnp.asarray(_SP2Z)] \
+            .reshape(F, mb_h, mb_w, 16, 16).transpose(0, 1, 3, 2, 4) \
             .reshape(F, mb_h * 16, mb_w * 16)
         cbp = tmb_c[:, :, 0:8].reshape(F, mb_h, mb_w, 8, 8) \
             .transpose(0, 1, 3, 2, 4).reshape(F, mb_h * 8, mb_w * 8)
@@ -525,35 +612,44 @@ def make_gop_pipeline_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
     n = mb_w * mb_h
 
     def run(s, ls4y, ls4cb, ls4cr, ls8y):
+        from ..coeffs import KIND_I8 as _KI8
+        from .transform import luma_residual_zrows
+
         s = dict(s)
+        M = F * n
         if "luma_lv" in s:
-            lv = s.pop("luma_lv").astype(jnp.int32)       # [F, n, 256]
-            s["luma4"] = lv.reshape(F, n, 16, 4, 4)
-            s["luma8"] = lv.reshape(F, n, 4, 8, 8)
+            lv = s.pop("luma_lv")                          # [F, n, 256]
             s["luma_dc"] = s["luma_dc"].reshape(F, n, 4, 4)
             s["chroma_dc"] = s["chroma_dc"].reshape(F, n, 2, 2, 2)
             s["chroma_ac"] = s["chroma_ac"].reshape(F, n, 2, 4, 4, 4)
+        else:
+            i8 = (s["kind"] == _KI8).reshape(F, n, 1)
+            lv = jnp.where(i8, s["luma8"].reshape(F, n, 256),
+                           s["luma4"].reshape(F, n, 256))
         up = {}
         for k, v in s.items():
             if k.startswith("pcm") or k.startswith("avail"):
                 up[k] = v
+            elif k in ("luma4", "luma8"):
+                continue
             else:
                 up[k] = v.astype(jnp.int32)
         s = up
 
-        def resid_one(sf):
-            yr = luma_residual_tiles(sf["kind"], sf["qp_y"], sf["luma4"],
-                                     sf["luma8"], sf["luma_dc"], n,
-                                     ls4y, ls8y)
-            cr = chroma_residual_tiles(sf["qp_cb"], sf["qp_cr"],
-                                       sf["chroma_dc"], sf["chroma_ac"], n,
-                                       ls4cb, ls4cr)
-            return yr, cr
+        # luma stage A entirely in z-row columns (no spatial relayout)
+        Z = lv.reshape(M, 256).astype(jnp.int32).T         # (256, M)
+        y_z = luma_residual_zrows(
+            s["kind"].reshape(M), s["qp_y"].reshape(M), Z,
+            s["luma_dc"].reshape(M, 16).T, ls4y, ls8y)
 
-        keys = ["kind", "qp_y", "qp_cb", "qp_cr", "luma4", "luma8",
-                "luma_dc", "chroma_dc", "chroma_ac"]
-        y_resid, c_resid = jax.vmap(resid_one)({k: s[k] for k in keys})
-        return recon(s, y_resid, c_resid)
+        def chroma_one(sf):
+            return chroma_residual_tiles(sf["qp_cb"], sf["qp_cr"],
+                                         sf["chroma_dc"], sf["chroma_ac"],
+                                         n, ls4cb, ls4cr)
+
+        keys = ["qp_cb", "qp_cr", "chroma_dc", "chroma_ac"]
+        c_resid = jax.vmap(chroma_one)({k: s[k] for k in keys})
+        return recon(s, y_z, c_resid)
 
     return jax.jit(run)
 
