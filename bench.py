@@ -86,32 +86,39 @@ def main():
         lambda: decode_picture_islices(slice_datas, sps, pps,
                                        n_threads=nthreads, reuse=True), 5)
 
-    # ---- TPU pipeline (GOP-batched: F frames reconstructed per device
-    # dispatch, host entropy overlapped with device compute) --------------
+    # ---- TPU pipeline: C++ entropy feeds the whole-GOP Pallas wavefront
+    # (one kernel launch reconstructs F frames; kernels/pallas_wavefront).
     import jax
     import jax.numpy as jnp
-    from dryv_tpu.parallel.gop import _frame_recon_fn
-    from dryv_tpu.pipeline import SYNTAX_KEYS
+    from dryv_tpu.kernels.pallas_wavefront import (make_gop_pipeline_pallas,
+                                                   stack_gop_compact)
+    from dryv_tpu.kernels.transform import LS4_FLAT, LS8_FLAT
 
     F = int(os.environ.get("DRYV_BENCH_GOP", "32"))
     out = decode_picture_islices(slice_datas, sps, pps, n_threads=nthreads)
     fs = pack_from_native(out, sps, pps)
-    recon_one = _frame_recon_fn(fs.mb_w, fs.mb_h)
-    gop_fn = jax.jit(jax.vmap(recon_one))
-    stacked = {k: jnp.asarray(np.stack([np.asarray(getattr(fs, k))] * F))
-               for k in SYNTAX_KEYS}
-    y, cb, cr = gop_fn(stacked)  # compile
-    assert np.array_equal(np.asarray(y[0])[:1080], g["y"]), \
+    snp, has_pcm = stack_gop_compact([fs] * F)
+    ls = [jnp.asarray(LS4_FLAT)] * 3 + [jnp.asarray(LS8_FLAT)]
+    gop_fn = make_gop_pipeline_pallas(fs.mb_w, fs.mb_h, F, has_pcm=has_pcm)
+    stacked = {k: jnp.asarray(v) for k, v in snp.items()}
+    y, cb, cr = gop_fn(stacked, *ls)  # compile
+    assert np.array_equal(np.asarray(y[0])[:1080], g["y"]) \
+        and np.array_equal(np.asarray(cb[0])[:540], g["cb"]) \
+        and np.array_equal(np.asarray(cr[0])[:540], g["cr"]), \
         "device path not bit-exact"
 
     t_entropy = t_entropy_solo
     t_pack = best_of(lambda: pack_from_native(out, sps, pps), 5)
 
-    def device_recon():
-        r = gop_fn(stacked)
-        jax.block_until_ready(r[0])
+    def device_recon(K=6):
+        # amortized: K dispatches queued, one sync (the axon tunnel's
+        # ~22 ms sync round-trip would otherwise dominate)
+        for _ in range(K - 1):
+            gop_fn(stacked, *ls)
+        r = gop_fn(stacked, *ls)
+        np.asarray(r[0][0, 0, :2])
 
-    t_recon_gop = best_of(device_recon, 3)
+    t_recon_gop = best_of(device_recon, 3) / 6
 
     # end-to-end: host entropy for F frames overlapped with the device
     # reconstructing the previous batch (async dispatch).  Steady-state
@@ -128,9 +135,9 @@ def main():
                 decode_picture_islices(slice_datas, sps, pps,
                                        n_threads=nthreads, reuse=True)
             pack_from_native(out, sps, pps)
-            r = gop_fn(stacked)
+            r = gop_fn(stacked, *ls)
             if pending is not None:
-                jax.block_until_ready(pending[0])
+                np.asarray(pending[0][0, 0, :2])
             pending = r
         return pending
 
@@ -138,7 +145,7 @@ def main():
     t0 = time.perf_counter()
     tail = e2e_batches(B)
     t_e2e_frame = (time.perf_counter() - t0) / (B * F)
-    jax.block_until_ready(tail[0])
+    np.asarray(tail[0][0, 0, :2])
 
     # secondary: deblocked 1080p intra fully on device (recon + in-loop
     # filter as a second wavefront pass, kernels/deblock.py); bit-exact
@@ -149,6 +156,7 @@ def main():
         from dryv_tpu.kernels.deblock import (PRE_KEYS,
                                               deblock_precompute_intra)
         from dryv_tpu.parallel.gop import _frame_recon_fn as _frf
+        from dryv_tpu.pipeline import SYNTAX_KEYS
         dstream = open(dblk_path, "rb").read()
         dg = np.load(os.path.join(HERE, "benchdata",
                                   "bench1080p_dblk_golden.npz"))
@@ -190,6 +198,12 @@ def main():
 
     fps = 1.0 / t_e2e_frame
     baseline_fps = 1.0 / t_baseline
+    # roofline sketch for the device stage: bytes moved per frame through
+    # the pipeline (compact levels in + packed lanes + tiles out + planes)
+    n_mbs = fs.mb_w * fs.mb_h
+    dev_bytes_frame = n_mbs * (256 * 2 * 2 + 128 * 2 * 2 + 384 + 384 + 64)
+    dev_s_frame = t_recon_gop / F
+    hbm_frac = dev_bytes_frame / dev_s_frame / 819e9  # v5e ~819 GB/s
     result = {
         "metric": "1080p_avc_intra_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -200,6 +214,8 @@ def main():
             "entropy_ms_per_frame": round(t_entropy * 1e3, 1),
             "pack_ms": round(t_pack * 1e3, 1),
             "device_recon_fps_gop": round(F / t_recon_gop, 1),
+            "device_recon_ms_per_frame": round(dev_s_frame * 1e3, 2),
+            "device_hbm_utilization": round(hbm_frac, 3),
             "device_recon_deblock_fps_gop": (round(dblk_fps, 1)
                                              if dblk_fps else None),
             "gop_batch": F,
@@ -208,8 +224,10 @@ def main():
             "ipb_640x368_deblock_fps": (round(ipb_fps, 1)
                                         if ipb_fps else None),
             "bit_exact": True,
-            "note": ("e2e is host-entropy-bound on this 2-vCPU VM; device "
-                     "reconstruction alone sustains the gop fps figure"),
+            "note": ("e2e is host-entropy-bound on this 2-vCPU VM (the "
+                     "per-stage budget: entropy_ms_per_frame vs "
+                     "device_recon_ms_per_frame); the device side is no "
+                     "longer the limiter"),
         },
     }
     print(json.dumps(result))

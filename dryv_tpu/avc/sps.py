@@ -83,6 +83,19 @@ def _zigzag(n: int) -> np.ndarray:
 ZIGZAG_4X4 = _zigzag(4)
 ZIGZAG_8X8 = _zigzag(8)
 
+# Alternate ("field") coefficient scans, spec Tables 8-9 / 8-10: applied
+# to all scanned blocks of field-coded macroblocks (8.5.6).  Entries are
+# raster indices in coded-scan order.
+FIELDSCAN_4X4 = np.array(
+    [0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15], dtype=np.int64)
+FIELDSCAN_8X8 = np.array([
+    0, 8, 16, 1, 9, 24, 32, 17, 2, 25, 40, 48,
+    56, 33, 10, 3, 18, 41, 49, 57, 26, 11, 4, 19,
+    34, 42, 50, 58, 27, 12, 5, 20, 35, 43, 51, 59,
+    28, 13, 6, 21, 36, 44, 52, 60, 29, 14, 22, 37,
+    45, 53, 61, 30, 7, 15, 38, 46, 54, 62, 23, 31,
+    39, 47, 55, 63], dtype=np.int64)
+
 
 def dezigzag(zz_values: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros_like(zz_values)

@@ -173,6 +173,24 @@ CAT_CHROMA_AC = 4
 CAT_LUMA_8X8 = 5
 
 
+def _fieldscan_perms():
+    """Permutations normalizing field-scan coded coefficients into the
+    frame-zigzag storage order every downstream consumer expects
+    (spec 8.5.6: field MBs scan with Tables 8-9/8-10)."""
+    from ..avc.sps import FIELDSCAN_4X4, FIELDSCAN_8X8, ZIGZAG_4X4, ZIGZAG_8X8
+    fsi4 = np.argsort(FIELDSCAN_4X4)   # raster -> field-scan index
+    fsi8 = np.argsort(FIELDSCAN_8X8)
+    p16 = fsi4[ZIGZAG_4X4]             # stored[j] = coded[p16[j]]
+    p64 = fsi8[ZIGZAG_8X8]
+    p15 = fsi4[ZIGZAG_4X4[1:]] - 1     # AC blocks: scan positions 1..15
+    return {16: (p16, np.argsort(p16)),
+            64: (p64, np.argsort(p64)),
+            15: (p15, np.argsort(p15))}
+
+
+FIELD_PERMS = _fieldscan_perms()
+
+
 class SliceCoder:
     """Walks macroblocks of one I slice in raster order, decoding syntax from
     (or encoding syntax to) a CABAC engine.  `mbs` is the frame-wide MBState
@@ -187,14 +205,17 @@ class SliceCoder:
         self.mbs = mbs
         self.slice_id = slice_id
         self.mb_w = sps.pic_width_in_mbs
-        self.mb_h = sps.frame_height_in_mbs
+        # a field picture is a standalone picture of half frame height
+        # (reference slice/mod.rs:328-342 handles the flag at entropy level)
+        self.mb_h = sps.frame_height_in_mbs >> header.field_pic_flag
         self.chroma_array_type = sps.chroma_array_type
         self.qp_bd_offset_y = 6 * sps.bit_depth_luma_minus8
         self.qpy_prev = header.slice_qp_y(pps)
         self.qsy = 26 + pps.pic_init_qs_minus26 + header.slice_qs_delta
         self.curr = header.first_mb_in_slice
         self.prev_addr = -1
-        self.field_flag = 0  # progressive only
+        # selects the field column of the significance maps (Table 9-43)
+        self.field_flag = header.field_pic_flag
 
     # -- engine primitives (symmetric) ----------------------------------
     def _bin(self, ctx: int, val=None) -> int:
@@ -913,7 +934,16 @@ class SliceCoder:
         """One residual block (reference residual_cabac).
 
         coeffs: scan-order array of length maxnumcoeff (decode: filled;
-        encode: read).  `coded`: whether cbp allows coefficients here."""
+        encode: read).  `coded`: whether cbp allows coefficients here.
+
+        Field-coded blocks are coded in the alternate scan (8.5.6); the
+        stored array stays frame-zigzag-ordered, converted here."""
+        fperm = None
+        if self.field_flag and cat != CAT_CHROMA_DC:
+            fperm = FIELD_PERMS[maxnumcoeff]
+        out_view = coeffs
+        if fperm is not None and self.encoding:
+            coeffs = coeffs[fperm[1]]        # coded (field-scan) order copy
         if coded:
             if maxnumcoeff != 64 or self.chroma_array_type == 3:
                 if self.encoding:
@@ -1006,6 +1036,8 @@ class SliceCoder:
                 numgt1 += 1
             else:
                 num1 += 1
+        if fperm is not None:
+            out_view[:maxnumcoeff] = coeffs[fperm[0]]
 
     def residual(self, mb: MBState):
         """Residual for one MB (reference residual/residual_luma)."""

@@ -135,7 +135,7 @@ class CavlcSliceCoder(SliceCoder):
         self.mbs = mbs
         self.slice_id = slice_id
         self.mb_w = sps.pic_width_in_mbs
-        self.mb_h = sps.frame_height_in_mbs
+        self.mb_h = sps.frame_height_in_mbs >> header.field_pic_flag
         self.chroma_array_type = sps.chroma_array_type
         self.qp_bd_offset_y = 6 * sps.bit_depth_luma_minus8
         self.qpy_prev = header.slice_qp_y(pps)

@@ -90,7 +90,8 @@ class SyntaxDecoder:
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             headers.append(h)
             if mbs is None:
-                mbs = [None] * (sps.pic_width_in_mbs * sps.frame_height_in_mbs)
+                pic_h = sps.frame_height_in_mbs >> h.field_pic_flag
+                mbs = [None] * (sps.pic_width_in_mbs * pic_h)
             sgmap = None
             if pps.slice_groups is not None:
                 from .avc.slice_map import map_units_to_sgmap
@@ -156,10 +157,62 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     stored = {}  # frame_idx -> (y, cb, cr) uncropped
     stored_ms = {}  # frame_idx -> MotionState (B co-located motion)
     stored_maps = {}  # frame_idx -> (l0 keys, l1 keys) for temporal direct
+    pending_field = None  # (bottom_flag, FrameRecon) awaiting its pair
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
         h0 = headers[0]
         nal0 = pic_nals[0]
+        if h0.field_pic_flag:
+            # PAFF: each coded field is a standalone half-height picture
+            # decoded with the field column of the CABAC significance
+            # maps; the two parities weave into one output frame.  The
+            # upstream reference cannot decode any field-coded stream
+            # (its recon layer predates fields entirely); intra fields
+            # are fully supported here, inter fields (parity-aware
+            # reference lists) are a declared boundary.
+            if not all(h.slice_type.is_intra for h in headers):
+                raise NotImplementedError("inter-coded field pictures")
+            fh = sps.frame_height_in_mbs // 2
+            recon = FrameRecon(sps, pps, mb_h=fh)
+            for addr, mb in enumerate(mbs):
+                if mb is None:
+                    raise ValueError(f"macroblock {addr} not covered")
+                recon.recon_mb(mb, addr, mb.slice_id)
+            if any(h.deblocking is None or h.deblocking.disable_idc != 1
+                   for h in headers):
+                from .refimpl.deblock import deblock_frame
+                from .refimpl.inter import MotionState as _MS
+                ms_f = _MS(recon.mb_w, fh)
+                for addr in range(len(mbs)):
+                    ms_f.set_mb_intra(addr)
+                deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms_f,
+                              sps, pps, headers)
+            parity = h0.bottom_field_flag
+            if pending_field is None or pending_field[0] == parity:
+                pending_field = (parity, recon)
+                continue
+            import numpy as _np
+            other_parity, other = pending_field
+            pending_field = None
+            top = other if other_parity == 0 else recon
+            bot = recon if other_parity == 0 else other
+            y = _np.empty((top.y.shape[0] * 2, top.y.shape[1]),
+                          top.y.dtype)
+            y[0::2] = top.y
+            y[1::2] = bot.y
+            cb = cr = None
+            if top.cb is not None:
+                cb = _np.empty((top.cb.shape[0] * 2, top.cb.shape[1]),
+                               top.cb.dtype)
+                cr = _np.empty_like(cb)
+                cb[0::2] = top.cb
+                cb[1::2] = bot.cb
+                cr[0::2] = top.cr
+                cr[1::2] = bot.cr
+            frames.append(DecodedFrame(y, cb, cr, len(frames)).crop(sps))
+            if max_frames and len(frames) >= max_frames:
+                break
+            continue
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         ref = None

@@ -125,9 +125,9 @@ class IntraEncoder:
     reconstruction state for prediction feedback."""
 
     def __init__(self, sps, pps, qp: int, mb_kind_policy=None,
-                 deadzone: float = 0.2):
+                 deadzone: float = 0.2, mb_h=None):
         self.sps, self.pps = sps, pps
-        self.recon = FrameRecon(sps, pps)
+        self.recon = FrameRecon(sps, pps, mb_h=mb_h)
         self.q = QuantMaps(self.recon)
         self.qp = qp
         self.deadzone = deadzone

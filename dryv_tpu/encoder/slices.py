@@ -58,7 +58,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       nal_ref_idc: int = 3,
                       pred_weight_table=None,
                       direct_spatial: int = 1,
-                      mmco=None, rplm_l0=None) -> NalUnit:
+                      mmco=None, rplm_l0=None,
+                      field_pic: int = 0, bottom_field: int = 0) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -74,6 +75,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         idr_pic_id=idr_pic_id,
         pic_order_cnt_lsb=pic_order_cnt_lsb,
         slice_qp_delta=qp_delta,
+        field_pic_flag=field_pic,
+        bottom_field_flag=bottom_field,
         direct_spatial_mv_pred_flag=direct_spatial,
         pred_weight_table=pred_weight_table,
         deblocking=DeblockingFilterControl(disable_idc=deblock_disable),
@@ -175,4 +178,28 @@ def encode_frame_annexb(sps: SPS, pps: PPS, mb_rows_per_slice, mb_list,
         lo, hi = bounds[sid], bounds[sid + 1]
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mb_list[lo:hi], lo, sid, **kw))
+    return to_annexb(nals)
+
+
+def encode_fields_annexb(sps, pps, field_entries,
+                         deblock_disable: int = 1) -> bytes:
+    """Assemble a PAFF sequence: each entry is one coded FIELD.
+
+    field_entries: list of (mb_list, bottom_flag, idr, frame_num); every
+    field is a standalone half-height intra picture (field_pic_flag=1).
+    Requires sps.frame_mbs_only_flag == 0."""
+    assert not sps.frame_mbs_only_flag
+    mb_w = sps.pic_width_in_mbs
+    n = mb_w * (sps.frame_height_in_mbs // 2)
+    nals = [
+        NalUnit.build(3, NalUnitType.SPS, sps.write()),
+        NalUnit.build(3, NalUnitType.PPS, pps.write()),
+    ]
+    for mb_list, bottom, idr, frame_num in field_entries:
+        assert len(mb_list) == n
+        mbs_frame = [None] * n
+        nals.append(encode_islice_nal(
+            sps, pps, mbs_frame, mb_list, 0, 0, idr=idr,
+            frame_num=frame_num, field_pic=1, bottom_field=bottom,
+            deblock_disable=deblock_disable))
     return to_annexb(nals)

@@ -467,38 +467,27 @@ def init_lane_state(K, zero=0):
             "cb1": zc, "cb2": zc, "cb3": zc, "cr1": zc}
 
 
-def _use_pallas_default() -> bool:
-    # the fused Pallas step kernel (pallas_step.py) lowers but Mosaic
-    # compile time is currently pathological for this kernel shape;
-    # experimental opt-in only (DRYV_WAVEFRONT_PALLAS=1) until the kernel
-    # is restructured around hardware-aligned tiles (planned next round)
-    import os
-    return os.environ.get("DRYV_WAVEFRONT_PALLAS", "0") in ("1", "true")
-
-
 def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8,
                       use_pallas=None, return_tiles: bool = False):
-    """Single-chip wavefront reconstruction (lane-aligned frontier).
+    """Single-chip wavefront reconstruction, pure-XLA scan step.
 
-    The per-diagonal step runs as one fused Pallas kernel on TPU (env
-    DRYV_WAVEFRONT_PALLAS=0 forces the pure-XLA step).
+    This is the portable/shardable formulation (it runs under shard_map
+    on the banded multi-chip path and on CPU backends); the
+    single-kernel TPU fast path is kernels/pallas_wavefront.py, which is
+    asserted bit-identical to this one in tests/test_pallas_wavefront.py.
 
     Returns fn(syntax_dict, y_resid_tiles [n,16,16], c_resid_tiles
     [n,2,8,8]) -> (y, cb, cr) planes, or with return_tiles=True the raw
     diagonal-layout tiles (tiles_y [n_diag,K,16,16], tiles_c
     [n_diag,K,2,8,8]) for further wavefront passes (deblocking)."""
+    del use_pallas  # retired: the per-step pallas experiment is replaced
+    # by the whole-GOP kernel in pallas_wavefront.py
     sched_np, d_of, k_of = diag_schedule(mb_w, mb_h)
     s_ab, s_ar, s_lf, s_cn = diag_shifts(mb_w, mb_h)
     sched = jnp.asarray(sched_np)
     d_of = jnp.asarray(d_of)
     k_of = jnp.asarray(k_of)
     K = sched_np.shape[1]
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-    pallas_step = None
-    if use_pallas:
-        from .pallas_step import make_step_kernel
-        pallas_step = make_step_kernel(K, bitdepth)
 
     def run(syntax, y_resid_tiles, c_resid_tiles=None):
         s = dict(syntax)
@@ -512,10 +501,7 @@ def make_wavefront_fn(mb_w: int, mb_h: int, bitdepth: int = 8,
         xs["s_cn"] = jnp.asarray(s_cn)
 
         def step(state, x):
-            if pallas_step is not None:
-                state, out16, outc = pallas_step(x, state)
-            else:
-                state, out16, outc = lane_step(x, K, state, bitdepth)
+            state, out16, outc = lane_step(x, K, state, bitdepth)
             return state, (out16, outc)
 
         _, (tiles_y, tiles_c) = jax.lax.scan(

@@ -197,21 +197,19 @@ struct AcMaps {
 // (state 0 LPS flips valMPS; transLps[0] == 0)
 struct PackedTransTab {
   uint8_t mps[128], lps[128];
-  // interleaved for branchless select: next[(s << 1) | is_lps]
-  uint8_t next[256];
-  // LPS range indexed directly by packed state: lpsp[s * 4 + quarter]
-  uint8_t lpsp[512];
   // fused per-state record: byte0 = packed state, bytes1-4 = LPS range
   // per quarter — lets decision() resolve state AND the LPS lookup with
-  // ONE dependent load instead of two chained ones
+  // ONE dependent load instead of two chained ones (the hot path reads
+  // ONLY mrec/lrec; mps/lps stay for the bypass-run and init paths)
   uint64_t rec[128], mrec[128], lrec[128];
   PackedTransTab() {
+    // scratch tables local to table construction (not part of the hot
+    // const object's cache footprint)
+    uint8_t lpsp[512];
     for (int s = 0; s < 128; s++) {
       int st = s >> 1, m = s & 1;
       mps[s] = (uint8_t)((kTransMps[st] << 1) | m);
       lps[s] = (uint8_t)((kTransLps[st] << 1) | (st == 0 ? m ^ 1 : m));
-      next[(s << 1) | 0] = mps[s];
-      next[(s << 1) | 1] = lps[s];
       for (int q = 0; q < 4; q++) lpsp[s * 4 + q] = kRangeLps[st * 4 + q];
     }
     for (int s = 0; s < 128; s++) {
@@ -1793,6 +1791,16 @@ void decode_one_slice_cavlc(const uint8_t* rbsp, const SliceParams& sp,
 }  // namespace
 
 extern "C" {
+
+// ABI guard for out-of-tree users of the raw entry points (prof_main.cc):
+// layout drift in the parameter structs is caught at startup instead of
+// silently corrupting the harness.
+int dt_abi_sizes(int32_t* sp, int32_t* pp, int32_t* out) {
+  *sp = (int32_t)sizeof(SliceParams);
+  *pp = (int32_t)sizeof(PicParams);
+  *out = (int32_t)sizeof(Out);
+  return 1;
+}
 
 // Decode all slices of one picture (I/SI/P/B CABAC syntax).
 // rbsp_all: concatenated EPB-stripped slice rbsps; sp: per-slice params.

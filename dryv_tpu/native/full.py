@@ -72,6 +72,7 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             st = h.slice_type
             if (sps.chroma_array_type != 1
+                    or h.field_pic_flag
                     or sps.bit_depth_luma_minus8
                     or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None

@@ -29,11 +29,29 @@ struct OutX {
 };
 extern "C" int dt_decode_picture_slices(const uint8_t*, const SliceParamsX*,
                                         int32_t, PicParamsX, OutX, int32_t);
+extern "C" int dt_abi_sizes(int32_t*, int32_t*, int32_t*);
+
+// the *X structs mirror entropy.cc's ABI; verified at startup against
+// dt_abi_sizes so layout drift fails loudly (advisor round-1 finding)
+static bool check_abi() {
+  int32_t sp = 0, pp = 0, out = 0;
+  dt_abi_sizes(&sp, &pp, &out);
+  if (sp != (int32_t)sizeof(SliceParamsX) ||
+      pp != (int32_t)sizeof(PicParamsX) ||
+      out != (int32_t)sizeof(OutX)) {
+    fprintf(stderr, "ABI mismatch vs entropy.cc: sp %d/%zu pp %d/%zu out %d/%zu\n",
+            sp, sizeof(SliceParamsX), pp, sizeof(PicParamsX), out,
+            sizeof(OutX));
+    return false;
+  }
+  return true;
+}
 
 int main(int argc, char** argv) {
   const char* path = argc > 1 ? argv[1] : "/tmp/bench_slices.bin";
   int iters = argc > 2 ? atoi(argv[2]) : 50;
   int nthreads = argc > 3 ? atoi(argv[3]) : 1;
+  if (!check_abi()) return 2;
   FILE* f = fopen(path, "rb");
   if (!f) { perror("open"); return 1; }
   int32_t hdr[8];

@@ -107,6 +107,7 @@ def decode_annexb_fast(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             if not h.slice_type.is_intra or sps.chroma_array_type != 1 \
+                    or h.field_pic_flag \
                     or sps.qpprime_y_zero_transform_bypass_flag \
                     or sps.bit_depth_luma_minus8 \
                     or pps.slice_groups is not None:
@@ -237,7 +238,7 @@ def decode_annexb_tpu(stream: bytes, max_frames: int = 0):
     frames = []
     for pic_nals in group_access_units(rest):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
-        if sps.chroma_array_type != 1 \
+        if sps.chroma_array_type != 1 or headers[0].field_pic_flag \
                 or sps.qpprime_y_zero_transform_bypass_flag or any(
                 h.deblocking is None or h.deblocking.disable_idc != 1
                 for h in headers):

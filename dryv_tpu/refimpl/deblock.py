@@ -109,8 +109,10 @@ class _PicInfo:
     def __init__(self, mbs, ms, sps, pps, headers, ref_pics,
                  ref_pics1=None):
         mb_w = sps.pic_width_in_mbs
-        mb_h = sps.frame_height_in_mbs
+        # field pictures are standalone half-height pictures
+        mb_h = len(mbs) // mb_w
         self.mb_w, self.mb_h = mb_w, mb_h
+        self.field = bool(headers[0].field_pic_flag)
         self.intra = np.zeros((mb_h, mb_w), bool)
         self.qpy = np.zeros((mb_h, mb_w), np.int64)
         self.qpc = np.zeros((2, mb_h, mb_w), np.int64)
@@ -166,13 +168,18 @@ class _PicInfo:
     def _mv_far(a, b) -> bool:
         return int(np.abs(a - b).max()) >= 4
 
-    def bs(self, bpy, bpx, bqy, bqx, mb_edge: bool) -> int:
-        """Boundary strength for the 4x4 block pair (8.7.2.1, frames);
-        B rules compare the sets of (reference picture, mv) used."""
+    def bs(self, bpy, bpx, bqy, bqx, mb_edge: bool,
+           vertical: bool = True) -> int:
+        """Boundary strength for the 4x4 block pair (8.7.2.1);
+        B rules compare the sets of (reference picture, mv) used.
+        In field pictures, horizontal intra MB edges are bS 3, not 4
+        (the verticalEdgeFlag || !field_pic_flag condition)."""
         pm = (bpy // 4, bpx // 4)
         qm = (bqy // 4, bqx // 4)
         if self.intra[pm] or self.intra[qm]:
-            return 4 if mb_edge else 3
+            if mb_edge and (vertical or not self.field):
+                return 4
+            return 3
         if self.nz4[bpy, bpx] or self.nz4[bqy, bqx]:
             return 2
         pa = self._mv_set(bpy, bpx)
@@ -313,7 +320,8 @@ def _edge_luma(y, info, mx, my, e, vertical, offa, offb):
         Q = y[yq + np.arange(4)[None, :].T, cols[None, :]].T
         bpairs = [(bqy - 1, mx * 4 + g, bqy, mx * 4 + g) for g in range(4)]
         pm = (my - 1, mx) if mb_edge else (my, mx)
-    bs4 = np.array([info.bs(*bp, mb_edge) for bp in bpairs], np.int64)
+    bs4 = np.array([info.bs(*bp, mb_edge, vertical) for bp in bpairs],
+                   np.int64)
     if not bs4.any():
         return
     qpav = (info.qpy[pm] + info.qpy[my, mx] + 1) >> 1
@@ -357,7 +365,7 @@ def _edge_chroma(cb, cr, info, mx, my, e, vertical, offa, offb, cat):
         bs_lines = np.empty(lines, np.int64)
         for cx in range(lines):
             lbx = (mx * cw + cx) * 2 // 4
-            bs_lines[cx] = info.bs(lby - 1, lbx, lby, lbx, mb_edge)
+            bs_lines[cx] = info.bs(lby - 1, lbx, lby, lbx, mb_edge, False)
         pm = (my - 1, mx) if mb_edge else (my, mx)
     if not bs_lines.any():
         return

@@ -38,11 +38,11 @@ def dezigzag8(scan: np.ndarray) -> np.ndarray:
 
 
 class FrameRecon:
-    def __init__(self, sps, pps):
+    def __init__(self, sps, pps, mb_h=None):
         self.sps = sps
         self.pps = pps
         self.mb_w = sps.pic_width_in_mbs
-        self.mb_h = sps.frame_height_in_mbs
+        self.mb_h = mb_h if mb_h is not None else sps.frame_height_in_mbs
         self.chroma_array_type = sps.chroma_array_type
         W, H = self.mb_w * 16, self.mb_h * 16
         self.bitdepth = 8 + sps.bit_depth_luma_minus8
