@@ -18,6 +18,13 @@ from .cabac.syntax import SliceCoder, MBState
 from .refimpl.recon import FrameRecon
 
 
+# Per-picture debug hook for desync bisection (the reference's analogue is
+# its per-slice dump of DPB + first-10-MB state, decoder.rs:128-140): set to
+# a callable(path_name, pic_index, state_dict) to observe each decoded
+# picture's reconstruction + motion state.  Used by tools/dump_mb_state.py.
+PIC_DEBUG_HOOK = None
+
+
 @dataclass
 class DecodedFrame:
     y: np.ndarray
@@ -158,10 +165,19 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     stored_ms = {}  # frame_idx -> MotionState (B co-located motion)
     stored_maps = {}  # frame_idx -> (l0 keys, l1 keys) for temporal direct
     pending_field = None  # (bottom_flag, FrameRecon) awaiting its pair
-    for pic_nals in group_access_units(rest):
+    # Output (display) order is POC order within each IDR epoch — a later
+    # coded picture may precede an earlier one in display order (e.g.
+    # x264's trailing non-ref B arrives after the P it precedes), so
+    # frames are keyed (epoch, poc) and sorted on return.
+    epoch = -1
+    order = []
+    for pic_idx, pic_nals in enumerate(group_access_units(rest)):
         sps, pps, mbs, headers = sd.decode_picture_syntax(pic_nals)
         h0 = headers[0]
         nal0 = pic_nals[0]
+        if int(nal0.type) == 5 and not (h0.field_pic_flag
+                                        and h0.bottom_field_flag):
+            epoch += 1
         if h0.field_pic_flag:
             # PAFF: each coded field is a standalone half-height picture
             # decoded with the field column of the CABAC significance
@@ -210,7 +226,8 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 cr[0::2] = top.cr
                 cr[1::2] = bot.cr
             frames.append(DecodedFrame(y, cb, cr, len(frames)).crop(sps))
-            if max_frames and len(frames) >= max_frames:
+            order.append((epoch, len(frames)))
+            if max_frames and len(frames) >= max_frames + 16:
                 break
             continue
         poc = dpb.decode_poc(sps, h0, nal0)
@@ -264,7 +281,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 recon.recon_mb(mb, addr, mb.slice_id)
                 # intra MBs are *available* neighbors with ref -1 in MV
                 # prediction (8.4.1.3.2) — mark them in the motion field
-                ms.set_mb_intra(addr)
+                ms.set_mb_intra(addr, mb.slice_id)
             else:
                 recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
                                ref[0], ref[1], ref[2], ref_list,
@@ -282,6 +299,11 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms, sps, pps,
                           headers, _pic_keys(dpb.ref_list0, ms.ref),
                           _pic_keys(dpb.ref_list1, ms.ref1))
+        ms.cur_sid = None  # stored/colocated reads span all slices
+        if PIC_DEBUG_HOOK is not None:
+            PIC_DEBUG_HOOK("scalar", pic_idx, dict(
+                ms=ms, mbs=mbs, y=recon.y, cb=recon.cb, cr=recon.cr,
+                poc=poc, headers=headers))
         pic = dpb.mark_and_store(sps, h0, nal0, poc)
         if pic is not None:
             stored[pic.frame_idx] = (recon.y, recon.cb, recon.cr)
@@ -297,6 +319,11 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                            if k in live}
         frames.append(DecodedFrame(recon.y, recon.cb, recon.cr,
                                    poc).crop(sps))
-        if max_frames and len(frames) >= max_frames:
+        order.append((epoch, poc))
+        # decode-order count may briefly exceed display-order need (a
+        # trailing B can still displace an already-decoded frame), so
+        # over-decode by one DPB's worth before truncating
+        if max_frames and len(frames) >= max_frames + 16:
             break
-    return frames
+    frames = [f for _, f in sorted(zip(order, frames), key=lambda t: t[0])]
+    return frames[:max_frames] if max_frames else frames

@@ -227,6 +227,7 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
                 _ptr(out["pcm_c"]), _ptr(out["slice_id"]),
                 _ptr(out["mb_type_code"]), _ptr(out["sub_mb_type"]),
                 _ptr(out["ref_idx"]), _ptr(out["mvd"]),
+                _ptr(out["transform8"]),
                 mb_w, mb_h, pps.chroma_qp_index_offset, off1,
                 _u8p(dummy), _u8p(dummy), _u8p(dummy), ct.byref(ip))
 

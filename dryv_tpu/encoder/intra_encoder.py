@@ -273,6 +273,10 @@ class IntraEncoder:
             mb.intra4x4_modes[blk] = best
             if self.bypass:
                 r = src - best_pred
+                if best in (0, 1):
+                    # 8.3.5 DPCM: decoder cumsums along the pred
+                    # direction, so difference here
+                    r = np.diff(r, axis=best, prepend=0)
                 if np.any(r):
                     cbp_luma |= 1 << (blk >> 2)
                 mb.luma4[blk][:] = r.reshape(-1)[ZIGZAG_4X4]
@@ -337,6 +341,8 @@ class IntraEncoder:
             mb.intra8x8_modes[blk] = best
             if self.bypass:
                 r = src - best_pred
+                if best in (0, 1):
+                    r = np.diff(r, axis=best, prepend=0)  # 8.3.5 DPCM
                 if np.any(r):
                     cbp_luma |= 1 << blk
                 mb.luma8[blk][:] = r.reshape(-1)[ZIGZAG_8X8]
@@ -409,6 +415,8 @@ class IntraEncoder:
                 pred = ip.pred_chroma(best, above, left, corner, avail_a,
                                       avail_b, avail_d, 8, ch)
                 r = src - pred
+                if best in (1, 2):  # 8.3.5 DPCM (chroma H=1 / V=2)
+                    r = np.diff(r, axis=2 - best, prepend=0)
                 for j in range(nblk):
                     bx, by = j & 1, j >> 1
                     zz = r[by * 4:by * 4 + 4,

@@ -18,8 +18,11 @@ def default_sps_pps(mb_w: int, mb_h: int, *, profile: int = 66,
                     lossless: bool = False) -> tuple[SPS, PPS]:
     if lossless:
         profile = 244  # High 4:4:4 Predictive hosts the bypass flag
+        # (profile 100 with the flag is non-conformant: A.2.4 requires it
+        # be 0 there, and libavcodec only honours bypass on 244)
     sps = SPS(
-        profile_idc=100 if (transform_8x8 or profile >= 100) else profile,
+        profile_idc=profile if profile == 244
+        else (100 if (transform_8x8 or profile >= 100) else profile),
         level_idc=40,
         pic_width_in_mbs_minus1=mb_w - 1,
         pic_height_in_map_units_minus1=mb_h - 1,

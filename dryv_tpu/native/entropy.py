@@ -107,7 +107,7 @@ def lib():
                        _P, _P, _P, U8, U8, _P, _P, U8, _P, _P, _P, _P]
         rp = _lib.dt_recon_picture
         rp.restype = ct.c_int
-        rp.argtypes = [_P] * 19 + [ct.c_int32] * 4 + [U8] * 3 + \
+        rp.argtypes = [_P] * 20 + [ct.c_int32] * 4 + [U8] * 3 + \
                       [ct.POINTER(InterParams)]
     return _lib
 

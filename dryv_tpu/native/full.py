@@ -26,6 +26,10 @@ def _u8p(a):
     return a.ctypes.data_as(_U8P)
 
 
+# per-picture debug hook (see dryv_tpu.decoder.PIC_DEBUG_HOOK)
+_PIC_DEBUG_HOOK = None
+
+
 class _Stored:
     """A stored reference picture: planes + exported motion field."""
 
@@ -55,9 +59,11 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
     nals = list(split_annexb(stream))
     rest = sd.feed_parameter_sets(nals)
     dpb = DecodedPictureBuffer()
+    epoch = -1  # display order = POC order within each IDR epoch
+    order = []
     stored: dict[int, _Stored] = {}
     frames = []
-    for pic_nals in group_access_units(rest):
+    for pic_idx, pic_nals in enumerate(group_access_units(rest)):
         headers = []
         slice_datas = []
         sps = pps = None
@@ -73,6 +79,8 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             st = h.slice_type
             if (sps.chroma_array_type != 1
                     or h.field_pic_flag
+                    or (not sps.frame_mbs_only_flag
+                        and sps.mb_adaptive_frame_field_flag)
                     or sps.bit_depth_luma_minus8
                     or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None
@@ -95,6 +103,8 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
         h0 = headers[0]
         nal0 = pic_nals[0]
         st0 = h0.slice_type
+        if int(nal0.type) == 5:
+            epoch += 1
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         out = decode_picture_slices(slice_datas, sps, pps,
@@ -121,12 +131,16 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             _ptr(out["chroma_dc"]), _ptr(out["chroma_ac"]),
             _ptr(out["pcm_y"]), _ptr(out["pcm_c"]), _ptr(out["slice_id"]),
             _ptr(out["mb_type_code"]), _ptr(out["sub_mb_type"]),
-            _ptr(out["ref_idx"]), _ptr(out["mvd"]),
+            _ptr(out["ref_idx"]), _ptr(out["mvd"]), _ptr(out["transform8"]),
             mb_w, mb_h, pps.chroma_qp_index_offset, off1,
             _u8p(y), _u8p(cb), _u8p(cr), ct.byref(ip))
         if any(h.deblocking is None or h.deblocking.disable_idc != 1
                for h in headers):
             _deblock_native(y, cb, cr, out, sps, pps, headers, exp, nz4)
+        if _PIC_DEBUG_HOOK is not None:
+            _PIC_DEBUG_HOOK("native", pic_idx, dict(
+                exp=exp, out=out, y=y, cb=cb, cr=cr, poc=poc,
+                headers=headers))
         pic = dpb.mark_and_store(sps, h0, nal0, poc)
         if pic is not None:
             stored[pic.frame_idx] = _Stored(
@@ -136,9 +150,11 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
             live = {p.frame_idx for p in dpb.pictures}
             stored = {k: v for k, v in stored.items() if k in live}
         frames.append(DecodedFrame(y, cb, cr, poc).crop(sps))
-        if max_frames and len(frames) >= max_frames:
+        order.append((epoch, poc))
+        if max_frames and len(frames) >= max_frames + 16:
             break
-    return frames
+    frames = [f for _, f in sorted(zip(order, frames), key=lambda t: t[0])]
+    return frames[:max_frames] if max_frames else frames
 
 
 def wp_tables(h0, pps, poc, l0, l1):
@@ -302,7 +318,9 @@ def _deblock_native(y, cb, cr, out, sps, pps, headers, exp, nz4):
                    (d.disable_idc, d.alpha_c0_offset_div2 * 2,
                     d.beta_offset_div2 * 2))
     intra = np.isin(kind, _INTRA_NK).astype(np.uint8)
-    t8 = (kind == NK_I8).astype(np.uint8)
+    # 8x8 transform suppresses interior 4x4 luma edges: I8 kind or the
+    # inter transform_size_8x8_flag
+    t8 = ((kind == NK_I8) | (out["transform8"] != 0)).astype(np.uint8)
     sid = np.ascontiguousarray(out["slice_id"], np.int32)
     ctl_a = np.ascontiguousarray(np.array(ctl, np.int32).reshape(-1))
     q0, q1 = qpc(off0), qpc(off1)

@@ -128,6 +128,7 @@ struct Recon {
   const int32_t *modes4, *modes8;
   const int32_t *luma4, *luma8, *luma_dc, *chroma_dc_lv, *chroma_ac;
   const int32_t *pcm_y, *pcm_c, *slice_id;
+  const int32_t *transform8 = nullptr;  // [n] inter-MB 8x8-transform flags
   int mb_w, mb_h, qp_off_cb, qp_off_cr;
   Plane Y, Cb, Cr;
   // availability maps
@@ -537,6 +538,9 @@ struct MS {
   std::vector<int32_t> mv[2];   // [H4*W4*2]
   std::vector<int32_t> ref[2];  // [H4*W4]
   std::vector<uint8_t> dec;
+  std::vector<int32_t> sid;     // slice id per block (6.4.8: a neighbor
+                                // in another slice is unavailable)
+  int cur_sid = -1;
 
   void init(int w4, int h4) {
     W4 = w4; H4 = h4;
@@ -545,12 +549,13 @@ struct MS {
       ref[l].assign((size_t)w4 * h4, -1);
     }
     dec.assign((size_t)w4 * h4, 0);
+    sid.assign((size_t)w4 * h4, -2);
   }
   bool blk(int bx, int by, int which, int64_t out[2], int* r) const {
     out[0] = out[1] = 0; *r = -1;
     if (bx < 0 || by < 0 || bx >= W4 || by >= H4) return false;
     size_t i = (size_t)by * W4 + bx;
-    if (!dec[i]) return false;
+    if (!dec[i] || sid[i] != cur_sid) return false;
     out[0] = mv[which][i * 2];
     out[1] = mv[which][i * 2 + 1];
     *r = ref[which][i];
@@ -562,16 +567,18 @@ struct MS {
       for (int x = bx0; x < bx0 + w4; x++) {
         size_t i = (size_t)y * W4 + x;
         dec[i] = 1;
+        sid[i] = cur_sid;
         ref[which][i] = r;
         mv[which][i * 2] = (int32_t)m[0];
         mv[which][i * 2 + 1] = (int32_t)m[1];
       }
   }
-  void set_intra(int mx, int my) {
+  void set_intra(int mx, int my, int s) {
     for (int y = my * 4; y < my * 4 + 4; y++)
       for (int x = mx * 4; x < mx * 4 + 4; x++) {
         size_t i = (size_t)y * W4 + x;
         dec[i] = 1;
+        sid[i] = s;
         ref[0][i] = -1;
         ref[1][i] = -1;
       }
@@ -1019,17 +1026,39 @@ struct InterRecon {
     int64_t resid[16][16];
     std::memset(resid, 0, sizeof(resid));
     if (cbp & 0x0F) {
-      // fixtures use 4x4 transform for inter MBs (no inter 8x8 yet)
-      for (int blk = 0; blk < 16; blk++) {
-        if (!((cbp >> (blk >> 2)) & 1)) continue;
-        int64_t d[4][4], r4[4][4];
-        dequant4(R.luma4 + ((int64_t)addr * 16 + blk) * 16, qp, false, d,
-                 0, false);
-        idct4(d, r4);
-        int bx = kZ[blk].x, by = kZ[blk].y;
-        for (int i = 0; i < 4; i++)
-          for (int j = 0; j < 4; j++)
-            resid[by * 4 + i][bx * 4 + j] = r4[i][j];
+      if (R.transform8 && R.transform8[addr]) {
+        // inter MB with transform_size_8x8_flag: 8x8 IQ+IDCT (8.5.13)
+        for (int blk = 0; blk < 4; blk++) {
+          if (!((cbp >> blk) & 1)) continue;
+          int64_t d[8][8];
+          const int32_t* c = R.luma8 + ((int64_t)addr * 4 + blk) * 64;
+          for (int i = 0; i < 8; i++)
+            for (int j = 0; j < 8; j++) {
+              int64_t v = c[i * 8 + j];
+              if (qp >= 36) d[i][j] = (v * ls8(qp % 6, i, j))
+                                      << (qp / 6 - 6);
+              else d[i][j] = (v * ls8(qp % 6, i, j)
+                              + (1 << (5 - qp / 6))) >> (6 - qp / 6);
+            }
+          idct8_stage(d, true);
+          idct8_stage(d, false);
+          int bx = (blk & 1) * 8, by = (blk >> 1) * 8;
+          for (int i = 0; i < 8; i++)
+            for (int j = 0; j < 8; j++)
+              resid[by + i][bx + j] = (d[i][j] + 32) >> 6;
+        }
+      } else {
+        for (int blk = 0; blk < 16; blk++) {
+          if (!((cbp >> (blk >> 2)) & 1)) continue;
+          int64_t d[4][4], r4[4][4];
+          dequant4(R.luma4 + ((int64_t)addr * 16 + blk) * 16, qp, false, d,
+                   0, false);
+          idct4(d, r4);
+          int bx = kZ[blk].x, by = kZ[blk].y;
+          for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++)
+              resid[by * 4 + i][bx * 4 + j] = r4[i][j];
+        }
       }
     }
     for (int i = 0; i < 16; i++)
@@ -1076,6 +1105,7 @@ struct InterRecon {
   // ---- partition walk ----------------------------------------------
   void recon_inter(int addr) {
     Recon& R = *rec;
+    ms.cur_sid = R.slice_id[addr];
     int mbx = addr % mb_w, mby = addr / mb_w;
     int bx0 = mbx * 4, by0 = mby * 4;
     int k = R.kind[addr];
@@ -1195,8 +1225,14 @@ struct InterRecon {
     for (int blk = 0; blk < 16; blk++) {
       bool nz = false;
       if ((cbp >> (blk >> 2)) & 1) {
-        const int32_t* c = R.luma4 + ((int64_t)addr * 16 + blk) * 16;
-        for (int i = 0; i < 16 && !nz; i++) nz = c[i] != 0;
+        if (R.transform8 && R.transform8[addr]) {
+          // 8x8 transform: each 4x4 inherits its 8x8 block's nz status
+          const int32_t* c = R.luma8 + ((int64_t)addr * 4 + (blk >> 2)) * 64;
+          for (int i = 0; i < 64 && !nz; i++) nz = c[i] != 0;
+        } else {
+          const int32_t* c = R.luma4 + ((int64_t)addr * 16 + blk) * 16;
+          for (int i = 0; i < 16 && !nz; i++) nz = c[i] != 0;
+        }
       }
       ip->out_nz4[(size_t)(mby * 4 + kZ[blk].y) * (mb_w * 4) +
                   mbx * 4 + kZ[blk].x] = nz;
@@ -1235,7 +1271,7 @@ struct InterRecon {
           rec->recon_chroma(addr, mx, my, sid);
         }
         rec->mb_done_m[addr] = 1;
-        ms.set_intra(mx, my);
+        ms.set_intra(mx, my, sid);
       } else {
         recon_inter(addr);
       }
@@ -1299,10 +1335,12 @@ int dt_recon_picture(
     const int32_t* chroma_ac, const int32_t* pcm_y, const int32_t* pcm_c,
     const int32_t* slice_id, const int32_t* mb_type_code,
     const int32_t* sub_mb_type, const int32_t* ref_idx, const int32_t* mvd,
+    const int32_t* transform8,
     int32_t mb_w, int32_t mb_h, int32_t qp_off_cb, int32_t qp_off_cr,
     uint8_t* out_y, uint8_t* out_cb, uint8_t* out_cr,
     const InterParams* ip) {
   Recon r;
+  r.transform8 = transform8;
   r.kind = kind; r.qp_y = qp_y; r.cbp = cbp; r.i16_mode = i16_mode;
   r.chroma_mode = chroma_mode; r.modes4 = modes4; r.modes8 = modes8;
   r.luma4 = luma4; r.luma8 = luma8; r.luma_dc = luma_dc;

@@ -36,6 +36,12 @@ class MotionState:
         self.mv1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
         self.ref1 = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int64)
         self.decoded = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
+        # slice id per 4x4 block: a neighbor in a different slice is
+        # unavailable for MV prediction (6.4.8).  cur_sid None disables
+        # the check (colocated-picture reads: the whole ref pic is
+        # decoded and slice structure no longer matters).
+        self.sid = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int32)
+        self.cur_sid = None
 
     def blk(self, bx: int, by: int, which: int = 0):
         """Returns (available, mv, ref) for 4x4 block coords in list
@@ -44,18 +50,23 @@ class MotionState:
             return False, np.zeros(2, np.int64), -1
         if not self.decoded[by, bx]:
             return False, np.zeros(2, np.int64), -1
+        if self.cur_sid is not None and self.sid[by, bx] != self.cur_sid:
+            return False, np.zeros(2, np.int64), -1
         if which:
             return True, self.mv1[by, bx], self.ref1[by, bx]
         return True, self.mv[by, bx], self.ref[by, bx]
 
-    def set_mb_intra(self, addr: int):
+    def set_mb_intra(self, addr: int, sid: int = -2):
         mx, my = addr % self.mb_w, addr // self.mb_w
         self.decoded[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
         self.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
         self.ref1[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+        self.sid[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = sid
 
     def set_part(self, bx0, by0, w4, h4, mv, ref, which: int = 0):
         self.decoded[by0:by0 + h4, bx0:bx0 + w4] = True
+        if self.cur_sid is not None:
+            self.sid[by0:by0 + h4, bx0:bx0 + w4] = self.cur_sid
         if which:
             self.ref1[by0:by0 + h4, bx0:bx0 + w4] = ref
             self.mv1[by0:by0 + h4, bx0:bx0 + w4] = mv
@@ -70,6 +81,7 @@ class MotionState:
         c.mv1 = self.mv1.copy()
         c.ref1 = self.ref1.copy()
         c.decoded = self.decoded.copy()
+        c.sid = self.sid.copy()
         return c
 
 
@@ -423,12 +435,17 @@ def luma_interp(plane: np.ndarray, x0: int, y0: int, w: int, h: int,
 
 
 def chroma_interp(plane: np.ndarray, cx0: int, cy0: int, w: int, h: int,
-                  mvx: int, mvy: int) -> np.ndarray:
+                  mvx: int, mvy: int, suby: int = 2) -> np.ndarray:
     """Eighth-pel bilinear chroma MC (8.4.2.2.2); mv in luma quarter-pel
-    units (chroma fraction = mv & 7 of the doubled value)."""
+    units.  suby = vertical chroma subsample factor: 2 for 4:2:0 (eighth
+    fractions both axes), 1 for 4:2:2 (vertical stays quarter-pel,
+    fraction doubled to eighths per 8.4.2.2.1)."""
     H, W = plane.shape
-    ix, iy = mvx >> 3, mvy >> 3
-    fx, fy = mvx & 7, mvy & 7
+    ix, fx = mvx >> 3, mvx & 7
+    if suby == 2:
+        iy, fy = mvy >> 3, mvy & 7
+    else:
+        iy, fy = mvy >> 2, (mvy & 3) << 1
     bx, by = cx0 + ix, cy0 + iy
     ys = _clip_idx(np.arange(by, by + h + 1), H)
     xs = _clip_idx(np.arange(bx, bx + w + 1), W)
@@ -504,15 +521,19 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
     from .recon import dezigzag4, dezigzag8
 
     mb_w = recon.mb_w
+    ms.cur_sid = slice_id  # MV-pred neighbors stop at slice boundaries
     mx, my = addr % mb_w, addr // mb_w
     x0, y0 = mx * 16, my * 16
     bx0, by0 = mx * 4, my * 4
     maxv = (1 << recon.bitdepth) - 1
     qpy = mb.qp_y
 
+    cat = recon.chroma_array_type  # 0 mono, 1 = 4:2:0, 2 = 4:2:2
+    suby = 2 if cat == 1 else 1
+    chh = 8 * cat
     pred_y = np.zeros((16, 16), dtype=np.int64)
-    pred_cb = np.zeros((8, 8), dtype=np.int64)
-    pred_cr = np.zeros((8, 8), dtype=np.int64)
+    pred_cb = np.zeros((chh, 8), dtype=np.int64) if cat else None
+    pred_cr = np.zeros((chh, 8), dtype=np.int64) if cat else None
     lists = (ref_list if ref_list is not None
              else [(ref_y, ref_cb, ref_cr)], ref_list1)
 
@@ -529,45 +550,56 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                 raise ValueError(f"ref_idx {ridx} out of list {which}")
             ry, rcb, rcr = lst[ridx]
             yv = luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
-            cbv = chroma_interp(rcb, px // 2, py // 2, pw // 2, ph // 2,
-                                int(mv[0]), int(mv[1]))
-            crv = chroma_interp(rcr, px // 2, py // 2, pw // 2, ph // 2,
-                                int(mv[0]), int(mv[1]))
+            cbv = crv = None
+            if cat:
+                cbv = chroma_interp(rcb, px // 2, py // suby, pw // 2,
+                                    ph // suby, int(mv[0]), int(mv[1]),
+                                    suby)
+                crv = chroma_interp(rcr, px // 2, py // suby, pw // 2,
+                                    ph // suby, int(mv[0]), int(mv[1]),
+                                    suby)
             preds.append((which, ridx, yv, cbv, crv))
+        accb = accr = None
         if len(preds) == 1:
             which, ridx, accy, accb, accr = preds[0]
             if isinstance(wp, ExplicitWP):
                 accy = _wp_single(accy, *wp.luma(which, ridx))
-                accb = _wp_single(accb, *wp.chroma(which, ridx, 0))
-                accr = _wp_single(accr, *wp.chroma(which, ridx, 1))
+                if cat:
+                    accb = _wp_single(accb, *wp.chroma(which, ridx, 0))
+                    accr = _wp_single(accr, *wp.chroma(which, ridx, 1))
         elif isinstance(wp, ExplicitWP):
             _, r0, y0_, cb0, cr0 = preds[0]
             _, r1, y1_, cb1, cr1 = preds[1]
             dy, wy0, oy0 = wp.luma(0, r0)
             _, wy1, oy1 = wp.luma(1, r1)
             accy = _wp_bi(y0_, y1_, dy, wy0, oy0, wy1, oy1)
-            dc, wb0, ob0 = wp.chroma(0, r0, 0)
-            _, wb1, ob1 = wp.chroma(1, r1, 0)
-            accb = _wp_bi(cb0, cb1, dc, wb0, ob0, wb1, ob1)
-            _, wr0, or0 = wp.chroma(0, r0, 1)
-            _, wr1, or1 = wp.chroma(1, r1, 1)
-            accr = _wp_bi(cr0, cr1, dc, wr0, or0, wr1, or1)
+            if cat:
+                dc, wb0, ob0 = wp.chroma(0, r0, 0)
+                _, wb1, ob1 = wp.chroma(1, r1, 0)
+                accb = _wp_bi(cb0, cb1, dc, wb0, ob0, wb1, ob1)
+                _, wr0, or0 = wp.chroma(0, r0, 1)
+                _, wr1, or1 = wp.chroma(1, r1, 1)
+                accr = _wp_bi(cr0, cr1, dc, wr0, or0, wr1, or1)
         elif isinstance(wp, ImplicitWP):
             _, r0, y0_, cb0, cr0 = preds[0]
             _, r1, y1_, cb1, cr1 = preds[1]
             w0, w1 = wp.biweights(r0, r1)
             accy = _wp_bi(y0_, y1_, 5, w0, 0, w1, 0)
-            accb = _wp_bi(cb0, cb1, 5, w0, 0, w1, 0)
-            accr = _wp_bi(cr0, cr1, 5, w0, 0, w1, 0)
+            if cat:
+                accb = _wp_bi(cb0, cb1, 5, w0, 0, w1, 0)
+                accr = _wp_bi(cr0, cr1, 5, w0, 0, w1, 0)
         else:
             _, _, y0_, cb0, cr0 = preds[0]
             _, _, y1_, cb1, cr1 = preds[1]
             accy = (y0_ + y1_ + 1) >> 1
-            accb = (cb0 + cb1 + 1) >> 1
-            accr = (cr0 + cr1 + 1) >> 1
+            if cat:
+                accb = (cb0 + cb1 + 1) >> 1
+                accr = (cr0 + cr1 + 1) >> 1
         pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = accy
-        pred_cb[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accb
-        pred_cr[oy4 * 2:oy4 * 2 + ph // 2, ox4 * 2:ox4 * 2 + pw // 2] = accr
+        if cat:
+            cy, cph = oy4 * 4 // suby, ph // suby
+            pred_cb[cy:cy + cph, ox4 * 2:ox4 * 2 + pw // 2] = accb
+            pred_cr[cy:cy + cph, ox4 * 2:ox4 * 2 + pw // 2] = accr
 
     def direct_quad(q, quads):
         """Apply direct-mode motion to 8x8 quadrant q."""
@@ -644,14 +676,23 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
 
     for ci, (plane, pred) in enumerate(((recon.cb, pred_cb),
                                         (recon.cr, pred_cr))):
+        if not cat:
+            break  # monochrome: no chroma planes
         qp_off = (recon.pps.chroma_qp_index_offset if ci == 0
                   else recon.pps.second_chroma_qp_offset)
         qpc = qpc_from_qpy(qpy, qp_off, recon.qp_bd_offset_c)
-        cresid = np.zeros((8, 8), dtype=np.int64)
+        cresid = np.zeros((chh, 8), dtype=np.int64)
         if mb.kind not in skip_kinds and (mb.cbp & 0x30):
-            dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
-            dcv = idct_chroma_dc(dc_in, qpc, recon.ls4[4 + ci], 1)
-            for j in range(4):
+            if cat == 1:
+                dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
+                dcv = idct_chroma_dc(dc_in, qpc, recon.ls4[4 + ci], 1)
+            else:
+                # 4:2:2: 8 DC levels in the fixed 2x4 scan (8.5.11.2)
+                raster = np.zeros(8, dtype=np.int64)
+                raster[[0, 2, 1, 4, 6, 3, 5, 7]] = mb.chroma_dc[ci][:8]
+                dcv = idct_chroma_dc(raster.reshape(4, 2), qpc + 3,
+                                     recon.ls4[4 + ci], 2)
+            for j in range(4 * cat):
                 qx, qy = j & 1, j >> 1
                 full = np.zeros(16, dtype=np.int64)
                 full[1:] = mb.chroma_ac[ci][j][:15]
@@ -659,8 +700,8 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                 c[0, 0] = dcv[qy, qx]
                 r = dequant_idct_4x4(c, qpc, recon.ls4[4 + ci], True)
                 cresid[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = r
-        cy0, cx0 = y0 // 2, x0 // 2
-        plane[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred + cresid, 0, maxv)
+        cy0, cx0 = y0 // suby, x0 // 2
+        plane[cy0:cy0 + chh, cx0:cx0 + 8] = np.clip(pred + cresid, 0, maxv)
 
     recon.blk_done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
     recon.mb_done[my, mx] = True

@@ -165,6 +165,11 @@ class FrameRecon:
             above, left, corner, aa, ab, ac, ad = \
                 self._luma_window4(bx, by, slice_id)
             mode = int(mb.intra4x4_modes[blk])
+            if byp and mode in (0, 1):
+                # 8.3.5 intra residual transform-bypass: cumulative sum
+                # along the prediction direction (DPCM); vertical (0)
+                # accumulates down rows, horizontal (1) across columns
+                r = np.cumsum(r, axis=mode)
             pred = ip.pred4x4(mode, above, left, corner, aa, ab, ac, ad,
                               self.bitdepth)
             u = np.clip(pred + r, 0, maxv)
@@ -197,6 +202,8 @@ class FrameRecon:
             if avail_d:
                 corner = int(self.y[y0 - 1, x0 - 1])
             mode = int(mb.intra8x8_modes[blk])
+            if byp and mode in (0, 1):
+                r = np.cumsum(r, axis=mode)  # 8.3.5 DPCM bypass
             fa, fl, fz = ip.filter_ref_8x8(above, left, corner, avail_a,
                                            avail_b, avail_c, avail_d)
             pred = ip.pred8x8(mode, fa, fl, fz, avail_a, avail_b,
@@ -297,6 +304,10 @@ class FrameRecon:
             full[1:] = mb.chroma_ac[ci][j][:15]
             resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = dezigzag4(full)
         mode = int(mb.chroma_mode)
+        if mode == 1:    # horizontal: 8.3.5 DPCM along rows
+            resid = np.cumsum(resid, axis=1)
+        elif mode == 2:  # vertical
+            resid = np.cumsum(resid, axis=0)
         above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else \
             np.zeros(8, np.int64)
         left = plane[cy0:cy0 + 8, cx0 - 1] if avail_a else \
