@@ -58,3 +58,59 @@ def chroma_blk_neighbor(blk_idx: int, direction: str, chroma_array_type: int):
         if y > 0:
             return True, (y - 1) * 2 + x
         return False, (h - 1) * 2 + x
+
+
+def mbaff_neighbor(addr: int, xN: int, yN: int, mb_w: int, field_of_pair,
+                   maxw: int = 16, maxh: int = 16):
+    """Neighbouring-location derivation for MBAFF frames (spec 6.4.11 /
+    Table 6-4 semantics; the reference encodes the same derivation in
+    slice/mod.rs:412-571).
+
+    Geometric model of the table: left-family neighbours (yN >= 0)
+    convert the current MB's pair-row into the left pair's frame/field
+    mapping; above-family neighbours (yN < 0) target the pair-row just
+    above in the current MB's own parity terms (frame MBs take the
+    geometric row; field MBs the nearest same-parity row), then convert
+    to the neighbour pair's mapping.
+
+    field_of_pair(pair_addr) -> field flag of that pair.
+    Returns (mb_addr, xW, yM) or None (out of picture / undecoded).
+    maxw/maxh: 16/16 luma, 8/8 chroma 4:2:0, 8/16 chroma 4:2:2."""
+    pair, bot = addr >> 1, addr & 1
+    px, py = pair % mb_w, pair // mb_w
+    fld = field_of_pair(pair)
+    if 0 <= xN < maxw and 0 <= yN < maxh:
+        return addr, xN, yN
+    if yN >= 0:
+        if xN >= maxw or px == 0:
+            return None
+        npair = pair - 1
+        yP = (2 * yN + bot) if fld else (maxh * bot + yN)
+    elif not fld and bot:
+        # frame bottom MB: the row above is the last row of the top
+        # half of its own pair (B) or of the left pair (D); the
+        # above-right (C) lies in the not-yet-decoded right pair
+        if xN >= maxw:
+            return None
+        if xN < 0 and px == 0:
+            return None
+        npair = pair if xN >= 0 else pair - 1
+        yP = maxh - 1
+    else:
+        if py == 0:
+            return None
+        if xN < 0:
+            if px == 0:
+                return None
+            npair = pair - mb_w - 1
+        elif xN < maxw:
+            npair = pair - mb_w
+        else:
+            if px + 1 >= mb_w:
+                return None
+            npair = pair - mb_w + 1
+        # frame top: geometric last pair-row; field: same-parity row
+        yP = 2 * maxh - 1 if (not fld or bot) else 2 * maxh - 2
+    if field_of_pair(npair):
+        return npair * 2 + (yP & 1), xN % maxw, yP >> 1
+    return npair * 2 + (1 if yP >= maxh else 0), xN % maxw, yP % maxh

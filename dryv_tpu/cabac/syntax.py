@@ -19,7 +19,9 @@ from enum import IntEnum
 
 import numpy as np
 
-from ..avc.neighbors import blk4x4_neighbor, blk8x8_neighbor, chroma_blk_neighbor
+from ..avc.neighbors import (POS_TO_ZSCAN, ZSCAN_4X4_POS as ZSCAN_POS,
+                             blk4x4_neighbor, blk8x8_neighbor,
+                             chroma_blk_neighbor, mbaff_neighbor)
 from ..avc.slice_header import SliceType
 from . import tables as T
 from .engine import CabacDecoder
@@ -120,6 +122,7 @@ class MBState:
     cbf: np.ndarray = None  # [3][17]; [..][16] = DC
     # inter state (P/B syntax parity; reconstruction is out of scope, as in
     # the reference: frame/mod.rs:88 todo!("Inter prediction"))
+    field_flag: int = 0  # MBAFF mb_field_decoding_flag (per pair)
     mb_type_code: int = 0      # raw P/B mb_type value
     sub_mb_type: np.ndarray = None  # [4]
     ref_idx: np.ndarray = None      # [2][4] per 8x8 quadrant
@@ -212,10 +215,19 @@ class SliceCoder:
         self.qp_bd_offset_y = 6 * sps.bit_depth_luma_minus8
         self.qpy_prev = header.slice_qp_y(pps)
         self.qsy = 26 + pps.pic_init_qs_minus26 + header.slice_qs_delta
-        self.curr = header.first_mb_in_slice
+        # MBAFF: macroblock-adaptive frame/field — MBs decode in vertical
+        # pairs, each pair choosing frame or field coding
+        # (mb_field_decoding_flag); the reference implements this at the
+        # entropy layer only (cabac/mod.rs:1105-1111, slice/mod.rs:412-451)
+        self.mbaff = bool(not sps.frame_mbs_only_flag
+                          and sps.mb_adaptive_frame_field_flag
+                          and not header.field_pic_flag)
+        self.curr = header.first_mb_in_slice * (2 if self.mbaff else 1)
         self.prev_addr = -1
-        # selects the field column of the significance maps (Table 9-43)
+        # selects the field column of the significance maps (Table 9-43);
+        # under MBAFF this is set per-MB in macroblock_layer
         self.field_flag = header.field_pic_flag
+        self.prev_mb_skipped = False
 
     # -- engine primitives (symmetric) ----------------------------------
     def _bin(self, ctx: int, val=None) -> int:
@@ -247,6 +259,11 @@ class SliceCoder:
 
     def nb_mb(self, direction: str, addr=None) -> MBState:
         a = self.curr if addr is None else addr
+        if self.mbaff:
+            r = self.mbaff_nb_sample(-1 if direction in "AD" else 0,
+                                     -1 if direction in "BCD" else 0,
+                                     addr=a)
+            return UNAVAIL_INTRA if r is None else self.mb_at(r[0])
         x, y = a % self.mb_w, a // self.mb_w
         if direction == "A":
             return self.mb_at(a - 1) if x > 0 else UNAVAIL_INTRA
@@ -258,20 +275,77 @@ class SliceCoder:
             return self.mb_at(a - self.mb_w - 1) if x > 0 else UNAVAIL_INTRA
         raise ValueError(direction)
 
+    def _mb_field(self, addr: int) -> int:
+        """Field flag of the pair containing `addr` (both MBs share it)."""
+        m = self.mbs[addr & ~1]
+        if m is None:
+            m = self.mbs[addr | 1]
+        return m.field_flag if m is not None else 0
+
+    def mbaff_nb_sample(self, xN: int, yN: int, addr=None, maxw=16,
+                        maxh=16):
+        """MBAFF neighbouring location (6.4.11 via
+        avc.neighbors.mbaff_neighbor) with slice-availability applied.
+        Returns (mb_addr, xW, yM) or None."""
+        a = self.curr if addr is None else addr
+        r = mbaff_neighbor(a, xN, yN, self.mb_w,
+                           lambda p: self._mb_field(p * 2),
+                           maxw=maxw, maxh=maxh)
+        if r is None:
+            return None
+        nb = self.mb_at(r[0])
+        if not nb.available or nb.slice_id != self.slice_id:
+            return None
+        return r
+
     def cur_mb(self) -> MBState:
         return self.mbs[self.curr]
 
     def nb_blk4(self, direction: str, blk: int):
         same, nb = blk4x4_neighbor(blk, direction)
-        return (self.cur_mb(), nb) if same else (self.nb_mb(direction), nb)
+        if same:
+            return self.cur_mb(), nb
+        if self.mbaff:
+            x, y = ZSCAN_POS[blk]
+            r = self.mbaff_nb_sample(4 * x - 1 if direction == "A" else 4 * x,
+                                     4 * y if direction == "A" else 4 * y - 1)
+            if r is None:
+                return UNAVAIL_INTRA, nb
+            naddr, xW, yM = r
+            return self.mb_at(naddr), POS_TO_ZSCAN[(xW // 4, yM // 4)]
+        return self.nb_mb(direction), nb
 
     def nb_blk8(self, direction: str, blk: int):
         same, nb = blk8x8_neighbor(blk, direction)
-        return (self.cur_mb(), nb) if same else (self.nb_mb(direction), nb)
+        if same:
+            return self.cur_mb(), nb
+        if self.mbaff:
+            x, y = blk & 1, blk >> 1
+            r = self.mbaff_nb_sample(8 * x - 1 if direction == "A" else 8 * x,
+                                     8 * y if direction == "A" else 8 * y - 1)
+            if r is None:
+                return UNAVAIL_INTRA, nb
+            naddr, xW, yM = r
+            return self.mb_at(naddr), (yM // 8) * 2 + xW // 8
+        return self.nb_mb(direction), nb
 
     def nb_blkc(self, direction: str, blk: int):
         same, nb = chroma_blk_neighbor(blk, direction, self.chroma_array_type)
-        return (self.cur_mb(), nb) if same else (self.nb_mb(direction), nb)
+        if same:
+            return self.cur_mb(), nb
+        if self.mbaff:
+            # chroma 4x4 blocks: 2 wide x (2*cat) tall raster
+            ch = 8 * self.chroma_array_type
+            x, y = blk & 1, blk >> 1
+            r = self.mbaff_nb_sample(
+                4 * x - 1 if direction == "A" else 4 * x,
+                4 * y if direction == "A" else 4 * y - 1,
+                maxw=8, maxh=ch)
+            if r is None:
+                return UNAVAIL_INTRA, nb
+            naddr, xW, yM = r
+            return self.mb_at(naddr), (yM // 4) * 2 + xW // 4
+        return self.nb_mb(direction), nb
 
     # -- syntax elements ------------------------------------------------
     def _i_ctx_slots(self):
@@ -577,8 +651,21 @@ class SliceCoder:
         base = T.CTX_MVD_Y if comp else T.CTX_MVD_X
         nb_a, ia = self.nb_blk4("A", blk4)
         nb_b, ib = self.nb_blk4("B", blk4)
-        sum_abs = abs(int(nb_a.mvd[which][ia][comp])) + \
-            abs(int(nb_b.mvd[which][ib][comp]))
+        abs_a = abs(int(nb_a.mvd[which][ia][comp]))
+        abs_b = abs(int(nb_b.mvd[which][ib][comp]))
+        if comp and self.mbaff:
+            # field/frame neighbour mvd_y rescale (9.3.3.1.1.7; reference
+            # cabac/mod.rs:925-938)
+            cur = self.cur_mb().field_flag
+            if cur and not nb_a.field_flag:
+                abs_a //= 2
+            if not cur and nb_a.field_flag:
+                abs_a *= 2
+            if cur and not nb_b.field_flag:
+                abs_b //= 2
+            if not cur and nb_b.field_flag:
+                abs_b *= 2
+        sum_abs = abs_a + abs_b
         inc = 0 if sum_abs < 3 else (1 if sum_abs <= 32 else 2)
         ctxs = [base + inc, base + 3, base + 4, base + 5, base + 6]
         if self.encoding:
@@ -1078,6 +1165,10 @@ class SliceCoder:
         st = self.header.slice_type
         mb.slice_id = self.slice_id
         self.mbs[self.curr] = mb
+        if self.mbaff:
+            # field MBs select the field coefficient scan and the field
+            # column of the significance maps (Table 9-43)
+            self.field_flag = mb.field_flag
         if st.is_intra:
             if st == SliceType.SI:
                 self.mb_type_si(mb)
@@ -1188,20 +1279,63 @@ class SliceCoder:
         return next_mb_addr(sgmap, self.curr)
 
     # -- slice loop ------------------------------------------------------
+    def mb_field_decoding_flag(self, mb: MBState, val=None) -> int:
+        """9.3.3.1.1.2: ctx from left/above pair field flags (reference
+        cabac/mod.rs:1105-1111)."""
+        a = self.nb_mb("A")
+        b = self.nb_mb("B")
+        inc = (a.field_flag if a.available else 0) + \
+              (b.field_flag if b.available else 0)
+        return self._bin(T.CTX_MB_FIELD_DECODING_FLAG + inc, val)
+
+    def _inferred_field_flag(self) -> int:
+        """Field flag of an all-skipped pair (reference
+        slice/mod.rs:328-342): left pair's, else above pair's, else 0."""
+        a = self.nb_mb("A")
+        if a.available:
+            return a.field_flag
+        b = self.nb_mb("B")
+        return b.field_flag if b.available else 0
+
     def decode_slice_data(self, sgmap=None):
         """Slice decode loop (reference Slice::data, slice/mod.rs:199-254).
 
-        sgmap: FMO slice-group map (next_mb_addr iteration) or None."""
+        sgmap: FMO slice-group map (next_mb_addr iteration) or None.
+        Under MBAFF (spec 7.3.4) MBs decode in vertical pairs:
+        mb_field_decoding_flag before the first non-skipped MB of each
+        pair, end_of_slice_flag only after the bottom MB."""
         assert not self.encoding
         st = self.header.slice_type
         n_mbs = self.mb_w * self.mb_h
+        if sgmap is not None and self.mbaff:
+            raise NotImplementedError("FMO + MBAFF")
+        pair_field = 0
+        prev_skipped = False
         while True:
             mb = MBState.fresh()
-            if not st.is_intra and self.mb_skip_flag(mb):
+            bot = self.curr & 1
+            skipped = (not st.is_intra) and self.mb_skip_flag(mb)
+            if skipped:
+                if self.mbaff and bot:
+                    if prev_skipped:  # both skipped: infer the pair flag
+                        pair_field = self._inferred_field_flag()
+                        self.mbs[self.curr - 1].field_flag = pair_field
+                    mb.field_flag = pair_field
                 self._skip_mb(mb)
             else:
+                if self.mbaff and (not bot or prev_skipped):
+                    pair_field = self.mb_field_decoding_flag(mb)
+                    if bot:  # top was skipped: back-fill its flag
+                        self.mbs[self.curr - 1].field_flag = pair_field
+                if self.mbaff:
+                    mb.field_flag = pair_field
                 self.macroblock_layer(mb)
             self.prev_addr = self.curr
+            if self.mbaff and not bot:
+                prev_skipped = skipped
+                self.curr += 1
+                continue
+            prev_skipped = False
             end = self._terminate()
             nxt = self._next_addr(sgmap)
             if end or nxt >= n_mbs:

@@ -143,6 +143,13 @@ class CavlcSliceCoder(SliceCoder):
         self.curr = header.first_mb_in_slice
         self.prev_addr = -1
         self.field_flag = 0
+        # CAVLC MBAFF entropy is not implemented (the CABAC path is);
+        # MBAFF CAVLC streams raise in decode_slice_data
+        self.mbaff = bool(not sps.frame_mbs_only_flag
+                          and sps.mb_adaptive_frame_field_flag
+                          and not header.field_pic_flag)
+        if self.mbaff:
+            raise NotImplementedError("MBAFF with CAVLC entropy")
         self._p8x8ref0 = False
 
     # -- entropy primitives --------------------------------------------

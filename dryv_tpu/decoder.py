@@ -178,6 +178,25 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
         if int(nal0.type) == 5 and not (h0.field_pic_flag
                                         and h0.bottom_field_flag):
             epoch += 1
+        if (not h0.field_pic_flag and not sps.frame_mbs_only_flag
+                and sps.mb_adaptive_frame_field_flag):
+            # MBAFF picture: intra reconstruction (the upstream reference
+            # handles MBAFF at the entropy layer only and reconstructs
+            # nothing interlaced; inter MBAFF recon is a declared boundary)
+            from .refimpl.mbaff import recon_mbaff_intra
+            ym, cbm, crm = recon_mbaff_intra(sps, pps, mbs)
+            if any(h.deblocking is None or h.deblocking.disable_idc != 1
+                   for h in headers):
+                raise NotImplementedError(
+                    "MBAFF in-loop deblocking (encode MBAFF streams with "
+                    "deblocking disabled)")
+            poc = dpb.decode_poc(sps, h0, nal0)
+            dpb.mark_and_store(sps, h0, nal0, poc)
+            frames.append(DecodedFrame(ym, cbm, crm, poc).crop(sps))
+            order.append((epoch, poc))
+            if max_frames and len(frames) >= max_frames + 16:
+                break
+            continue
         if h0.field_pic_flag:
             # PAFF: each coded field is a standalone half-height picture
             # decoded with the field column of the CABAC significance

@@ -1,0 +1,90 @@
+"""MBAFF (macroblock-adaptive frame/field) decode.
+
+The upstream reference implements MBAFF only at the entropy layer
+(cabac/mod.rs:1105-1111 mb_field_decoding_flag, slice/mod.rs:412-451
+MBAFF neighbours, cabac/mod.rs:925-938 field mvd scaling) and cannot
+reconstruct any interlaced picture.  Here: full CABAC entropy decode
+(pair loop, flag inference, Table 6-4 neighbours, field scans/sig maps,
+mvd rescale) plus intra reconstruction, bit-exact vs libavcodec on
+x264-encoded MBAFF streams.  Fixtures come from the real third-party
+encoder — our own encoder does not emit MBAFF.
+"""
+import numpy as np
+import pytest
+
+from dryv_tpu.testing.x264 import encode_x264, x264_available
+
+pytestmark = pytest.mark.skipif(not x264_available(),
+                                reason="system libx264 not present")
+
+
+def _sources(n=3, mb_w=5, mb_h=4):
+    from dryv_tpu.testing.fixtures import make_source
+    y, cb, cr = make_source(mb_w, mb_h, seed=11)
+    return [(np.roll(y, 2 * t, axis=0).astype(np.uint8),
+             np.roll(cb, t, axis=1), np.roll(cr, t, axis=1))
+            for t in range(n)]
+
+
+def _check(bs):
+    from dryv_tpu.decoder import decode_annexb_scalar
+    from dryv_tpu.testing.oracle import decode_annexb
+
+    golden = decode_annexb(bs)
+    ours = decode_annexb_scalar(bs)
+    assert len(ours) == len(golden)
+    for i, (o, g) in enumerate(zip(ours, golden)):
+        for pn, op, gp in zip("ycc", (o.y, o.cb, o.cr), g):
+            assert np.array_equal(np.asarray(op), gp), \
+                f"frame {i} plane {pn}"
+
+
+@pytest.mark.parametrize("params", [
+    "qp=28:tff=1",                       # 8x8 transform mix
+    "qp=33:bff=1:8x8dct=0",              # 4x4 only, bottom-field-first
+    "qp=24:tff=1:slices=2",              # multi-slice MBAFF
+    "qp=44:tff=1",                       # high QP (i16 heavy)
+], ids=["tff8x8", "bff4x4", "slices", "qp44"])
+def test_mbaff_intra_bit_exact(params):
+    bs = encode_x264(_sources(),
+                     x264_params=f"keyint=1:interlaced=1:nf=1:{params}")
+    _check(bs)
+
+
+def test_mbaff_inter_entropy_syntax():
+    """P/B MBAFF entropy decode (mb_field inference on skipped pairs,
+    field-scaled mvd contexts) completes without desync across a full
+    x264 interlaced IPB sequence.  Reconstruction of inter MBAFF is a
+    declared boundary (the reference reconstructs no inter at all); a
+    CABAC context error here would corrupt the bin stream and blow up
+    within a few macroblocks, so clean completion over many slices is a
+    meaningful syntax-level check."""
+    from dryv_tpu.avc import split_annexb
+    from dryv_tpu.decoder import SyntaxDecoder, group_access_units
+
+    bs = encode_x264(_sources(6),
+                     x264_params="qp=30:interlaced=1:tff=1:bframes=2")
+    sd = SyntaxDecoder()
+    rest = sd.feed_parameter_sets(list(split_annexb(bs)))
+    pics = group_access_units(rest)
+    assert len(pics) == 6
+    for pic in pics:
+        sps, pps, mbs, headers = sd.decode_picture_syntax(pic)
+        assert all(m is not None for m in mbs)
+
+
+def test_mbaff_decode_order_field_flags():
+    """Pair flags propagate: both MBs of a pair report the same
+    mb_field_decoding_flag."""
+    from dryv_tpu.avc import split_annexb
+    from dryv_tpu.decoder import SyntaxDecoder, group_access_units
+
+    bs = encode_x264(_sources(1),
+                     x264_params="qp=26:keyint=1:interlaced=1:tff=1:nf=1")
+    sd = SyntaxDecoder()
+    rest = sd.feed_parameter_sets(list(split_annexb(bs)))
+    sps, pps, mbs, _ = sd.decode_picture_syntax(group_access_units(rest)[0])
+    flags = [m.field_flag for m in mbs]
+    assert any(flags), "x264 interlaced stream coded no field pairs"
+    for p in range(len(mbs) // 2):
+        assert flags[2 * p] == flags[2 * p + 1]

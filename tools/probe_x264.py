@@ -60,6 +60,12 @@ CASES = [
     ("chroma_qp", {}, dict(x264_params="qp=28:chroma-qp-offset=4")),
     ("mbaff_tff", {}, dict(x264_params="qp=28:interlaced=1:tff=1")),
     ("mbaff_bff", {}, dict(x264_params="qp=28:interlaced=1:bff=1")),
+    # intra MBAFF without in-loop deblocking: decodes bit-exact today
+    # (entropy + recon); the deblocked/inter variants above are the
+    # remaining MBAFF boundary
+    ("mbaff_intra", {}, dict(x264_params="qp=28:keyint=1:interlaced=1:tff=1:nf=1")),
+    ("mbaff_intra_no8x8", {}, dict(x264_params="qp=33:keyint=1:interlaced=1:bff=1:nf=1:8x8dct=0")),
+    ("mbaff_intra_slices", {}, dict(x264_params="qp=24:keyint=1:interlaced=1:tff=1:nf=1:slices=2")),
     ("fake_interlaced", {}, dict(x264_params="qp=28:fake-interlaced=1")),
 ]
 
