@@ -85,6 +85,9 @@ def main():
     t_entropy_solo = best_of(
         lambda: decode_picture_islices(slice_datas, sps, pps,
                                        n_threads=nthreads, reuse=True), 5)
+    t_entropy_1t = best_of(
+        lambda: decode_picture_islices(slice_datas, sps, pps,
+                                       n_threads=1, reuse=True), 3)
 
     # ---- TPU pipeline: C++ entropy feeds the whole-GOP Pallas wavefront
     # (one kernel launch reconstructs F frames; kernels/pallas_wavefront).
@@ -196,6 +199,32 @@ def main():
         t_ipb = best_of(lambda: decode_annexb_native(ipb_stream), 3)
         ipb_fps = nf / t_ipb
 
+    # breadth: QP sweep of the entropy stage (bin density varies ~4x
+    # across QP 20/30/40) + full-HD IPB on the native host path, all
+    # x264-encoded (tools/gen_benchdata.py), oracle-gated
+    qp_sweep = {}
+    for qp in (20, 40):
+        p = os.path.join(HERE, "benchdata", f"bench1080p_qp{qp}.264")
+        if not os.path.exists(p):
+            continue
+        sdq, spsq, ppsq = parse_slices(open(p, "rb").read())
+        tq = best_of(lambda: decode_picture_islices(
+            sdq, spsq, ppsq, n_threads=nthreads, reuse=True), 3)
+        qp_sweep[f"qp{qp}_entropy_ms"] = round(tq * 1e3, 1)
+    ipb1080_fps = None
+    p = os.path.join(HERE, "benchdata", "bench1080p_ipb.264")
+    if os.path.exists(p):
+        from dryv_tpu.native.full import decode_annexb_native
+        from dryv_tpu.testing.oracle import decode_annexb as _oracle
+        s1080 = open(p, "rb").read()
+        got = decode_annexb_native(s1080)
+        ref = _oracle(s1080)
+        assert len(got) == len(ref) and all(
+            np.array_equal(np.asarray(o.y), g[0]) for o, g in zip(got, ref)
+        ), "1080p IPB native path not bit-exact"
+        t = best_of(lambda: decode_annexb_native(s1080), 2)
+        ipb1080_fps = len(got) / t
+
     fps = 1.0 / t_e2e_frame
     baseline_fps = 1.0 / t_baseline
     # roofline sketch for the device stage: bytes moved per frame through
@@ -212,6 +241,7 @@ def main():
         "detail": {
             "baseline_cpu_singlethread_fps": round(baseline_fps, 2),
             "entropy_ms_per_frame": round(t_entropy * 1e3, 1),
+            "entropy_ms_per_frame_1thread": round(t_entropy_1t * 1e3, 1),
             "pack_ms": round(t_pack * 1e3, 1),
             "device_recon_fps_gop": round(F / t_recon_gop, 1),
             "device_recon_ms_per_frame": round(dev_s_frame * 1e3, 2),
@@ -223,6 +253,9 @@ def main():
             "device": str(jax.devices()[0]),
             "ipb_640x368_deblock_fps": (round(ipb_fps, 1)
                                         if ipb_fps else None),
+            "ipb_1080p_native_fps": (round(ipb1080_fps, 1)
+                                     if ipb1080_fps else None),
+            "entropy_qp_sweep": qp_sweep or None,
             "bit_exact": True,
             "note": ("e2e is host-entropy-bound on this 2-vCPU VM (the "
                      "per-stage budget: entropy_ms_per_frame vs "

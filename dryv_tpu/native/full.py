@@ -85,8 +85,6 @@ def decode_annexb_native(stream: bytes, max_frames: int = 0,
                     or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None
                     or st in (SliceType.SP, SliceType.SI)
-                    or h.ref_pic_list_modification_l0
-                    or h.ref_pic_list_modification_l1
                     or pps.pic_scaling_matrix_present_flag
                     or sps.seq_scaling_matrix_present_flag):
                 return decode_annexb_scalar(stream, max_frames)
