@@ -260,8 +260,9 @@ class SliceCoder:
     def nb_mb(self, direction: str, addr=None) -> MBState:
         a = self.curr if addr is None else addr
         if self.mbaff:
-            r = self.mbaff_nb_sample(-1 if direction in "AD" else 0,
-                                     -1 if direction in "BCD" else 0,
+            # 6.4.11 locations: A=(-1,0), B=(0,-1), C=(maxW,-1), D=(-1,-1)
+            xn = -1 if direction in "AD" else (16 if direction == "C" else 0)
+            r = self.mbaff_nb_sample(xn, -1 if direction in "BCD" else 0,
                                      addr=a)
             return UNAVAIL_INTRA if r is None else self.mb_at(r[0])
         x, y = a % self.mb_w, a // self.mb_w
@@ -276,11 +277,26 @@ class SliceCoder:
         raise ValueError(direction)
 
     def _mb_field(self, addr: int) -> int:
-        """Field flag of the pair containing `addr` (both MBs share it)."""
+        """Field flag of the pair containing `addr` (both MBs share it).
+
+        For the not-yet-decoded current pair, spec 7.4.4 inference applies:
+        presume the left pair's flag, else the above pair's, else frame."""
         m = self.mbs[addr & ~1]
         if m is None:
             m = self.mbs[addr | 1]
-        return m.field_flag if m is not None else 0
+        if m is not None:
+            return m.field_flag
+        pair = (addr & ~1) >> 1
+        px, py = pair % self.mb_w, pair // self.mb_w
+        if px > 0:
+            n = self.mb_at(2 * (pair - 1))
+            if n.available and n.slice_id == self.slice_id:
+                return n.field_flag
+        if py > 0:
+            n = self.mb_at(2 * (pair - self.mb_w))
+            if n.available and n.slice_id == self.slice_id:
+                return n.field_flag
+        return 0
 
     def mbaff_nb_sample(self, xN: int, yN: int, addr=None, maxw=16,
                         maxh=16):
@@ -627,8 +643,14 @@ class SliceCoder:
             return 0
         nb_a, ia = self.nb_blk8("A", blk8)
         nb_b, ib = self.nb_blk8("B", blk8)
-        cond_a = 1 if nb_a.ref_idx[which][ia] > 0 else 0
-        cond_b = 1 if nb_b.ref_idx[which][ib] > 0 else 0
+        # 9.3.3.1.1.6: a frame-coded MB reading a field-coded neighbour
+        # must treat the neighbour's (doubled) field ref indices as zero
+        # up to 1, i.e. refIdxZeroFlagN tests > 1 in that case.
+        cur_frame = self.mbaff and not self.cur_mb().field_flag
+        thr_a = 1 if (cur_frame and nb_a.field_flag) else 0
+        thr_b = 1 if (cur_frame and nb_b.field_flag) else 0
+        cond_a = 1 if nb_a.ref_idx[which][ia] > thr_a else 0
+        cond_b = 1 if nb_b.ref_idx[which][ib] > thr_b else 0
         ctxs = [T.CTX_REF_IDX + cond_a + 2 * cond_b,
                 T.CTX_REF_IDX + 4, T.CTX_REF_IDX + 5]
         if self.encoding:
@@ -874,8 +896,14 @@ class SliceCoder:
         """ref_idx + mvd for 16x16/16x8/8x16 partitions (spec 7.3.5.1)."""
         h = self.header
         parts = self._part_layout(mb)
+        field = self.mbaff and mb.field_flag
         for which, nref in ((0, h.num_ref_idx_l0_active_minus1),
                             (1, h.num_ref_idx_l1_active_minus1)):
+            if field:
+                # 7.3.5.1/7.4.5.2: field MBs in an MBAFF frame see a
+                # doubled reference range (ref_idx parsed even when
+                # num_ref_idx_active_minus1 == 0)
+                nref = 2 * nref + 1
             for anchor, blks, quads, pred in parts:
                 uses = pred in ((PRED_L0, PRED_BI) if which == 0
                                 else (PRED_L1, PRED_BI))
@@ -912,8 +940,11 @@ class SliceCoder:
         h = self.header
         st = self.header.slice_type
         table = P_SUB_TYPES if st.is_predictive else B_SUB_TYPES
+        field = self.mbaff and mb.field_flag
         for which, nref in ((0, h.num_ref_idx_l0_active_minus1),
                             (1, h.num_ref_idx_l1_active_minus1)):
+            if field:
+                nref = 2 * nref + 1  # 7.4.5.2 doubled field ref range
             for q in range(4):
                 name, nparts, wh, pred = table[mb.sub_mb_type[q]]
                 uses = pred in ((PRED_L0, PRED_BI) if which == 0

@@ -73,6 +73,29 @@ def test_mbaff_inter_entropy_syntax():
         assert all(m is not None for m in mbs)
 
 
+def test_mbaff_inter_single_active_ref():
+    """Regression (round-2 advisor, high): field MBs parse ref_idx even
+    when num_ref_idx_active_minus1 == 0 (spec 7.3.5.1 condition
+    `nref > 0 || (MbaffFrameFlag && mb_field_decoding_flag)`), with the
+    doubled field range 2*nref+1 (7.4.5.2).  x264 interlaced=1:ref=2
+    emits a first P picture with a single active reference whose field
+    MBs still code ref_idx bins; dropping them desyncs CABAC and leaves
+    MB pairs undecoded."""
+    from dryv_tpu.avc import split_annexb
+    from dryv_tpu.decoder import SyntaxDecoder, group_access_units
+
+    bs = encode_x264(_sources(4),
+                     x264_params="qp=30:interlaced=1:tff=1:bframes=0:ref=2")
+    sd = SyntaxDecoder()
+    rest = sd.feed_parameter_sets(list(split_annexb(bs)))
+    pics = group_access_units(rest)
+    assert len(pics) == 4
+    for pic in pics:
+        sps, pps, mbs, headers = sd.decode_picture_syntax(pic)
+        assert all(m is not None for m in mbs), \
+            f"{sum(m is None for m in mbs)} MBs left undecoded (desync)"
+
+
 def test_mbaff_decode_order_field_flags():
     """Pair flags propagate: both MBs of a pair report the same
     mb_field_decoding_flag."""
