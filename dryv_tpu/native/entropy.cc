@@ -12,6 +12,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <functional>
@@ -20,6 +21,17 @@
 #include <vector>
 
 #include "tables_data.h"
+#ifdef DT_RDTSC
+#include <x86intrin.h>
+#include <atomic>
+namespace { std::atomic<unsigned long long> g_tsc[8]; }
+extern "C" void dt_get_tsc(unsigned long long* o) { for (int i=0;i<8;i++){o[i]=g_tsc[i].exchange(0);} }
+#define TSC_BEGIN unsigned long long _t0 = __rdtsc()
+#define TSC_END(k) do { g_tsc[k] += __rdtsc() - _t0; g_tsc[4 + (k)]++; } while (0)
+#else
+#define TSC_BEGIN
+#define TSC_END(k)
+#endif
 #include "cavlc_tables.h"
 
 namespace {
@@ -266,6 +278,9 @@ struct Engine {
   int64_t bit_len;
   int32_t range;
   int64_t bins = 0;  // decoded bin counter (reference cabac/mod.rs:68)
+#ifdef DT_COUNT_LPS
+  int64_t lps_count = 0, mps_renorm = 0, byp = 0;
+#endif
   // scaled-low arithmetic state: the top bits of `low` hold the
   // conceptual CABAC offset, followed by `lowbits` buffered future
   // input bits (so renormalisation is just `lowbits -= n`; input is
@@ -301,7 +316,7 @@ struct Engine {
     return w << (bitpos & 7);
   }
 
-  inline void refill_low() {
+  __attribute__((always_inline)) inline void refill_low() {
     low = (low << 32) | (uint32_t)(fetch64(fetch_pos) >> 32);
     lowbits += 32;
     fetch_pos += 32;
@@ -361,14 +376,14 @@ struct Engine {
   // init leaves fetch_pos - lowbits == pos + 9, every renorm/bypass
   // decrements lowbits by the bits consumed, refill moves both by 32)
   int64_t cabac_pos() const { return fetch_pos - lowbits; }
-  inline void renorm() {
+  __attribute__((always_inline)) inline void renorm() {
     // branchless shift count: range in [2, 510]; clz==23 -> 0 shift
     int n = __builtin_clz((unsigned)range) - 23;
     range <<= n;
     lowbits -= n;
     if (__builtin_expect(lowbits < 8, 0)) refill_low();
   }
-  int decision(int ctx) {
+  __attribute__((always_inline)) inline int decision(int ctx) {
     // Branchy MPS fast path: CABAC bins are heavily MPS-skewed, so a
     // predicted branch lets the out-of-order core speculate past the
     // per-bin range/low dependency chain (a fully branchless select
@@ -390,8 +405,14 @@ struct Engine {
       range = (int32_t)(mps_rng << n);
       lowbits -= n;
       if (__builtin_expect(lowbits < 8, 0)) refill_low();
+#ifdef DT_COUNT_LPS
+      mps_renorm++;
+#endif
       return s & 1;
     }
+#ifdef DT_COUNT_LPS
+    lps_count++;
+#endif
     low -= scaled;  // LPS
     ctx_rec[ctx] = kPackedTrans.lrec[s];
     int n = __builtin_clz(lps) - 23;
@@ -400,7 +421,7 @@ struct Engine {
     if (__builtin_expect(lowbits < 8, 0)) refill_low();
     return (int)((s & 1) ^ 1);
   }
-  int bypass() {
+  __attribute__((always_inline)) inline int bypass() {
     bins++;
     lowbits--;
     uint64_t scaled = (uint64_t)range << lowbits;
@@ -411,7 +432,7 @@ struct Engine {
   }
   // n bypass bins MSB-first with a single refill guard (n <= 16:
   // keeps lowbits + 9 < 64 after a refill at lowbits <= 23)
-  int bypass_n(int n) {
+  __attribute__((always_inline)) inline int bypass_n(int n) {
     bins += n;
     if (lowbits < n + 8) refill_low();
     int v = 0;
@@ -425,7 +446,7 @@ struct Engine {
     if (__builtin_expect(lowbits < 8, 0)) refill_low();
     return v;
   }
-  int terminate() {
+  __attribute__((always_inline)) inline int terminate() {
     bins++;
     range -= 2;
     if (low >= (uint64_t)range << lowbits) return 1;
@@ -437,6 +458,117 @@ struct Engine {
     win_bits = 0;  // window no longer aligned with pos
   }
 };
+
+// Register-resident mirror of the engine's per-bin state.  Inside the
+// hottest loops (significance map + level decode) the compiler cannot
+// keep Engine fields in registers because `this` escapes through the
+// surrounding code, so every bin pays ~4 stores + ~4 reloads of
+// range/low/lowbits/bins at block boundaries.  Copying the state into a
+// local EngHot (no escaping pointer) lets GCC registerize the whole
+// loop; only the ctx_rec[] update (normative context adaptation) and
+// the rare input refill touch memory.
+struct EngHot {
+  uint64_t low;
+  uint32_t range;
+  int32_t lowbits;
+  int64_t fetch_pos;
+  int64_t bins;
+};
+__attribute__((always_inline)) inline EngHot eng_adopt(Engine& e) {
+  return EngHot{e.low, (uint32_t)e.range, e.lowbits, e.fetch_pos, e.bins};
+}
+__attribute__((always_inline)) inline void eng_release(Engine& e,
+                                                       const EngHot& h) {
+  e.low = h.low;
+  e.range = (int32_t)h.range;
+  e.lowbits = h.lowbits;
+  e.fetch_pos = h.fetch_pos;
+  e.bins = h.bins;
+}
+__attribute__((always_inline, cold)) inline void refill_low_h(EngHot& h,
+                                                              const Engine& e) {
+  h.low = (h.low << 32) | (uint32_t)(e.fetch64(h.fetch_pos) >> 32);
+  h.lowbits += 32;
+  h.fetch_pos += 32;
+}
+__attribute__((always_inline)) inline int decision_h(EngHot& h, Engine& e,
+                                                     int ctx) {
+  h.bins++;
+  uint64_t r = e.ctx_rec[ctx];
+  unsigned s = (unsigned)r & 0xff;
+  uint32_t lps = (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
+  uint32_t mps_rng = h.range - lps;
+  uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
+  if (__builtin_expect(h.low < scaled, 1)) {  // MPS
+    e.ctx_rec[ctx] = kPackedTrans.mrec[s];
+    if (__builtin_expect(mps_rng >= 256, 1)) {
+      h.range = mps_rng;
+      return s & 1;
+    }
+    int n = __builtin_clz(mps_rng) - 23;
+    h.range = mps_rng << n;
+    h.lowbits -= n;
+    if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, e);
+    return s & 1;
+  }
+  h.low -= scaled;  // LPS
+  e.ctx_rec[ctx] = kPackedTrans.lrec[s];
+  int n = __builtin_clz(lps) - 23;
+  h.range = lps << n;
+  h.lowbits -= n;
+  if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, e);
+  return (int)((s & 1) ^ 1);
+}
+// Branchless (CMOV) variant for poorly-predicted bins.  The MPS/LPS
+// resolve costs a deterministic ~13 cycles instead of branchy's ~6
+// predicted / ~24 mispredicted, so it wins exactly where prediction is
+// poor: significance-map and level-prefix bins, whose values are
+// near-random at mid QP.  Skewed bins (cbf, skip, mb_type prefixes)
+// stay on the branchy decision_h.
+__attribute__((always_inline)) inline int decision_bl_h(EngHot& h, Engine& e,
+                                                        int ctx) {
+  h.bins++;
+  uint64_t r = e.ctx_rec[ctx];
+  unsigned s = (unsigned)r & 0xff;
+  uint32_t lps = (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
+  uint32_t mps_rng = h.range - lps;
+  uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
+  uint64_t is_lps = (uint64_t)(h.low >= scaled);
+  h.low -= scaled & (0 - is_lps);
+  uint32_t nrange = is_lps ? lps : mps_rng;
+  const uint64_t* tab = is_lps ? kPackedTrans.lrec : kPackedTrans.mrec;
+  e.ctx_rec[ctx] = tab[s];
+  int n = __builtin_clz(nrange) - 23;
+  h.range = nrange << n;
+  h.lowbits -= n;
+  if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, e);
+  return (int)((s & 1) ^ (unsigned)is_lps);
+}
+__attribute__((always_inline)) inline int bypass_h(EngHot& h,
+                                                   const Engine& e) {
+  h.bins++;
+  h.lowbits--;
+  uint64_t scaled = (uint64_t)h.range << h.lowbits;
+  uint64_t b = (uint64_t)(h.low >= scaled);
+  h.low -= scaled & (0 - b);
+  if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, e);
+  return (int)b;
+}
+__attribute__((always_inline)) inline int bypass_n_h(EngHot& h,
+                                                     const Engine& e, int n) {
+  h.bins += n;
+  if (h.lowbits < n + 8) refill_low_h(h, e);
+  int v = 0;
+  for (int i = 0; i < n; i++) {
+    h.lowbits--;
+    uint64_t scaled = (uint64_t)h.range << h.lowbits;
+    uint64_t b = (uint64_t)(h.low >= scaled);
+    h.low -= scaled & (0 - b);
+    v = (v << 1) | (int)b;
+  }
+  if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, e);
+  return v;
+}
 
 // Per-MB syntax state needed for neighbor contexts.
 struct MB {
@@ -1018,11 +1150,12 @@ struct SliceCtx {
     return v;
   }
 
-  void residual_block(int cat, int idx, int32_t* coeffs, const int* remap,
+  __attribute__((always_inline)) inline void residual_block(int cat, int idx, int32_t* coeffs, const int* remap,
                       int out_size, int start, int end, int maxnumcoeff,
                       bool coded) {
     MB* c = cur();
     int cbf;
+    TSC_BEGIN;
     if (coded) {
       if (maxnumcoeff != 64 || pp->chroma_array_type == 3) {
         cbf = coded_block_flag(cat, idx);
@@ -1042,6 +1175,7 @@ struct SliceCtx {
         default: c->cbf[(idx >> 3) + 1][idx & 7] = 0; break;
       }
     }
+    TSC_END(0);
     std::memset(coeffs, 0, out_size * sizeof(int32_t));
     if (!cbf) return;
 
@@ -1053,20 +1187,24 @@ struct SliceCtx {
     }
     // significant positions gathered into a compact local list; decoded
     // magnitudes buffered locally so the engine state stays in registers
-    // (stores through `coeffs` would force reloads)
+    // (stores through `coeffs` would force reloads); the engine state
+    // itself runs register-resident via EngHot for the whole block
     uint8_t sigpos[64];
     int32_t vals[64];
     int nsig = 0;
     int numcoeff = end + 1;
+    EngHot h = eng_adopt(eng);
+    { TSC_BEGIN;
     for (int i = start; i < numcoeff - 1; i++) {
-      if (eng.decision(sigtab[i])) {
+      if (decision_bl_h(h, eng, sigtab[i])) {
         sigpos[nsig++] = (uint8_t)i;
-        if (eng.decision(lasttab[i])) { numcoeff = i + 1; goto levels; }
+        if (decision_bl_h(h, eng, lasttab[i])) { numcoeff = i + 1; goto levels; }
       }
     }
     sigpos[nsig++] = (uint8_t)(numcoeff - 1);
   levels:;
-    {
+    TSC_END(1); }
+    { TSC_BEGIN;
       int num1 = 0, numgt1 = 0;
       const int base = kAbsBase[cat];
       const int clampv = (cat == CAT_CHROMA_DC) ? 3 : 4;
@@ -1074,24 +1212,29 @@ struct SliceCtx {
         int c0 = base + (numgt1 != 0 ? 0 : (num1 >= 4 ? 4 : num1 + 1));
         int c1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
         int pre = 0;
-        while (pre < 14 && eng.decision(pre == 0 ? c0 : c1)) pre++;
+        if (decision_bl_h(h, eng, c0)) {
+          pre = 1;
+          while (pre < 14 && decision_bl_h(h, eng, c1)) pre++;
+        }
         int mag = pre;
         if (pre >= 14) {  // UEG0 suffix
           int k = 0;
-          while (eng.bypass()) { mag += 1 << k; k++; }
-          if (k <= 16) mag += eng.bypass_n(k);
+          while (bypass_h(h, eng)) { mag += 1 << k; k++; }
+          if (k <= 16) mag += bypass_n_h(h, eng, k);
           else
-            while (k > 0) { k--; if (eng.bypass()) mag += 1 << k; }
+            while (k > 0) { k--; if (bypass_h(h, eng)) mag += 1 << k; }
         }
-        int s = eng.bypass();
+        int s = bypass_h(h, eng);
         vals[j] = s ? -(mag + 1) : mag + 1;
         if (mag != 0) numgt1++; else num1++;
       }
       for (int j = 0; j < nsig; j++) coeffs[remap[sigpos[j]]] = vals[j];
+      TSC_END(2);
     }
+    eng_release(eng, h);
   }
 
-  void residual(MB* mb, int addr) {
+  __attribute__((always_inline)) inline void residual(MB* mb, int addr) {
     Out* o = out;
     int64_t a = addr;
     if (mb->kind == KIND_I16) {
@@ -1300,6 +1443,11 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
     if (end || s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
   }
   if (o->bin_count) o->bin_count[slice_index] = s.eng.bins;
+#ifdef DT_COUNT_LPS
+  fprintf(stderr, "slice %d: bins=%lld lps=%lld mps_renorm=%lld\n",
+          slice_index, (long long)s.eng.bins, (long long)s.eng.lps_count,
+          (long long)s.eng.mps_renorm);
+#endif
 }
 
 // publish one decoded MB into the dense outputs (shared CABAC/CAVLC)

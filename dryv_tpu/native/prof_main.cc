@@ -30,6 +30,9 @@ struct OutX {
 extern "C" int dt_decode_picture_slices(const uint8_t*, const SliceParamsX*,
                                         int32_t, PicParamsX, OutX, int32_t);
 extern "C" int dt_abi_sizes(int32_t*, int32_t*, int32_t*);
+#ifdef DT_RDTSC
+extern "C" void dt_get_tsc(unsigned long long*);
+#endif
 
 // the *X structs mirror entropy.cc's ABI; verified at startup against
 // dt_abi_sizes so layout drift fails loudly (advisor round-1 finding)
@@ -81,5 +84,13 @@ int main(int argc, char** argv) {
   int64_t bins = 0;
   for (int k = 0; k < ns; k++) bins += bc[k];
   printf("iters=%d bins/frame=%lld\n", iters, (long long)bins);
+#ifdef DT_RDTSC
+  unsigned long long t[8]; dt_get_tsc(t);
+  double per = (double)bins * iters;
+  printf("tsc/bin: cbf=%.2f sig=%.2f levels=%.2f (sum=%.2f)\n",
+         t[0]/per, t[1]/per, t[2]/per, (t[0]+t[1]+t[2])/per);
+  printf("calls/frame: cbf=%.0f coded=%.0f  per-call cyc: cbf=%.1f sig=%.1f lev=%.1f\n",
+         (double)t[4]/iters, (double)t[5]/iters, (double)t[0]/t[4], (double)t[1]/t[5], (double)t[2]/t[6]);
+#endif
   return 0;
 }
