@@ -432,28 +432,43 @@ def _unpack_lanes(t, F, Fi, Kpad):
 
 
 @lru_cache(maxsize=None)
-def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
-                          bitdepth: int = 8, interpret=None,
-                          return_tiles: bool = False, has_pcm: bool = True):
-    """Returns recon(syntax [F,n,...], y_resid [F,n,16,16],
-    c_resid [F,n,2,8,8]) -> (y [F,H,W], cb, cr) uint8 planes.
+def lane_geometry(mb_w: int, mb_h: int, F: int, Fi: int = 0):
+    """Shared lane-dimension sizing for the whole-GOP Pallas kernels.
 
-    Fi = frames folded into the lane dimension (0 = auto, targets ~1024
-    lanes); the rest (Fo = F/Fi) becomes the outer sequential grid dim."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    maxv = (1 << bitdepth) - 1
-    dcv = 1 << (bitdepth - 1)
-    sched_np, d_of_np, k_of_np = diag_schedule(mb_w, mb_h)
-    n_diag, K = sched_np.shape
+    Returns (Fo, Fi, Kpad, N): Fi frame segments of Kpad diagonal slots
+    each fold into the N-lane axis (lane offset 1, >=1 zero pad between
+    segments); Fo = F/Fi is the outer sequential grid dimension."""
+    sched_np, _, _ = diag_schedule(mb_w, mb_h)
+    K = sched_np.shape[1]
     Kpad = -(-(K + 2) // 8) * 8
     if not Fi:
         Fi = max(1, min(F, 1024 // Kpad))
         while F % Fi:
             Fi -= 1
     assert F % Fi == 0, (F, Fi)
-    Fo = F // Fi
-    N = Fi * Kpad
+    return F // Fi, Fi, Kpad, Fi * Kpad
+
+
+@lru_cache(maxsize=None)
+def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
+                          bitdepth: int = 8, interpret=None,
+                          return_tiles: bool = False, has_pcm: bool = True,
+                          raw_tiles: bool = False):
+    """Returns recon(syntax [F,n,...], y_resid [F,n,16,16],
+    c_resid [F,n,2,8,8]) -> (y [F,H,W], cb, cr) uint8 planes.
+
+    Fi = frames folded into the lane dimension (0 = auto, targets ~1024
+    lanes); the rest (Fo = F/Fi) becomes the outer sequential grid dim.
+    raw_tiles=True returns the kernel's lane-packed z-row tile outputs
+    (ty [Fo, n_diag, 256, N], tc [Fo, n_diag, 16, 8, N]) for further
+    wavefront passes (the Pallas deblock kernel) without unpacking."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    maxv = (1 << bitdepth) - 1
+    dcv = 1 << (bitdepth - 1)
+    sched_np, d_of_np, k_of_np = diag_schedule(mb_w, mb_h)
+    n_diag, K = sched_np.shape
+    Fo, Fi, Kpad, N = lane_geometry(mb_w, mb_h, F, Fi)
     n = mb_w * mb_h
 
     shifts = np.stack(diag_shifts(mb_w, mb_h), axis=1).astype(np.int32)
@@ -575,6 +590,8 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
                   ("M4", "R4", "S4", "M8", "R8", "S8", "MF1", "MF0",
                    "SELV", "SELH", "XSZ", "YSZ")]
         ty, tc = pallas_fn(jnp.asarray(shifts), meta, yres, cres, *mats_j)
+        if raw_tiles:
+            return ty, tc
         ty = _unpack_lanes(ty, F, Fi, Kpad)          # [F, n_diag, Kpad, 256]
         tc = _unpack_lanes(tc, F, Fi, Kpad)
         if return_tiles:
@@ -593,6 +610,52 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
     return recon
 
 
+def stage_a_residuals(s, ls4y, ls4cb, ls4cr, ls8y, F, n):
+    """Batched IQ/IDCT (stage A) shared by the Pallas pipelines.
+
+    Accepts either the full int32 SYNTAX_KEYS dict or the compact-ABI
+    dict from stack_gop_compact.  Returns (s_int32, y_z (256, F*n),
+    c_resid [F, n, 2, 8, 8])."""
+    from ..coeffs import KIND_I8 as _KI8
+    from .transform import (chroma_residual_tiles, luma_residual_zrows)
+
+    s = dict(s)
+    M = F * n
+    if "luma_lv" in s:
+        lv = s.pop("luma_lv")                          # [F, n, 256]
+        s["luma_dc"] = s["luma_dc"].reshape(F, n, 4, 4)
+        s["chroma_dc"] = s["chroma_dc"].reshape(F, n, 2, 2, 2)
+        s["chroma_ac"] = s["chroma_ac"].reshape(F, n, 2, 4, 4, 4)
+    else:
+        i8 = (s["kind"] == _KI8).reshape(F, n, 1)
+        lv = jnp.where(i8, s["luma8"].reshape(F, n, 256),
+                       s["luma4"].reshape(F, n, 256))
+    up = {}
+    for k, v in s.items():
+        if k.startswith("pcm") or k.startswith("avail"):
+            up[k] = v
+        elif k in ("luma4", "luma8"):
+            continue
+        else:
+            up[k] = v.astype(jnp.int32)
+    s = up
+
+    # luma stage A entirely in z-row columns (no spatial relayout)
+    Z = lv.reshape(M, 256).astype(jnp.int32).T         # (256, M)
+    y_z = luma_residual_zrows(
+        s["kind"].reshape(M), s["qp_y"].reshape(M), Z,
+        s["luma_dc"].reshape(M, 16).T, ls4y, ls8y)
+
+    def chroma_one(sf):
+        return chroma_residual_tiles(sf["qp_cb"], sf["qp_cr"],
+                                     sf["chroma_dc"], sf["chroma_ac"],
+                                     n, ls4cb, ls4cr)
+
+    keys = ["qp_cb", "qp_cr", "chroma_dc", "chroma_ac"]
+    c_resid = jax.vmap(chroma_one)({k: s[k] for k in keys})
+    return s, y_z, c_resid
+
+
 @lru_cache(maxsize=None)
 def make_gop_pipeline_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
                              interpret=None, has_pcm: bool = True):
@@ -605,50 +668,13 @@ def make_gop_pipeline_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
     overlaid in one ``luma_lv`` buffer) — the compact form cuts the
     host->device transfer ~4.5x, which dominates end-to-end time when the
     device is remote."""
-    from .transform import chroma_residual_tiles, luma_residual_tiles
-
     recon = make_gop_recon_pallas(mb_w, mb_h, F, Fi, interpret=interpret,
                                   has_pcm=has_pcm)
     n = mb_w * mb_h
 
     def run(s, ls4y, ls4cb, ls4cr, ls8y):
-        from ..coeffs import KIND_I8 as _KI8
-        from .transform import luma_residual_zrows
-
-        s = dict(s)
-        M = F * n
-        if "luma_lv" in s:
-            lv = s.pop("luma_lv")                          # [F, n, 256]
-            s["luma_dc"] = s["luma_dc"].reshape(F, n, 4, 4)
-            s["chroma_dc"] = s["chroma_dc"].reshape(F, n, 2, 2, 2)
-            s["chroma_ac"] = s["chroma_ac"].reshape(F, n, 2, 4, 4, 4)
-        else:
-            i8 = (s["kind"] == _KI8).reshape(F, n, 1)
-            lv = jnp.where(i8, s["luma8"].reshape(F, n, 256),
-                           s["luma4"].reshape(F, n, 256))
-        up = {}
-        for k, v in s.items():
-            if k.startswith("pcm") or k.startswith("avail"):
-                up[k] = v
-            elif k in ("luma4", "luma8"):
-                continue
-            else:
-                up[k] = v.astype(jnp.int32)
-        s = up
-
-        # luma stage A entirely in z-row columns (no spatial relayout)
-        Z = lv.reshape(M, 256).astype(jnp.int32).T         # (256, M)
-        y_z = luma_residual_zrows(
-            s["kind"].reshape(M), s["qp_y"].reshape(M), Z,
-            s["luma_dc"].reshape(M, 16).T, ls4y, ls8y)
-
-        def chroma_one(sf):
-            return chroma_residual_tiles(sf["qp_cb"], sf["qp_cr"],
-                                         sf["chroma_dc"], sf["chroma_ac"],
-                                         n, ls4cb, ls4cr)
-
-        keys = ["qp_cb", "qp_cr", "chroma_dc", "chroma_ac"]
-        c_resid = jax.vmap(chroma_one)({k: s[k] for k in keys})
+        s, y_z, c_resid = stage_a_residuals(s, ls4y, ls4cb, ls4cr, ls8y,
+                                            F, n)
         return recon(s, y_z, c_resid)
 
     return jax.jit(run)
