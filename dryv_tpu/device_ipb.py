@@ -46,11 +46,24 @@ MC_KEYS = ["rs0", "rs1", "mv0", "mv1", "inter", "skip", "rkind"] + WP_KEYS
 
 
 @lru_cache(maxsize=None)
-def _build_ipb(mb_w: int, mb_h: int, deblock: bool):
-    wavefront = make_wavefront_fn(mb_w, mb_h, return_tiles=deblock)
-    if deblock:
-        from .kernels.deblock import make_deblock_tiles_fn
-        dbfn = make_deblock_tiles_fn(mb_w, mb_h)
+def _build_ipb(mb_w: int, mb_h: int, deblock: bool,
+               use_pallas: bool = False, interpret=None):
+    if use_pallas:
+        # single-launch Pallas wavefront (+ Pallas deblock) instead of the
+        # per-diagonal XLA scan: F=1, inter tiles ride the PCM channel
+        from .kernels.pallas_deblock import make_gop_recon_deblock_pallas
+        from .kernels.pallas_wavefront import make_gop_recon_pallas
+        if deblock:
+            pallas_db = make_gop_recon_deblock_pallas(mb_w, mb_h, 1,
+                                                      interpret=interpret)
+        else:
+            pallas_recon = make_gop_recon_pallas(mb_w, mb_h, 1,
+                                                 interpret=interpret)
+    else:
+        wavefront = make_wavefront_fn(mb_w, mb_h, return_tiles=deblock)
+        if deblock:
+            from .kernels.deblock import make_deblock_tiles_fn
+            dbfn = make_deblock_tiles_fn(mb_w, mb_h)
     _, d_of, k_of = diag_schedule(mb_w, mb_h)
     d_of = jnp.asarray(d_of)
     k_of = jnp.asarray(k_of)
@@ -85,6 +98,14 @@ def _build_ipb(mb_w: int, mb_h: int, deblock: bool):
         wf["pcm_y"] = jnp.where(inter[:, None, None], tile_y, s["pcm_y"])
         wf["pcm_c"] = jnp.where(inter[:, None, None, None], tile_c,
                                 s["pcm_c"])
+        if use_pallas:
+            s1 = {k: v[None] for k, v in wf.items()}
+            if deblock:
+                y, cb, cr = pallas_db(s1, y_resid[None], c_resid[None],
+                                      {k: pre[k][None] for k in PRE_KEYS})
+            else:
+                y, cb, cr = pallas_recon(s1, y_resid[None], c_resid[None])
+            return y[0], cb[0], cr[0]
         if not deblock:
             return wavefront(wf, y_resid, c_resid)
         tiles_y, tiles_c = wavefront(wf, y_resid, c_resid)
@@ -128,12 +149,14 @@ def _nz4_from_coeffs(out, mb_w, mb_h):
 
 
 def decode_annexb_device(stream: bytes, max_frames: int = 0,
-                         n_threads: int = 0):
+                         n_threads: int = 0, use_pallas=None):
     """Decode an Annex-B I/P/B stream with device reconstruction + MC.
 
-    Falls back to the native host path for features outside the device
-    scope (mirrors native/full.py's own fallback set, plus constrained
-    intra prediction)."""
+    On a TPU backend the wavefront + deblock run as the single-launch
+    Pallas kernels (use_pallas defaults on; pass False for the portable
+    XLA-scan formulation).  Falls back to the native host path for
+    features outside the device scope (mirrors native/full.py's own
+    fallback set, plus constrained intra prediction)."""
     from .avc import split_annexb
     from .avc.dpb import DecodedPictureBuffer
     from .avc.slice_header import SliceHeader, SliceType
@@ -294,7 +317,9 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
         for k in WP_KEYS:
             mc[k] = jnp.asarray(wp[k])
         s = {k: jnp.asarray(getattr(fs, k)) for k in SYNTAX_KEYS}
-        fn = _build_ipb(mb_w, mb_h, deblocked)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        fn = _build_ipb(mb_w, mb_h, deblocked, use_pallas=bool(use_pallas))
         y, cb, cr = fn(s, mc, refs_y, refs_cb, refs_cr, pre)
 
         # store: device planes become reference pictures; host motion

@@ -67,6 +67,7 @@ ROW_AVA, ROW_AVB, ROW_AVC, ROW_AVD = 3, 4, 5, 6
 ROW_M4 = 7            # 16 rows: z-scan 4x4 modes
 ROW_M8 = 23           # 4 rows: 8x8 modes
 META_ROWS = 32
+HALO_ROWS = 48        # banded-mode halo block (see _build_kernel doc)
 
 
 @lru_cache(maxsize=None)
@@ -136,8 +137,16 @@ def _mm8(M, sv):
                                preferred_element_type=jnp.int32)
 
 
-def _build_kernel(N: int, maxv: int, dcv: int):
-    """The per-diagonal kernel body; all arrays are (sublanes, N-lanes)."""
+def _build_kernel(N: int, maxv: int, dcv: int, banded: bool = False):
+    """The per-diagonal kernel body; all arrays are (sublanes, N-lanes).
+
+    banded=True adds a halo input block: for macroblocks on the band's
+    first MB row (one lane per diagonal d < mb_w), the above / above-
+    right / corner aprons come from the neighbouring band's bottom pixel
+    rows (delivered by the host scan's ppermute) instead of the in-band
+    frontier.  Halo row layout per diagonal block (HALO_ROWS, N):
+    0:16 above16, 16:24 above-right8, 24 corner, 25:41 chroma above
+    (2 planes x 8), 41:43 chroma corner, 43 row-0 lane mask."""
 
     def _sh(X, s):
         """out[.., l] = X[.., l+s] for s in {-1,0,1}; zero fill at edges."""
@@ -220,8 +229,12 @@ def _build_kernel(N: int, maxv: int, dcv: int):
                meta_ref, yres_ref, cres_ref,
                m4_ref, r4_ref, s4_ref, m8_ref, r8_ref, s8_ref,
                mf1_ref, mf0_ref, selv_ref, selh_ref, xsz_ref, ysz_ref,
-               ty_ref, tc_ref,
-               W, yb1, yb2, yb3, yr1, cb1, cb2, cb3, cr1):
+               *rest):
+        if banded:
+            halo_ref = rest[0]
+            rest = rest[1:]
+        (ty_ref, tc_ref,
+         W, yb1, yb2, yb3, yr1, cb1, cb2, cb3, cr1) = rest
         d = pl.program_id(1)
 
         @pl.when(d == 0)
@@ -257,6 +270,14 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         abover8 = _sh(yb1[0:8], s_ar)            # (8, N)
         corner = _sh(yb3[15:16], s_cn)           # (1, N)
         left16 = _sh(yr1[:], s_lf)               # (16, N)
+        if banded:
+            # band-first-row lanes read above/corner aprons from the
+            # neighbouring band's bottom pixel rows instead
+            hb = halo_ref[0]                     # (HALO_ROWS, N) int32
+            hmask = hb[43:44] != 0
+            above16 = jnp.where(hmask, hb[0:16], above16)
+            abover8 = jnp.where(hmask, hb[16:24], abover8)
+            corner = jnp.where(hmask, hb[24:25], corner)
 
         W[0:1, 0:1] = corner[:, None]
         W[0:1, 1:17] = above16[None]
@@ -379,6 +400,9 @@ def _build_kernel(N: int, maxv: int, dcv: int):
         cab = _sh(cb2[:], s_ab)
         ccn = _sh(jnp.concatenate([cb3[7:8], cb3[15:16]], axis=0), s_cn)
         clf = _sh(cr1[:], s_lf)
+        if banded:
+            cab = jnp.where(hmask, hb[25:41], cab)
+            ccn = jnp.where(hmask, hb[41:43], ccn)
         ocs = []
         for ci in range(2):
             pc = _pred_chroma(cmode, cab[8 * ci:8 * ci + 8],
@@ -453,7 +477,7 @@ def lane_geometry(mb_w: int, mb_h: int, F: int, Fi: int = 0):
 def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
                           bitdepth: int = 8, interpret=None,
                           return_tiles: bool = False, has_pcm: bool = True,
-                          raw_tiles: bool = False):
+                          raw_tiles: bool = False, banded: bool = False):
     """Returns recon(syntax [F,n,...], y_resid [F,n,16,16],
     c_resid [F,n,2,8,8]) -> (y [F,H,W], cb, cr) uint8 planes.
 
@@ -477,7 +501,7 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
     d_of = jnp.asarray(d_of_np)
     k_of = jnp.asarray(k_of_np)
 
-    kernel = _build_kernel(N, maxv, dcv)
+    kernel = _build_kernel(N, maxv, dcv, banded)
     vmem = pltpu.VMEM
 
     def im_step(f, d, sref):
@@ -509,7 +533,8 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
             pl.BlockSpec((16, 256), im_const, memory_space=vmem),
             pl.BlockSpec((256, 1), im_const, memory_space=vmem),
             pl.BlockSpec((256, 1), im_const, memory_space=vmem),
-        ],
+        ] + ([pl.BlockSpec((1, HALO_ROWS, N), lambda f, d, s: (d, 0, 0),
+                           memory_space=vmem)] if banded else []),
         out_specs=[
             pl.BlockSpec((1, 1, 256, N), im_step, memory_space=vmem),
             pl.BlockSpec((1, 1, 16, 8, N), im_step5, memory_space=vmem),
@@ -550,9 +575,10 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
         G = Zarr[:, lane_tbl_j]                  # (R, Fo, n_diag, N)
         return jnp.transpose(G, (1, 2, 0, 3))
 
-    def recon(s, y_resid, c_resid):
+    def recon(s, y_resid, c_resid, halo=None):
         """y_resid: (256, F*n) int32 z-row columns (fast path) or
-        [F, n, 16, 16] spatial tiles (converted); c_resid [F,n,2,8,8]."""
+        [F, n, 16, 16] spatial tiles (converted); c_resid [F,n,2,8,8];
+        halo (banded mode): [n_diag, HALO_ROWS, N] int32 apron blocks."""
         if y_resid.ndim == 4:
             # storage-row order is per-kind: 4x4 z-blocks vs I8 quadrants
             sp = y_resid.reshape(F * n, 256)
@@ -589,7 +615,9 @@ def make_gop_recon_pallas(mb_w: int, mb_h: int, F: int, Fi: int = 0,
         mats_j = [jnp.asarray(mats[k]) for k in
                   ("M4", "R4", "S4", "M8", "R8", "S8", "MF1", "MF0",
                    "SELV", "SELH", "XSZ", "YSZ")]
-        ty, tc = pallas_fn(jnp.asarray(shifts), meta, yres, cres, *mats_j)
+        extra = (halo,) if banded else ()
+        ty, tc = pallas_fn(jnp.asarray(shifts), meta, yres, cres,
+                           *mats_j, *extra)
         if raw_tiles:
             return ty, tc
         ty = _unpack_lanes(ty, F, Fi, Kpad)          # [F, n_diag, Kpad, 256]

@@ -58,7 +58,8 @@ def _frame_recon_fn(mb_w: int, mb_h: int, deblock: bool = False):
 
 def make_gop_recon_fn(mesh: Mesh, mb_w: int, mb_h: int, axis: str = "gop"):
     """jitted fn: stacked syntax [F,...] (F divisible by mesh axis size)
-    -> (y[F,H,W], cb, cr), frames sharded over `axis`."""
+    -> (y[F,H,W], cb, cr), frames sharded over `axis`.  Portable XLA-scan
+    formulation (the Pallas shard path is make_gop_recon_pallas_sharded)."""
     recon_one = _frame_recon_fn(mb_w, mb_h)
 
     def local(s):  # s: local shard [F_local, ...]
@@ -71,7 +72,37 @@ def make_gop_recon_fn(mesh: Mesh, mb_w: int, mb_h: int, axis: str = "gop"):
     return jax.jit(fn)
 
 
-def decode_gop_sharded(fs_list, mesh: Mesh, axis: str = "gop"):
+@lru_cache(maxsize=None)
+def make_gop_recon_pallas_sharded(mesh: Mesh, mb_w: int, mb_h: int,
+                                  F_local: int, axis: str = "gop"):
+    """jitted fn: stacked syntax [F,...] -> planes, frames sharded over
+    `axis`; every shard reconstructs its F_local frames with ONE launch
+    of the whole-GOP Pallas mega-kernel (kernels/pallas_wavefront.py)
+    instead of the per-diagonal XLA scan."""
+    from ..kernels.pallas_wavefront import (make_gop_recon_pallas,
+                                            stage_a_residuals)
+
+    recon = make_gop_recon_pallas(mb_w, mb_h, F_local)
+    n = mb_w * mb_h
+    ls4 = jnp.asarray(LS4_FLAT)
+    ls8 = jnp.asarray(LS8_FLAT)
+
+    def local(s):  # s: local shard [F_local, ...]
+        s, y_z, c_resid = stage_a_residuals(s, ls4, ls4, ls4, ls8,
+                                            F_local, n)
+        return recon(s, y_z, c_resid)
+
+    spec = P(axis)
+    # check_vma off: pallas_call outputs carry no varying-mesh-axes
+    # annotation; the gop axis is embarrassingly parallel (no collectives)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=({k: spec for k in SYNTAX_KEYS},),
+                       out_specs=(spec, spec, spec), check_vma=False)
+    return jax.jit(fn)
+
+
+def decode_gop_sharded(fs_list, mesh: Mesh, axis: str = "gop",
+                       use_pallas: bool = True):
     """Decode a list of FrameSyntax (same geometry) sharded over the mesh."""
     assert fs_list, "empty GOP"
     mb_w, mb_h = fs_list[0].mb_w, fs_list[0].mb_h
@@ -79,7 +110,11 @@ def decode_gop_sharded(fs_list, mesh: Mesh, axis: str = "gop"):
     pad = (-len(fs_list)) % n_dev
     padded = list(fs_list) + [fs_list[-1]] * pad
     stacked = stack_frames(padded)
-    fn = make_gop_recon_fn(mesh, mb_w, mb_h, axis)
+    if use_pallas:
+        fn = make_gop_recon_pallas_sharded(mesh, mb_w, mb_h,
+                                           len(padded) // n_dev, axis)
+    else:
+        fn = make_gop_recon_fn(mesh, mb_w, mb_h, axis)
     y, cb, cr = fn(stacked)
     F = len(fs_list)
     return np.asarray(y[:F]), np.asarray(cb[:F]), np.asarray(cr[:F])

@@ -29,9 +29,10 @@ def _sources(seed, mb_w, mb_h):
     return frame_at
 
 
-def _check(stream):
+def _check(stream, use_pallas=False):
     ref = decode_annexb(stream)
-    got = sorted(decode_annexb_device(stream), key=lambda f: f.poc)
+    got = sorted(decode_annexb_device(stream, use_pallas=use_pallas),
+                 key=lambda f: f.poc)
     assert len(ref) == len(got)
     for i, ((ry, rcb, rcr), f) in enumerate(zip(ref, got)):
         assert np.array_equal(ry, f.y), f"frame {i} luma"
@@ -40,7 +41,8 @@ def _check(stream):
 
 
 @pytest.mark.parametrize("deblock", [False, True])
-def test_device_ipb_sequence(deblock):
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_device_ipb_sequence(deblock, use_pallas):
     mb_w, mb_h = 6, 4
     frame_at = _sources(31, mb_w, mb_h)
     sps, pps = default_sps_pps(mb_w, mb_h, qp=28, poc_type=0, max_refs=2)
@@ -52,7 +54,7 @@ def test_device_ipb_sequence(deblock):
     ]
     stream = encode_sequence_annexb(sps, pps, frames,
                                     deblock_disable=0 if deblock else 1)
-    _check(stream)
+    _check(stream, use_pallas=use_pallas)
 
 
 def test_device_ipb_bench_fixture():

@@ -21,10 +21,11 @@ def frame_syntax():
     return pack_frame(mbs, sps, pps), golden
 
 
-def test_gop_sharded(frame_syntax):
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_gop_sharded(frame_syntax, use_pallas):
     fs, (gy, gcb, gcr) = frame_syntax
     mesh = make_mesh({"gop": 8})
-    ys, cbs, crs = decode_gop_sharded([fs] * 8, mesh)
+    ys, cbs, crs = decode_gop_sharded([fs] * 8, mesh, use_pallas=use_pallas)
     for i in range(8):
         assert np.array_equal(ys[i], gy)
         assert np.array_equal(cbs[i], gcb)
@@ -48,6 +49,25 @@ def test_2d_mesh(frame_syntax):
     fn = make_banded_frame_fn(mesh, fs.mb_w, fs.mb_h)
     y, cb, cr = fn(fs)
     assert np.array_equal(y, gy)
+    assert np.array_equal(cb, gcb)
+    assert np.array_equal(cr, gcr)
+
+
+@pytest.mark.parametrize("n_bands,Fi", [(2, 2), (4, 1)])
+def test_band_pipelined_pallas(frame_syntax, n_bands, Fi):
+    """Pipeline-parallel banded schedule: whole-band Pallas launches with
+    ppermute'd bottom-row halos, bit-exact vs the golden."""
+    from dryv_tpu.parallel.bands import make_banded_gop_pallas_fn
+
+    fs, (gy, gcb, gcr) = frame_syntax
+    mesh = make_mesh({"band": n_bands})
+    F = 4
+    run = make_banded_gop_pallas_fn(mesh, fs.mb_w, fs.mb_h, F, Fi=Fi)
+    y, cb, cr = run([fs] * F)
+    for f in range(F):
+        assert np.array_equal(y[f], gy)
+        assert np.array_equal(cb[f], gcb)
+        assert np.array_equal(cr[f], gcr)
 
 
 def test_graft_entry():
