@@ -180,18 +180,33 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             epoch += 1
         if (not h0.field_pic_flag and not sps.frame_mbs_only_flag
                 and sps.mb_adaptive_frame_field_flag):
-            # MBAFF picture: intra reconstruction (the upstream reference
-            # handles MBAFF at the entropy layer only and reconstructs
-            # nothing interlaced; inter MBAFF recon is a declared boundary)
-            from .refimpl.mbaff import recon_mbaff_intra
-            ym, cbm, crm = recon_mbaff_intra(sps, pps, mbs)
+            # MBAFF picture: full intra + inter (P/B) reconstruction with
+            # parity-mapped field reference lists (the upstream reference
+            # handles MBAFF at the entropy layer only — cabac/mod.rs:907-957
+            # — and reconstructs nothing interlaced)
+            from .refimpl.mbaff_inter import recon_mbaff_picture
+            poc = dpb.decode_poc(sps, h0, nal0)
+            dpb.build_ref_lists(sps, h0, poc)
+            ym, cbm, crm, mms = recon_mbaff_picture(
+                sps, pps, mbs, headers, dpb, stored, stored_ms, poc,
+                dpb._last_top, dpb._last_bottom)
             if any(h.deblocking is None or h.deblocking.disable_idc != 1
                    for h in headers):
-                raise NotImplementedError(
-                    "MBAFF in-loop deblocking (encode MBAFF streams with "
-                    "deblocking disabled)")
-            poc = dpb.decode_poc(sps, h0, nal0)
-            dpb.mark_and_store(sps, h0, nal0, poc)
+                from .refimpl.mbaff_deblock import deblock_mbaff_frame
+                deblock_mbaff_frame(ym, cbm, crm, mbs, mms, sps, pps,
+                                    headers, dpb)
+            pic = dpb.mark_and_store(sps, h0, nal0, poc)
+            if pic is not None:
+                stored[pic.frame_idx] = (ym, cbm, crm)
+                stored_ms[pic.frame_idx] = mms
+                live = {p.frame_idx for p in dpb.pictures}
+                stored = {k: v for k, v in stored.items() if k in live}
+                stored_ms = {k: v for k, v in stored_ms.items()
+                             if k in live}
+            if PIC_DEBUG_HOOK is not None:
+                PIC_DEBUG_HOOK("scalar", pic_idx, dict(
+                    ms=mms, mbs=mbs, y=ym, cb=cbm, cr=crm, poc=poc,
+                    headers=headers))
             frames.append(DecodedFrame(ym, cbm, crm, poc).crop(sps))
             order.append((epoch, poc))
             if max_frames and len(frames) >= max_frames + 16:
