@@ -296,12 +296,18 @@ class MbaffInterRecon(MbaffIntraRecon):
                                  int(mv[1]))
                 cbv = crv = None
                 if cat:
+                    # 8.4.1.4: 4:2:0 opposite-parity field reference
+                    # shifts the chroma vertical MV by +/- 2 quarter
+                    # samples (chroma siting differs between fields)
+                    cmvy = int(mv[1])
+                    if par is not None and par != (addr & 1) and cat == 1:
+                        cmvy += 2 if (addr & 1) else -2
                     cbv = chroma_interp(rcb, px_ // 2, py_ // suby,
                                         pw // 2, ph // suby, int(mv[0]),
-                                        int(mv[1]), suby)
+                                        cmvy, suby)
                     crv = chroma_interp(rcr, px_ // 2, py_ // suby,
                                         pw // 2, ph // suby, int(mv[0]),
-                                        int(mv[1]), suby)
+                                        cmvy, suby)
                 preds.append((which, ridx, fr_idx, par, yv, cbv, crv))
             accb = accr = None
             if len(preds) == 1:

@@ -51,26 +51,21 @@ def test_mbaff_intra_bit_exact(params):
     _check(bs)
 
 
-def test_mbaff_inter_entropy_syntax():
-    """P/B MBAFF entropy decode (mb_field inference on skipped pairs,
-    field-scaled mvd contexts) completes without desync across a full
-    x264 interlaced IPB sequence.  Reconstruction of inter MBAFF is a
-    declared boundary (the reference reconstructs no inter at all); a
-    CABAC context error here would corrupt the bin stream and blow up
-    within a few macroblocks, so clean completion over many slices is a
-    meaningful syntax-level check."""
-    from dryv_tpu.avc import split_annexb
-    from dryv_tpu.decoder import SyntaxDecoder, group_access_units
-
-    bs = encode_x264(_sources(6),
-                     x264_params="qp=30:interlaced=1:tff=1:bframes=2")
-    sd = SyntaxDecoder()
-    rest = sd.feed_parameter_sets(list(split_annexb(bs)))
-    pics = group_access_units(rest)
-    assert len(pics) == 6
-    for pic in pics:
-        sps, pps, mbs, headers = sd.decode_picture_syntax(pic)
-        assert all(m is not None for m in mbs)
+@pytest.mark.parametrize("params", [
+    "qp=30:interlaced=1:tff=1:bframes=2",           # IPB + deblock
+    "qp=30:interlaced=1:tff=1:nf=1:bframes=0",      # P only, no filter
+    "qp=26:interlaced=1:bff=1:bframes=3:b-pyramid=normal:ref=3",
+    "qp=35:interlaced=1:tff=1:8x8dct=0:bframes=1",  # 4x4 transform
+    "qp=22:interlaced=1:tff=1:bframes=2:deblock=2,-1",  # filter offsets
+], ids=["ipb", "p_nf", "pyramid_bff", "b4x4", "dblk_offsets"])
+def test_mbaff_inter_bit_exact(params):
+    """Full MBAFF P/B reconstruction + MBAFF deblocking, bit-exact vs
+    libavcodec (field-parity reference lists, scaled MV prediction,
+    spatial direct across frame/field pairs, implicit field weights,
+    mixed-edge boundary strengths).  This is the value-level oracle
+    check the round-2 review asked to replace the non-desync smoke test
+    with."""
+    _check(encode_x264(_sources(6), x264_params=params))
 
 
 def test_mbaff_inter_single_active_ref():
