@@ -29,6 +29,9 @@ class Picture:
     is_long_term: bool = False
     is_reference: bool = True
     frame_idx: int = 0  # decode-order index, keys the pixel store
+    # PAFF: which parities have been decoded as reference fields (a frame
+    # picture sets both; a field pair fills them one at a time)
+    field_ref: tuple = (True, True)
 
 
 class DecodedPictureBuffer:
@@ -216,6 +219,162 @@ class DecodedPictureBuffer:
                     del lst[i]
                     break
         return lst
+
+    # -- PAFF field reference lists (8.2.4.2.2/8.2.4.2.4/8.2.4.2.5) ------
+    def build_field_lists(self, sps: SPS, header: SliceHeader, poc: int):
+        """Reference lists for a coded FIELD: lists of (Picture, parity).
+
+        Frames order as for frame decoding (P: FrameNumWrap descending;
+        B: POC-partitioned), then each frame splits into its reference
+        fields in parity-alternating order starting with the current
+        field's parity (8.2.4.2.5)."""
+        st = header.slice_type
+        self.ref_list0 = []
+        self.ref_list1 = []
+        if st.is_intra:
+            return [], []
+        cur_par = int(header.bottom_field_flag)
+        max_fn = sps.max_frame_num
+        frames = [p for p in self.pictures
+                  if p.is_reference and not p.is_long_term
+                  and any(p.field_ref)]
+        for p in frames:
+            wrap = p.frame_num - max_fn if p.frame_num > header.frame_num \
+                else p.frame_num
+            p.pic_num = wrap  # FrameNumWrap (field PicNum derived below)
+        lt = [p for p in self.pictures
+              if p.is_reference and p.is_long_term and any(p.field_ref)]
+        lt = sorted(lt, key=lambda p: p.long_term_frame_idx)
+
+        def split(fl):
+            out = []
+            a, b = cur_par, 1 - cur_par
+            ia = [p for p in fl if p.field_ref[a]]
+            ib = [p for p in fl if p.field_ref[b]]
+            i = j = 0
+            while i < len(ia) or j < len(ib):
+                if i < len(ia):
+                    out.append((ia[i], a))
+                    i += 1
+                if j < len(ib):
+                    out.append((ib[j], b))
+                    j += 1
+            return out
+
+        if st.is_predictive:
+            order = sorted(frames, key=lambda p: -p.pic_num)
+            l0 = split(order) + split(lt)
+            l1 = []
+        else:
+            before = sorted((p for p in frames if p.pic_order_cnt <= poc),
+                            key=lambda p: -p.pic_order_cnt)
+            after = sorted((p for p in frames if p.pic_order_cnt > poc),
+                           key=lambda p: p.pic_order_cnt)
+            l0 = split(before + after) + split(lt)
+            l1 = split(after + before) + split(lt)
+            if len(l1) > 1 and l0[:len(l1)] == l1[:len(l0)]:
+                l1[0], l1[1] = l1[1], l1[0]
+        l0 = self._modify_field_list(l0, header.ref_pic_list_modification_l0,
+                                     sps, header, cur_par)
+        if st == SliceType.B:
+            l1 = self._modify_field_list(
+                l1, header.ref_pic_list_modification_l1, sps, header,
+                cur_par)
+        l0 = l0[:header.num_ref_idx_l0_active_minus1 + 1]
+        if st == SliceType.B:
+            l1 = l1[:header.num_ref_idx_l1_active_minus1 + 1]
+        return l0, l1
+
+    def _modify_field_list(self, lst, mods, sps: SPS, header: SliceHeader,
+                           cur_par: int):
+        """8.2.4.3 with field picture numbers: MaxPicNum = 2*MaxFrameNum,
+        CurrPicNum = 2*frame_num + 1, field PicNum = 2*FrameNumWrap +
+        (1 if same parity else 0)."""
+        if not mods:
+            return lst
+        lst = list(lst)
+        max_pic_num = 2 * sps.max_frame_num
+        curr_pic_num = 2 * header.frame_num + 1
+        pred = curr_pic_num
+        ref_idx = 0
+        for m in mods:
+            if m.idc in (0, 1):
+                diff = m.value + 1
+                if m.idc == 0:
+                    pred -= diff
+                    if pred < 0:
+                        pred += max_pic_num
+                else:
+                    pred += diff
+                    if pred >= max_pic_num:
+                        pred -= max_pic_num
+                pic_num = pred
+                if pic_num > curr_pic_num:
+                    pic_num -= max_pic_num
+                # field PicNum -> (FrameNumWrap, parity)
+                wrap, same = pic_num >> 1, pic_num & 1
+                par = cur_par if same else 1 - cur_par
+                target = next(
+                    ((p, par) for p in self.pictures
+                     if p.is_reference and not p.is_long_term
+                     and p.pic_num == wrap and p.field_ref[par]), None)
+            else:
+                raise NotImplementedError(
+                    "long-term field list modification")
+            if target is None:
+                continue
+            lst.insert(ref_idx, target)
+            ref_idx += 1
+            for i in range(ref_idx, len(lst)):
+                if lst[i] == target:
+                    del lst[i]
+                    break
+        return lst
+
+    def store_field(self, sps: SPS, header: SliceHeader, nal: NalUnit,
+                    poc: int):
+        """Marking for a coded field (8.2.5 field handling).
+
+        The second field of a complementary reference pair joins its
+        sibling's Picture; a first field opens a new entry (sliding
+        window runs then, counting frames)."""
+        idr = nal.type == NalUnitType.IDR_SLICE
+        par = int(header.bottom_field_flag)
+        if nal.ref_idc == 0:
+            self._decode_count += 1
+            return None
+        m = header.dec_ref_pic_marking
+        if m and m.adaptive_ref_pic_marking_mode_flag:
+            raise NotImplementedError("MMCO in field pictures")
+        if idr:
+            self.pictures.clear()
+            self.max_long_term_frame_idx = -1
+        else:
+            # second field of the pair?
+            if self.pictures:
+                last = self.pictures[-1]
+                if last.frame_num == header.frame_num \
+                        and not last.field_ref[par] \
+                        and last.frame_idx == self._decode_count - 1:
+                    fr = list(last.field_ref)
+                    fr[par] = True
+                    last.field_ref = tuple(fr)
+                    if par:
+                        last.bottom_field_order_cnt = poc
+                    else:
+                        last.top_field_order_cnt = poc
+                    last.pic_order_cnt = min(last.top_field_order_cnt,
+                                             last.bottom_field_order_cnt)
+                    self._decode_count += 1
+                    return last
+            self._sliding_window(sps)
+        pic = Picture(frame_num=header.frame_num, pic_order_cnt=poc,
+                      top_field_order_cnt=poc, bottom_field_order_cnt=poc,
+                      frame_idx=self._decode_count,
+                      field_ref=(par == 0, par == 1))
+        self._decode_count += 1
+        self.pictures.append(pic)
+        return pic
 
     # -- marking (spec 8.2.5; dpb.rs:415-589) ----------------------------
     def mark_and_store(self, sps: SPS, header: SliceHeader, nal: NalUnit,

@@ -164,6 +164,8 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     stored = {}  # frame_idx -> (y, cb, cr) uncropped
     stored_ms = {}  # frame_idx -> MotionState (B co-located motion)
     stored_maps = {}  # frame_idx -> (l0 keys, l1 keys) for temporal direct
+    stored_fields = {}  # (frame_idx, parity) -> field planes (PAFF refs)
+    stored_field_ms = {}  # (frame_idx, parity) -> field MotionState
     pending_field = None  # (bottom_flag, FrameRecon) awaiting its pair
     # Output (display) order is POC order within each IDR epoch — a later
     # coded picture may precede an earlier one in display order (e.g.
@@ -217,32 +219,106 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
             # decoded with the field column of the CABAC significance
             # maps; the two parities weave into one output frame.  The
             # upstream reference cannot decode any field-coded stream
-            # (its recon layer predates fields entirely); intra fields
-            # are fully supported here, inter fields (parity-aware
-            # reference lists) are a declared boundary.
-            if not all(h.slice_type.is_intra for h in headers):
-                raise NotImplementedError("inter-coded field pictures")
+            # (its recon layer predates fields entirely); intra AND inter
+            # (P/B) fields are supported here with parity-interleaved
+            # reference lists (8.2.4.2.5) and the 8.4.1.4 chroma MV
+            # adjustment for opposite-parity references.
+            from .refimpl.inter import (DirectCtx, ExplicitWP, ImplicitWP,
+                                        MotionState, recon_inter_mb)
+            parity = int(h0.bottom_field_flag)
             fh = sps.frame_height_in_mbs // 2
+            poc = dpb.decode_poc(sps, h0, nal0)
+            fl0 = fl1 = None
+            flists = (None, None)
+            cvoffs = (None, None)
+            dctx = wp = None
+            if not all(h.slice_type.is_intra for h in headers):
+                fl0, fl1 = dpb.build_field_lists(sps, h0, poc)
+                if not fl0:
+                    raise ValueError("P/B field without references")
+
+                def planes(fl):
+                    return [stored_fields[(p.frame_idx, par)]
+                            for p, par in fl]
+
+                def offs(fl):
+                    return [0 if par == parity else
+                            (2 if parity else -2) for p, par in fl]
+
+                def fpocs(fl):
+                    return [(p.bottom_field_order_cnt if par else
+                             p.top_field_order_cnt) for p, par in fl]
+
+                flists = (planes(fl0),
+                          planes(fl1) if fl1 else None)
+                cvoffs = (offs(fl0), offs(fl1) if fl1 else None)
+                st0 = h0.slice_type
+                if h0.pred_weight_table is not None and (
+                        (pps.weighted_pred_flag and st0 == SliceType.P) or
+                        (pps.weighted_bipred_idc == 1
+                         and st0 == SliceType.B)):
+                    wp = ExplicitWP(h0.pred_weight_table)
+                elif st0 == SliceType.B and pps.weighted_bipred_idc == 2:
+                    wp = ImplicitWP(poc, fpocs(fl0), fpocs(fl1),
+                                    [p.is_long_term for p, _ in fl0],
+                                    [p.is_long_term for p, _ in fl1])
+                if st0 == SliceType.B:
+                    if not fl1:
+                        raise ValueError("B field without list 1")
+                    if not h0.direct_spatial_mv_pred_flag:
+                        raise NotImplementedError(
+                            "temporal direct in field pictures")
+                    colp, colpar = fl1[0]
+                    dctx = DirectCtx(
+                        stored_field_ms[(colp.frame_idx, colpar)],
+                        not colp.is_long_term)
             recon = FrameRecon(sps, pps, mb_h=fh)
+            ms = MotionState(recon.mb_w, fh)
             for addr, mb in enumerate(mbs):
                 if mb is None:
                     raise ValueError(f"macroblock {addr} not covered")
-                recon.recon_mb(mb, addr, mb.slice_id)
+                if mb.kind in (MbKind.I_NXN, MbKind.I_16X16, MbKind.I_PCM,
+                               MbKind.SI):
+                    recon.recon_mb(mb, addr, mb.slice_id)
+                    ms.set_mb_intra(addr, mb.slice_id)
+                else:
+                    ref = flists[0][0]
+                    recon_inter_mb(recon, mb, addr, mb.slice_id, ms,
+                                   ref[0], ref[1], ref[2], flists[0],
+                                   flists[1], dctx, wp, cvoff=cvoffs)
             if any(h.deblocking is None or h.deblocking.disable_idc != 1
                    for h in headers):
                 from .refimpl.deblock import deblock_frame
-                from .refimpl.inter import MotionState as _MS
-                ms_f = _MS(recon.mb_w, fh)
-                for addr in range(len(mbs)):
-                    ms_f.set_mb_intra(addr)
-                deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms_f,
-                              sps, pps, headers)
-            parity = h0.bottom_field_flag
+
+                def _fkeys(fl, refarr):
+                    if not fl:
+                        return None
+                    keys = np.array([2 * p.frame_idx + par
+                                     for p, par in fl], np.int64)
+                    return np.where(refarr >= 0,
+                                    keys[np.clip(refarr, 0,
+                                                 len(keys) - 1)], -1)
+                ms.cur_sid = None
+                deblock_frame(recon.y, recon.cb, recon.cr, mbs, ms, sps,
+                              pps, headers, _fkeys(fl0, ms.ref),
+                              _fkeys(fl1, ms.ref1))
+            fpic = dpb.store_field(sps, h0, nal0, poc)
+            if fpic is not None:
+                stored_fields[(fpic.frame_idx, parity)] = \
+                    (recon.y, recon.cb, recon.cr)
+                ms.cur_sid = None
+                stored_field_ms[(fpic.frame_idx, parity)] = ms
+                live = {p.frame_idx for p in dpb.pictures}
+                stored_fields = {k: v for k, v in stored_fields.items()
+                                 if k[0] in live}
+                stored_field_ms = {k: v for k, v in
+                                   stored_field_ms.items()
+                                   if k[0] in live}
             if pending_field is None or pending_field[0] == parity:
-                pending_field = (parity, recon)
+                pending_field = (parity, recon, poc)
                 continue
             import numpy as _np
-            other_parity, other = pending_field
+            other_parity, other, other_poc = pending_field
             pending_field = None
             top = other if other_parity == 0 else recon
             bot = recon if other_parity == 0 else other
@@ -259,8 +335,9 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 cb[1::2] = bot.cb
                 cr[0::2] = top.cr
                 cr[1::2] = bot.cr
-            frames.append(DecodedFrame(y, cb, cr, len(frames)).crop(sps))
-            order.append((epoch, len(frames)))
+            frame_poc = min(poc, other_poc)
+            frames.append(DecodedFrame(y, cb, cr, frame_poc).crop(sps))
+            order.append((epoch, frame_poc))
             if max_frames and len(frames) >= max_frames + 16:
                 break
             continue

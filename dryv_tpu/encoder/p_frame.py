@@ -22,6 +22,7 @@ class SequenceEncoder:
     def __init__(self, sps, pps, qp: int, intra_policy=None,
                  deblock: bool = False):
         self.sps, self.pps, self.qp = sps, pps, qp
+        self._mb_h = None  # field encoding: half-height pictures
         self.enc = IntraEncoder(sps, pps, qp,
                                 mb_kind_policy=intra_policy or
                                 (lambda a: ["i16", "i4"][a % 2]))
@@ -141,7 +142,7 @@ class SequenceEncoder:
         self._wp = ExplicitWP(wp_table) if wp_table is not None else None
         if poc is None:
             poc = (max(self.ref_pocs) + 2) if self.ref_pocs else 0
-        R = FrameRecon(sps, pps)
+        R = FrameRecon(sps, pps, mb_h=self._mb_h)
         self.enc.recon = R
         self.enc.q.recon = R
         ms = MotionState(R.mb_w, R.mb_h)
@@ -255,7 +256,7 @@ class SequenceEncoder:
         else:
             wp = None
         self._wp = wp
-        R = FrameRecon(sps, pps)
+        R = FrameRecon(sps, pps, mb_h=self._mb_h)
         self.enc.recon = R
         self.enc.q.recon = R
         ms = MotionState(R.mb_w, R.mb_h)
@@ -305,13 +306,15 @@ class SequenceEncoder:
             if mode == "skip":
                 mb.kind = MbKind.B_SKIP
                 recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
-                               l1_list, dctx, wp)
+                               l1_list, dctx, wp,
+                               cvoff=getattr(self, "_cvoff", None))
             elif mode == "direct":
                 mb.kind = MbKind.B_DIRECT
                 mb.mb_type_code = 0
                 self._code_luma_resid(mb, src, dpred)
                 recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
-                               l1_list, dctx, wp)
+                               l1_list, dctx, wp,
+                               cvoff=getattr(self, "_cvoff", None))
             elif mode in ("l0", "l1", "bi"):
                 mb.kind = MbKind.B
                 mb.mb_type_code = {"l0": 1, "l1": 2, "bi": 3}[mode]
@@ -329,7 +332,8 @@ class SequenceEncoder:
                 pred = {"l0": p0, "l1": p1, "bi": bi}[mode]
                 self._code_luma_resid(mb, src, pred)
                 recon_inter_mb(R, mb, addr, 0, ms, *l0p, l0_list,
-                               l1_list, dctx, wp)
+                               l1_list, dctx, wp,
+                               cvoff=getattr(self, "_cvoff", None))
             elif mode in ("16x8", "8x16", "b8x8"):
                 self._encode_b_partitions(mb, addr, ms, mode, src_y,
                                           l0_list, l1_list, dctx, search)
@@ -529,7 +533,8 @@ class SequenceEncoder:
         mb.cbp = 0
         from ..refimpl.inter import recon_inter_mb
         recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs,
-                       wp=getattr(self, "_wp", None))
+                       wp=getattr(self, "_wp", None),
+                       cvoff=getattr(self, "_cvoff", None))
 
     def _recon_inter(self, mb, addr, ms, mv, src_y, code_resid: bool,
                      ref_idx: int = 0):
@@ -558,4 +563,5 @@ class SequenceEncoder:
                 mb.luma4[blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
             mb.cbp = cbp_luma  # chroma residual left zero for now
         recon_inter_mb(R, mb, addr, 0, ms, *self.refs[0], self.refs,
-                       wp=getattr(self, "_wp", None))
+                       wp=getattr(self, "_wp", None),
+                       cvoff=getattr(self, "_cvoff", None))

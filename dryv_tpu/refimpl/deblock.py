@@ -164,9 +164,12 @@ class _PicInfo:
             out.append((int(self.ref1[by, bx]), self.mv1[by, bx]))
         return out
 
-    @staticmethod
-    def _mv_far(a, b) -> bool:
-        return int(np.abs(a - b).max()) >= 4
+    def _mv_far(self, a, b) -> bool:
+        # vertical threshold is 2 quarter-samples (field units) in field
+        # pictures, 4 otherwise (8.7.2.1)
+        mvy_lim = 2 if self.field else 4
+        return (abs(int(a[0] - b[0])) >= 4
+                or abs(int(a[1] - b[1])) >= mvy_lim)
 
     def bs(self, bpy, bpx, bqy, bqx, mb_edge: bool,
            vertical: bool = True) -> int:

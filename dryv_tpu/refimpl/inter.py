@@ -509,13 +509,17 @@ def _partitions(mb: MBState):
 
 def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
                    ms: MotionState, ref_y, ref_cb, ref_cr, ref_list=None,
-                   ref_list1=None, direct_ctx: DirectCtx = None, wp=None):
+                   ref_list1=None, direct_ctx: DirectCtx = None, wp=None,
+                   cvoff=None):
     """Reconstruct a P/B inter MB (skip / direct / 16x16 / 16x8 / 8x16 /
     8x8 sub-partitions; L0 / L1 / bi-predictive) with quarter-pel MC.
 
     ref_y/cb/cr: reference list 0 entry 0 planes; ref_list/ref_list1:
     lists of (y, cb, cr) tuples; direct_ctx: co-located motion for B
-    spatial direct; wp: ExplicitWP / ImplicitWP weighted prediction."""
+    spatial direct; wp: ExplicitWP / ImplicitWP weighted prediction;
+    cvoff: optional (per_l0, per_l1) vertical chroma MV offsets per ref
+    index in quarter luma samples — the 8.4.1.4 +/-2 adjustment for
+    opposite-parity field references in field pictures."""
     from .transform import dequant_idct_4x4, dequant_idct_8x8, \
         idct_chroma_dc, qpc_from_qpy
     from .recon import dezigzag4, dezigzag8
@@ -552,11 +556,14 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
             yv = luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
             cbv = crv = None
             if cat:
+                cmvy = int(mv[1])
+                if cvoff is not None:
+                    cmvy += int(cvoff[which][ridx])
                 cbv = chroma_interp(rcb, px // 2, py // suby, pw // 2,
-                                    ph // suby, int(mv[0]), int(mv[1]),
+                                    ph // suby, int(mv[0]), cmvy,
                                     suby)
                 crv = chroma_interp(rcr, px // 2, py // suby, pw // 2,
-                                    ph // suby, int(mv[0]), int(mv[1]),
+                                    ph // suby, int(mv[0]), cmvy,
                                     suby)
             preds.append((which, ridx, yv, cbv, crv))
         accb = accr = None

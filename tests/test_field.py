@@ -50,3 +50,40 @@ def test_paff_intra_bit_exact(t8, policy, qp, deblock):
         assert np.array_equal(f.y, gy)
         assert np.array_equal(f.cb, gcb)
         assert np.array_equal(f.cr, gcr)
+
+
+# -- PAFF inter (P/B field pictures) -----------------------------------
+# The reference cannot decode ANY field-coded stream; this is
+# beyond-reference coverage.  Field reference lists follow 8.2.4.2.5
+# (parity-interleaved split of the frame ordering) and motion
+# compensation applies the 8.4.1.4 chroma MV adjustment (+/-2 quarter
+# samples) for opposite-parity references.  Deblocking uses the
+# field-picture vertical MV threshold of 2 quarter samples (8.7.2.1).
+
+def _paff_ipb(mb_w, mb_h, qp, b_fields, deblock, n_frames=4, seed=13):
+    from dryv_tpu.encoder.field_seq import encode_paff_ipb_annexb
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp)
+    sps.frame_mbs_only_flag = 0
+    sps.pic_height_in_map_units_minus1 = mb_h // 2 - 1
+    srcs = [make_source(mb_w, mb_h, seed=seed + i) for i in range(n_frames)]
+    stream = encode_paff_ipb_annexb(sps, pps, srcs, qp,
+                                    b_fields=b_fields, deblock=deblock)
+    return stream, n_frames
+
+
+@pytest.mark.parametrize("b_fields,deblock,qp", [
+    (False, False, 27),   # IDR + P fields
+    (False, True, 30),    # P fields through the in-loop filter
+    (True, False, 27),    # B fields (parity-interleaved list1, direct)
+    (True, True, 29),     # B fields + deblock (field bS thresholds)
+])
+def test_paff_inter_bit_exact(b_fields, deblock, qp):
+    stream, n_frames = _paff_ipb(6, 4, qp, b_fields, deblock)
+    goldens = oracle_decode(stream)
+    assert len(goldens) == n_frames
+    frames = decode_annexb_scalar(stream)
+    assert len(frames) == n_frames
+    for i, (f, (gy, gcb, gcr)) in enumerate(zip(frames, goldens)):
+        assert np.array_equal(f.y, gy), f"frame {i} luma"
+        assert np.array_equal(f.cb, gcb), f"frame {i} cb"
+        assert np.array_equal(f.cr, gcr), f"frame {i} cr"
