@@ -153,22 +153,230 @@ def _gop_supported(sps, pps, headers) -> bool:
             and not pps.pic_scaling_matrix_present_flag)
 
 
+# ---------------------------------------------------------------------------
+# packed host->device ABI: ONE int16 buffer + ONE uint8 buffer per batch.
+#
+# A remote TPU (the dev rig tunnels the device over a network link) pays a
+# large fixed cost per transfer: shipping the compact dict as 16-32
+# individual arrays costs ~115 ms/frame where the raw bytes need ~13 ms.
+# Packing everything into two contiguous buffers makes the transfer
+# bandwidth-bound, and moving the derived quantities (qp_cb/qp_cr, the
+# slice-availability masks, the deblock edge parameters) onto the device
+# removes another ~120 ms/frame of host precompute + transfer.
+# ---------------------------------------------------------------------------
+
+I16_STRIDE = 408    # luma_lv 256 | luma_dc 16 | chroma_dc 8 | chroma_ac 128
+U8_STRIDE = 29      # kind qp_y i16_mode chroma_mode | modes4 16 | modes8 4
+                    # | sid_lo sid_hi | dis offa+12 offb+12
+
+
+def alloc_packed(F: int, n: int):
+    return (np.zeros((F, n, I16_STRIDE), np.int16),
+            np.zeros((F, n, U8_STRIDE), np.uint8))
+
+
+# --- bitmap coefficient encoding -------------------------------------------
+#
+# The dense [F, n, 408] int16 coefficient buffer is ~97% zeros on typical
+# streams; over a low-bandwidth link (the dev rig's tunneled TPU moves
+# ~0.1-0.5 GB/s and does not compress) shipping it raw costs more than the
+# entropy decode itself.  Encode instead as:
+#   bmp  u8 [F, 51*n]   nonzero-position bitmap (bitorder little)
+#   vals i8 [F, cap]    nonzero values in flat order, clipped to +/-127
+#   exc_idx i32 / exc_delta i16 [F, ecap]   rare |v|>127 corrections
+# = ~1 MB/frame at QP30 vs 6.7 dense.  The device rebuilds the dense
+# buffer with a cumsum-rank gather (no scatter on the hot path).
+
+def _round_cap(x, q):
+    return max(q, (int(x) + q - 1) & ~(q - 1))
+
+
+def fill_dense_frame(dst, out: dict, n: int) -> bool:
+    """One picture's coefficients from the entropy arena into the
+    [n, 408] int16 layout.  Returns True on PCM (caller falls back)."""
+    kind = out["kind"]
+    if bool((kind == KIND_PCM).any()):
+        return True
+    lv = dst[:, :256]
+    np.copyto(lv, out["luma4"].reshape(n, 256), casting="unsafe")
+    i8_rows = np.nonzero(kind == 1)[0]                 # KIND_I8
+    if i8_rows.size:
+        lv[i8_rows] = out["luma8"].reshape(n, 256)[i8_rows]
+    np.copyto(dst[:, 256:272], out["luma_dc"].reshape(n, 16),
+              casting="unsafe")
+    np.copyto(dst[:, 272:280],
+              np.ascontiguousarray(out["chroma_dc"][:, :, :4]).reshape(n, 8),
+              casting="unsafe")
+    np.copyto(dst[:, 280:408],
+              np.ascontiguousarray(out["chroma_ac"][:, :, :4, :])
+              .reshape(n, 128), casting="unsafe")
+    return False
+
+
+def fill_meta_slot(u8, i: int, out: dict, headers, pps) -> None:
+    """One picture's per-MB metadata into batch slot i of the u8 buffer."""
+    s = u8[i]
+    s[:, 0] = out["kind"]
+    s[:, 1] = out["qp_y"]
+    s[:, 2] = out["i16_mode"]
+    s[:, 3] = out["chroma_mode"]
+    s[:, 4:20] = out["modes4"]
+    s[:, 20:24] = out["modes8"]
+    sid = out["slice_id"].astype(np.int64)
+    s[:, 24] = sid & 0xFF
+    s[:, 25] = (sid >> 8) & 0xFF
+    ctl = np.asarray([(1, 0, 0) if h.deblocking is not None
+                      and h.deblocking.disable_idc == 1 else
+                      (0, 0, 0) if h.deblocking is None else
+                      (h.deblocking.disable_idc,
+                       h.deblocking.alpha_c0_offset_div2 * 2,
+                       h.deblocking.beta_offset_div2 * 2)
+                      for h in headers], np.int64)
+    s[:, 26] = ctl[sid, 0]
+    s[:, 27] = ctl[sid, 1] + 12
+    s[:, 28] = ctl[sid, 2] + 12
+
+
+def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
+                        chroma_off0: int, chroma_off1: int, cap: int,
+                        ecap: int, interpret=None):
+    """jit((bmp [F,51n] u8, vals [F,cap] i8, exc_idx [F,ecap] i32,
+    exc_delta [F,ecap] i16, u8meta [F,n,29], ls4y, ls4cb, ls4cr, ls8y))
+    -> (y, cb, cr) uint8 [F,H,W] planes.  Coefficient densify, derived
+    syntax (qp_c, slice availability), and the deblock edge parameters
+    are all computed on device; the host ships ~1 MB/frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from .kernels.deblock import deblock_precompute_intra_jax
+    from .kernels.pallas_deblock import make_gop_pipeline_deblock_pallas
+    from .kernels.pallas_wavefront import make_gop_pipeline_pallas
+    from .refimpl.transform import QPC_TAB
+
+    n = mb_w * mb_h
+    S = n * I16_STRIDE
+    qpc_tab = jnp.asarray(QPC_TAB, jnp.int32)
+    if deblocked:
+        inner = make_gop_pipeline_deblock_pallas(mb_w, mb_h, F,
+                                                 has_pcm=False,
+                                                 interpret=interpret)
+    else:
+        inner = make_gop_pipeline_pallas(mb_w, mb_h, F, has_pcm=False,
+                                         interpret=interpret)
+
+    def qpc_vec(qp, off):
+        qpi = jnp.clip(qp + off, 0, 51)
+        return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
+
+    def run(bmp, vals, exc_idx, exc_delta, u8, ls4y, ls4cb, ls4cr, ls8y):
+        # densify the bitmap coefficient stream: rank-gather, no scatter
+        bits = ((bmp[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+        bits = bits.reshape(F, S).astype(jnp.int32)
+        rank = jnp.cumsum(bits, axis=1) - 1
+
+        def densify_one(v_f, r_f, b_f, ei_f, ed_f):
+            d = jnp.where(b_f != 0, v_f.astype(jnp.int16)[r_f],
+                          jnp.int16(0))
+            return d.at[ei_f].add(ed_f)   # |v|>127 corrections (pad: +0@0)
+
+        i16 = jax.vmap(densify_one)(vals, rank, bits, exc_idx, exc_delta)
+        i16 = i16.reshape(F, n, I16_STRIDE)
+        qp_y = u8[:, :, 1].astype(jnp.int32)
+        sid = (u8[:, :, 24].astype(jnp.int32)
+               | (u8[:, :, 25].astype(jnp.int32) << 8))
+        sid2 = sid.reshape(F, mb_h, mb_w)
+        # shifted-neighbor slice-id grids (-9 = outside the picture):
+        # a neighbor is available iff it exists and shares the slice
+        neg = jnp.full((F, mb_h, mb_w), -9, jnp.int32)
+        nb_a = neg.at[:, :, 1:].set(sid2[:, :, :-1])
+        nb_b = neg.at[:, 1:, :].set(sid2[:, :-1, :])
+        nb_c = neg.at[:, 1:, :-1].set(sid2[:, :-1, 1:])
+        nb_d = neg.at[:, 1:, 1:].set(sid2[:, :-1, :-1])
+
+        s = {
+            "kind": u8[:, :, 0],
+            "qp_y": u8[:, :, 1],
+            "qp_cb": qpc_vec(qp_y, chroma_off0),
+            "qp_cr": qpc_vec(qp_y, chroma_off1),
+            "i16_mode": u8[:, :, 2],
+            "chroma_mode": u8[:, :, 3],
+            "modes4": u8[:, :, 4:20],
+            "modes8": u8[:, :, 20:24],
+            "avail_a": (nb_a == sid2).reshape(F, n),
+            "avail_b": (nb_b == sid2).reshape(F, n),
+            "avail_c": (nb_c == sid2).reshape(F, n),
+            "avail_d": (nb_d == sid2).reshape(F, n),
+            "luma_lv": i16[:, :, :256],
+            "luma_dc": i16[:, :, 256:272],
+            "chroma_dc": i16[:, :, 272:280],
+            "chroma_ac": i16[:, :, 280:408],
+        }
+        if not deblocked:
+            return inner.__wrapped__(s, ls4y, ls4cb, ls4cr, ls8y)
+        dis = u8[:, :, 26].astype(jnp.int32)
+        offa = u8[:, :, 27].astype(jnp.int32) - 12
+        offb = u8[:, :, 28].astype(jnp.int32) - 12
+        pre = jax.vmap(
+            lambda k, q, si, d, oa, ob: deblock_precompute_intra_jax(
+                k, q, si, d, oa, ob, mb_w, mb_h, chroma_off0, chroma_off1)
+        )(s["kind"], qp_y, sid, dis, offa, offb)
+        return inner.__wrapped__(s, ls4y, ls4cb, ls4cr, ls8y, pre)
+
+    return jax.jit(run)
+
+
+_PACKED_FN_CACHE: dict = {}
+
+
+def make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1, cap, ecap,
+                       interpret=None):
+    key = (mb_w, mb_h, F, deblocked, c0, c1, cap, ecap, interpret)
+    fn = _PACKED_FN_CACHE.get(key)
+    if fn is None:
+        fn = _PACKED_FN_CACHE[key] = _make_packed_gop_fn(
+            mb_w, mb_h, F, deblocked, c0, c1, cap, ecap, interpret)
+    return fn
+
+
+_SPLIT_FN_CACHE: dict = {}
+
+
+def _split_gop(r, F):
+    """Split stacked [F, H, W] planes into per-frame views with ONE
+    device dispatch (per-frame eager slicing costs a round trip each on
+    a remote device)."""
+    import jax
+    fn = _SPLIT_FN_CACHE.get(F)
+    if fn is None:
+        def split(y, cb, cr):
+            return ([y[i] for i in range(F)], [cb[i] for i in range(F)],
+                    [cr[i] for i in range(F)])
+        fn = _SPLIT_FN_CACHE[F] = jax.jit(split)
+    return fn(*r)
+
+
 def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                                 n_threads: int = 0, device_out: bool = False,
                                 interpret=None):
     """Decode an Annex-B all-intra stream with the batched device pipeline.
+
+    Steady state per batch of `gop` pictures: the C++ slice-parallel
+    entropy stage fills one packed int16 + one packed uint8 host buffer
+    (double-buffered), a background thread ships them to the device (the
+    transfer overlaps the next batch's entropy decode), and one jitted
+    program unpacks, derives qp_c/availability/deblock-edge parameters,
+    and runs the whole-GOP Pallas wavefront (+ Pallas deblock).
 
     Returns a list of DecodedFrame (host planes), or, with
     device_out=True, a list of (y, cb, cr) device arrays (uncropped) for
     TPU-resident consumers.  Streams outside the batched scope (inter,
     non-4:2:0, lossless, FMO, CAVLC, custom scaling matrices) fall back
     to the per-picture paths."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     from .decoder import DecodedFrame
-    from .kernels.deblock import deblock_precompute_intra, PRE_KEYS
-    from .kernels.pallas_deblock import make_gop_pipeline_deblock_pallas
-    from .kernels.pallas_wavefront import make_gop_pipeline_pallas
     from .kernels.transform import LS4_FLAT, LS8_FLAT
     from .native.entropy import decode_picture_islices
 
@@ -180,11 +388,13 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
 
     mb_w, mb_h = sps.pic_width_in_mbs, sps.frame_height_in_mbs
     n = mb_w * mb_h
+    S = n * I16_STRIDE
     F = gop
     deblocked = any(h.deblocking is None or h.deblocking.disable_idc != 1
                     for _, hs in pics for h in hs)
     ls = [jnp.asarray(LS4_FLAT)] * 3 + [jnp.asarray(LS8_FLAT)]
-    off1 = pps.second_chroma_qp_offset
+    c0 = pps.chroma_qp_index_offset
+    c1 = pps.second_chroma_qp_offset
 
     results = []
     pending = None
@@ -192,7 +402,7 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     def harvest(p):
         (y, cb, cr), nf = p
         if device_out:
-            results.extend([(y[i], cb[i], cr[i]) for i in range(nf)])
+            results.extend(list(zip(y[:nf], cb[:nf], cr[:nf])))
         else:
             ys = np.asarray(y)
             cbs = np.asarray(cb)
@@ -201,43 +411,146 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                 results.append(DecodedFrame(ys[i], cbs[i], crs[i])
                                .crop(sps))
 
-    for b0 in range(0, len(pics), F):
-        batch = pics[b0:b0 + F]
-        buf = alloc_compact(F, n)
-        pre = ({k: None for k in PRE_KEYS} if deblocked else None)
-        pre_list = []
-        has_pcm = False
-        for i, (slice_datas, headers) in enumerate(batch):
-            out = decode_picture_islices(slice_datas, sps, pps,
-                                         n_threads=n_threads, reuse=True)
-            has_pcm |= fill_compact_slot(buf, i, out, pps, mb_w, mb_h)
-            if deblocked:
-                ctl = [(0, 0, 0) if h.deblocking is None else
-                       (h.deblocking.disable_idc,
-                        h.deblocking.alpha_c0_offset_div2 * 2,
-                        h.deblocking.beta_offset_div2 * 2) for h in headers]
-                pre_list.append(deblock_precompute_intra(
-                    buf["kind"][i], buf["qp_y"][i], out["slice_id"], ctl,
-                    mb_w, mb_h, pps.chroma_qp_index_offset, off1))
-        # pad the tail batch by replicating the last picture's slot
-        for i in range(len(batch), F):
-            for v in buf.values():
-                v[i] = v[len(batch) - 1]
-            if deblocked:
-                pre_list.append(pre_list[-1])
-        stacked = {k: jnp.asarray(v) for k, v in buf.items()}   # H2D
-        if deblocked:
-            pre = {k: jnp.asarray(np.stack([p[k] for p in pre_list]))
-                   for k in PRE_KEYS}
-            fn = make_gop_pipeline_deblock_pallas(
-                mb_w, mb_h, F, has_pcm=has_pcm, interpret=interpret)
-            r = fn(stacked, *ls, pre)
-        else:
-            fn = make_gop_pipeline_pallas(mb_w, mb_h, F, has_pcm=has_pcm,
-                                          interpret=interpret)
-            r = fn(stacked, *ls)
-        if pending is not None:
-            harvest(pending)
-        pending = (r, len(batch))
+    def run_batch(arrs, cap, ecap):
+        fn = make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1,
+                                cap, ecap, interpret)
+        r = fn(*arrs, *ls)
+        return _split_gop(r, F) if device_out else r
+
+    # double-buffered host staging (a background thread ships batch k
+    # while the main thread entropy-decodes batch k+1)
+    bufs = [(np.zeros((F, S // 8), np.uint8),          # nonzero bitmap
+             np.zeros((F, n, U8_STRIDE), np.uint8))    # per-MB metadata
+            for _ in range(2)]
+    dense_tmp = np.zeros((n, I16_STRIDE), np.int16)
+    cap = ecap = 0          # sticky caps: grow, never shrink (one
+                            # compile per growth, not per batch)
+    batches = [pics[b0:b0 + F] for b0 in range(0, len(pics), F)]
+    fut = None              # in-flight H2D of the previous batch
+    fut_nf = 0
+    cur = 0
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        def flush(new_pending):
+            nonlocal pending, fut
+            if fut is not None:
+                arrs, c_, e_ = fut.result()
+                r = run_batch(arrs, c_, e_)
+                if pending is not None:
+                    harvest(pending)
+                pending = (r, fut_nf)
+                fut = None
+            if new_pending is not None:
+                if pending is not None:
+                    harvest(pending)
+                pending = new_pending
+
+        for batch in batches:
+            bmp, u8 = bufs[cur]
+            has_pcm = False
+            vals_l = []
+            exc_l = []
+            for i, (slice_datas, headers) in enumerate(batch):
+                out = decode_picture_islices(slice_datas, sps, pps,
+                                             n_threads=n_threads,
+                                             reuse=True)
+                dense_tmp[:] = 0
+                if fill_dense_frame(dense_tmp, out, n):
+                    has_pcm = True
+                    break
+                fill_meta_slot(u8, i, out, headers, pps)
+                flat = dense_tmp.reshape(-1)
+                mask = flat != 0
+                bmp[i] = np.packbits(mask, bitorder="little")
+                v = flat[np.flatnonzero(mask)]
+                vals_l.append(np.clip(v, -127, 127).astype(np.int8))
+                big = np.flatnonzero((v > 127) | (v < -127))
+                if big.size:
+                    idx = np.flatnonzero(mask)[big].astype(np.int32)
+                    delta = (v[big].astype(np.int32)
+                             - np.clip(v[big], -127, 127)).astype(np.int16)
+                    exc_l.append((idx, delta))
+                else:
+                    exc_l.append((np.empty(0, np.int32),
+                                  np.empty(0, np.int16)))
+            if has_pcm:
+                # PCM payloads ride the legacy per-batch path (x264 never
+                # emits PCM; this keeps the hot ABI lean)
+                r = _decode_batch_legacy(batch, sps, pps, mb_w, mb_h, F,
+                                         deblocked, n_threads, interpret,
+                                         ls)
+                flush((_split_gop(r, F) if device_out else r, len(batch)))
+                continue
+            # pad the tail batch by replicating the last picture's slot
+            for i in range(len(batch), F):
+                bmp[i] = bmp[len(batch) - 1]
+                u8[i] = u8[len(batch) - 1]
+                vals_l.append(vals_l[-1])
+                exc_l.append(exc_l[-1])
+            cap = max(cap, _round_cap(max(len(v) for v in vals_l), 8192))
+            ecap = max(ecap, _round_cap(max(len(e[0]) for e in exc_l), 256))
+            vals = np.zeros((F, cap), np.int8)
+            exc_idx = np.zeros((F, ecap), np.int32)
+            exc_delta = np.zeros((F, ecap), np.int16)
+            for i in range(F):
+                vals[i, :len(vals_l[i])] = vals_l[i]
+                ei, ed = exc_l[i]
+                exc_idx[i, :len(ei)] = ei
+                exc_delta[i, :len(ed)] = ed
+            flush(None)     # dispatch the previous batch first
+
+            def ship(a_bmp, a_vals, a_ei, a_ed, a_u8, c_, e_):
+                return ((jnp.asarray(a_bmp), jnp.asarray(a_vals),
+                         jnp.asarray(a_ei), jnp.asarray(a_ed),
+                         jnp.asarray(a_u8)), c_, e_)
+
+            fut = pool.submit(ship, bmp, vals, exc_idx, exc_delta, u8,
+                              cap, ecap)
+            fut_nf = len(batch)
+            cur ^= 1
+        flush(None)
     harvest(pending)
     return results
+
+
+def _decode_batch_legacy(batch, sps, pps, mb_w, mb_h, F, deblocked,
+                         n_threads, interpret, ls):
+    """Unpacked compact-dict batch decode (PCM-capable, synchronous)."""
+    import jax.numpy as jnp
+
+    from .kernels.deblock import deblock_precompute_intra, PRE_KEYS
+    from .kernels.pallas_deblock import make_gop_pipeline_deblock_pallas
+    from .kernels.pallas_wavefront import make_gop_pipeline_pallas
+    from .native.entropy import decode_picture_islices
+
+    n = mb_w * mb_h
+    off1 = pps.second_chroma_qp_offset
+    buf = alloc_compact(F, n)
+    pre_list = []
+    has_pcm = False
+    for i, (slice_datas, headers) in enumerate(batch):
+        out = decode_picture_islices(slice_datas, sps, pps,
+                                     n_threads=n_threads, reuse=True)
+        has_pcm |= fill_compact_slot(buf, i, out, pps, mb_w, mb_h)
+        if deblocked:
+            ctl = [(0, 0, 0) if h.deblocking is None else
+                   (h.deblocking.disable_idc,
+                    h.deblocking.alpha_c0_offset_div2 * 2,
+                    h.deblocking.beta_offset_div2 * 2) for h in headers]
+            pre_list.append(deblock_precompute_intra(
+                buf["kind"][i], buf["qp_y"][i], out["slice_id"], ctl,
+                mb_w, mb_h, pps.chroma_qp_index_offset, off1))
+    for i in range(len(batch), F):
+        for v in buf.values():
+            v[i] = v[len(batch) - 1]
+        if deblocked:
+            pre_list.append(pre_list[-1])
+    stacked = {k: jnp.asarray(v) for k, v in buf.items()}
+    if deblocked:
+        pre = {k: jnp.asarray(np.stack([p[k] for p in pre_list]))
+               for k in PRE_KEYS}
+        fn = make_gop_pipeline_deblock_pallas(
+            mb_w, mb_h, F, has_pcm=has_pcm, interpret=interpret)
+        return fn(stacked, *ls, pre)
+    fn = make_gop_pipeline_pallas(mb_w, mb_h, F, has_pcm=has_pcm,
+                                  interpret=interpret)
+    return fn(stacked, *ls)

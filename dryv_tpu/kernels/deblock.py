@@ -255,6 +255,124 @@ deblock_precompute_intra = deblock_precompute
 
 
 # ---------------------------------------------------------------------------
+# device precompute: the all-intra specialization of deblock_precompute,
+# in jax.numpy so it runs ON the device inside the jitted GOP pipeline.
+# Host precompute + its own H2D cost ~120 ms/frame through a remote-device
+# tunnel; on-device it is a handful of fused gathers over tensors the
+# pipeline ships anyway (kind/qp) plus a [n]-sized slice-control vector.
+# ---------------------------------------------------------------------------
+
+def deblock_precompute_intra_jax(kind, qp_y, sid, dis, offa, offb,
+                                 mb_w, mb_h, chroma_off0, chroma_off1):
+    """All-intra edge parameters, traceable (device) version.
+
+    kind/qp_y/sid/dis/offa/offb: [n] integer arrays (per-MB; dis/offa/offb
+    are the MB's slice's deblock control, already gathered per MB so no
+    dynamic slice table is needed on device).  Static: mb_w/mb_h/offsets.
+    Returns the PRE_KEYS dict, int32, bit-identical to
+    deblock_precompute(kind, ..., ctl) for all-intra pictures."""
+    alpha_t = jnp.asarray(ALPHA, jnp.int32)
+    beta_t = jnp.asarray(BETA, jnp.int32)
+    tc0_t = jnp.asarray(TC0, jnp.int32)
+    qpc_tab = jnp.asarray(QPC_TAB, jnp.int32)
+
+    def qpc_vec(qp, off):
+        qpi = jnp.clip(qp + off, 0, 51)
+        return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
+
+    kind = jnp.asarray(kind, jnp.int32).reshape(mb_h, mb_w)
+    qpy = jnp.where(kind == KIND_PCM, 0,
+                    jnp.asarray(qp_y, jnp.int32).reshape(mb_h, mb_w))
+    sid = jnp.asarray(sid, jnp.int32).reshape(mb_h, mb_w)
+    dis = jnp.asarray(dis, jnp.int32).reshape(mb_h, mb_w)
+    offa = jnp.asarray(offa, jnp.int32).reshape(mb_h, mb_w)
+    offb = jnp.asarray(offb, jnp.int32).reshape(mb_h, mb_w)
+    t8 = kind == KIND_I8
+    qpc = jnp.stack([qpc_vec(qpy, chroma_off0), qpc_vec(qpy, chroma_off1)])
+
+    def left(a, fill=0):
+        return jnp.pad(a[:, :-1], ((0, 0), (1, 0)), constant_values=fill)
+
+    def up(a, fill=0):
+        return jnp.pad(a[:-1, :], ((1, 0), (0, 0)), constant_values=fill)
+
+    # all-intra: block-pair strength is 4 on MB edges, 3 internal
+    on_self = dis != 1
+    mx = jnp.arange(mb_w, dtype=jnp.int32)[None, :]
+    my = jnp.arange(mb_h, dtype=jnp.int32)[:, None]
+    on_v0 = on_self & (mx > 0) & ~((dis == 2) & (left(sid, -1) != sid))
+    on_h0 = on_self & (my > 0) & ~((dis == 2) & (up(sid, -1) != sid))
+
+    def idx_ab(qpav, off):
+        return jnp.clip(qpav + off, 0, 51)
+
+    def tc0_of(ia, bs):
+        return tc0_t[ia, jnp.clip(bs, 1, 3) - 1]
+
+    def luma_dir(on_e0, qp_nb):
+        qpav = (qp_nb + qpy + 1) >> 1
+        ia0 = idx_ab(qpav, offa)
+        ib0 = idx_ab(qpav, offb)
+        ia_i = idx_ab(qpy, offa)
+        ib_i = idx_ab(qpy, offb)
+        on0 = on_e0.astype(jnp.int32)
+        oni = on_self.astype(jnp.int32)
+        # edges: 0 = MB boundary (bS 4), 1..3 internal (bS 3; 8x8 keeps 2)
+        bs_e = jnp.stack([
+            4 * on0,
+            3 * oni * (~t8).astype(jnp.int32),
+            3 * oni,
+            3 * oni * (~t8).astype(jnp.int32)], axis=-1)       # [h,w,4]
+        bs = jnp.broadcast_to(bs_e[..., None], bs_e.shape + (4,))
+        al = jnp.stack([alpha_t[ia0]] + [alpha_t[ia_i]] * 3, axis=-1)
+        be = jnp.stack([beta_t[ib0]] + [beta_t[ib_i]] * 3, axis=-1)
+        ia = jnp.stack([ia0] + [ia_i] * 3, axis=-1)            # [h,w,4]
+        tc = tc0_of(ia[..., None], bs)
+        return bs, tc, al, be
+
+    bsv, tc0v, av, bv = luma_dir(on_v0, left(qpy))
+    bsh, tc0h, ah, bh = luma_dir(on_h0, up(qpy))
+
+    def chroma_dir(on_e0, qpc_nb):
+        on0 = on_e0.astype(jnp.int32)
+        oni = on_self.astype(jnp.int32)
+        bs = jnp.stack([
+            jnp.broadcast_to((4 * on0)[..., None], on0.shape + (8,)),
+            jnp.broadcast_to((3 * oni)[..., None], oni.shape + (8,))],
+            axis=-2)                                           # [h,w,2,8]
+        al = []
+        be = []
+        tc = []
+        for pl in (0, 1):
+            qpav = (qpc_nb[pl] + qpc[pl] + 1) >> 1
+            ia0 = idx_ab(qpav, offa)
+            ib0 = idx_ab(qpav, offb)
+            ia_i = idx_ab(qpc[pl], offa)
+            ib_i = idx_ab(qpc[pl], offb)
+            al.append(jnp.stack([alpha_t[ia0], alpha_t[ia_i]], axis=-1))
+            be.append(jnp.stack([beta_t[ib0], beta_t[ib_i]], axis=-1))
+            ia = jnp.stack([ia0, ia_i], axis=-1)               # [h,w,2]
+            tc.append(tc0_of(ia[..., None], bs))
+        al = jnp.stack(al, axis=-1)                            # [h,w,2,2]
+        be = jnp.stack(be, axis=-1)
+        tc = jnp.stack(tc, axis=-2)                   # [h,w,edge,pl,line]
+        return bs, tc, al, be
+
+    qpc_l = jnp.stack([left(qpc[0]), left(qpc[1])])
+    qpc_u = jnp.stack([up(qpc[0]), up(qpc[1])])
+    bscv, tc0cv, acv, bcv = chroma_dir(on_v0, qpc_l)
+    bsch, tc0ch, ach, bch = chroma_dir(on_h0, qpc_u)
+
+    n = mb_w * mb_h
+    out = dict(bsv=bsv, tc0v=tc0v, av=av, bv=bv,
+               bsh=bsh, tc0h=tc0h, ah=ah, bh=bh,
+               bscv=bscv, tc0cv=tc0cv, acv=acv, bcv=bcv,
+               bsch=bsch, tc0ch=tc0ch, ach=ach, bch=bch)
+    return {k: v.reshape((n,) + v.shape[2:]).astype(jnp.int32)
+            for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
 # device filters (exact int32 mirrors of refimpl/deblock.py)
 # ---------------------------------------------------------------------------
 
