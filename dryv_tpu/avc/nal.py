@@ -74,15 +74,12 @@ def split_avcc(sample: bytes, nal_length_size: int):
 
 def split_annexb(stream: bytes):
     """Yield NalUnits from an Annex-B byte stream (start codes)."""
-    i = 0
     starts = []  # payload start positions (just past the 00 00 01)
     n = len(stream)
-    while i < n - 2:
-        if stream[i] == 0 and stream[i + 1] == 0 and stream[i + 2] == 1:
-            starts.append(i + 3)
-            i += 3
-        else:
-            i += 1
+    i = stream.find(b"\x00\x00\x01")
+    while i != -1:
+        starts.append(i + 3)
+        i = stream.find(b"\x00\x00\x01", i + 3)
     for k, s in enumerate(starts):
         if k + 1 < len(starts):
             e = starts[k + 1] - 3  # start of next 00 00 01

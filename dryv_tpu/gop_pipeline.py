@@ -179,13 +179,17 @@ def alloc_packed(F: int, n: int):
 #
 # The dense [F, n, 408] int16 coefficient buffer is ~97% zeros on typical
 # streams; over a low-bandwidth link (the dev rig's tunneled TPU moves
-# ~0.1-0.5 GB/s and does not compress) shipping it raw costs more than the
+# ~0.2 GB/s and does not compress) shipping it raw costs more than the
 # entropy decode itself.  Encode instead as:
-#   bmp  u8 [F, 51*n]   nonzero-position bitmap (bitorder little)
-#   vals i8 [F, cap]    nonzero values in flat order, clipped to +/-127
+#   bmp  u8 [F, npad, 51]  per-MB nonzero bitmap (bit c of the 408-row at
+#                          byte c>>3, bit c&7)
+#   vals i8 [F, npad, W]   per-MB nonzero values in row order, +/-127 clip,
+#                          zero-padded to the sticky per-batch stride W
+#   cnt  i32 [F, npad]     per-MB nonzero counts (kernel early-exit)
 #   exc_idx i32 / exc_delta i16 [F, ecap]   rare |v|>127 corrections
-# = ~1 MB/frame at QP30 vs 6.7 dense.  The device rebuilds the dense
-# buffer with a cumsum-rank gather (no scatter on the hot path).
+# = ~1.5 MB/frame at QP30 vs 6.7 dense.  The C++ entropy stage emits these
+# directly (native dt_pack_frame); the device rebuilds the dense rows with
+# the gather-free Pallas kernel in kernels/densify.py.
 
 def _round_cap(x, q):
     return max(q, (int(x) + q - 1) & ~(q - 1))
@@ -238,24 +242,27 @@ def fill_meta_slot(u8, i: int, out: dict, headers, pps) -> None:
 
 
 def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
-                        chroma_off0: int, chroma_off1: int, cap: int,
+                        chroma_off0: int, chroma_off1: int, W: int,
                         ecap: int, interpret=None):
-    """jit((bmp [F,51n] u8, vals [F,cap] i8, exc_idx [F,ecap] i32,
-    exc_delta [F,ecap] i16, u8meta [F,n,29], ls4y, ls4cb, ls4cr, ls8y))
-    -> (y, cb, cr) uint8 [F,H,W] planes.  Coefficient densify, derived
-    syntax (qp_c, slice availability), and the deblock edge parameters
-    are all computed on device; the host ships ~1 MB/frame."""
+    """jit((bmp [F,npad,51] u8, vals [F,npad,W] i8, cnt [F,npad/BLK,BLK]
+    i32, exc_idx [F,ecap] i32, exc_delta [F,ecap] i16, u8meta [F,n,29],
+    ls4y, ls4cb, ls4cr, ls8y)) -> (y, cb, cr) uint8 [F,H,W] planes.
+    Coefficient densify (Pallas, kernels/densify.py), derived syntax
+    (qp_c, slice availability), and the deblock edge parameters are all
+    computed on device; the host ships ~1.5 MB/frame."""
     import jax
     import jax.numpy as jnp
 
     from .kernels.deblock import deblock_precompute_intra_jax
+    from .kernels.densify import BLK, make_densify, round_up
     from .kernels.pallas_deblock import make_gop_pipeline_deblock_pallas
     from .kernels.pallas_wavefront import make_gop_pipeline_pallas
     from .refimpl.transform import QPC_TAB
 
     n = mb_w * mb_h
-    S = n * I16_STRIDE
+    npad = round_up(n, BLK)
     qpc_tab = jnp.asarray(QPC_TAB, jnp.int32)
+    densify = make_densify(F, npad, W, interpret=interpret)
     if deblocked:
         inner = make_gop_pipeline_deblock_pallas(mb_w, mb_h, F,
                                                  has_pcm=False,
@@ -268,19 +275,16 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
         qpi = jnp.clip(qp + off, 0, 51)
         return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
 
-    def run(bmp, vals, exc_idx, exc_delta, u8, ls4y, ls4cb, ls4cr, ls8y):
-        # densify the bitmap coefficient stream: rank-gather, no scatter
-        bits = ((bmp[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
-        bits = bits.reshape(F, S).astype(jnp.int32)
-        rank = jnp.cumsum(bits, axis=1) - 1
+    def run(bmp, vals, cnt, exc_idx, exc_delta, u8,
+            ls4y, ls4cb, ls4cr, ls8y):
+        dense = densify(bmp, vals, cnt)            # [F, npad, 408] i16
+        flat = dense.reshape(F, npad * I16_STRIDE)
 
-        def densify_one(v_f, r_f, b_f, ei_f, ed_f):
-            d = jnp.where(b_f != 0, v_f.astype(jnp.int16)[r_f],
-                          jnp.int16(0))
-            return d.at[ei_f].add(ed_f)   # |v|>127 corrections (pad: +0@0)
+        def fix_one(d_f, ei_f, ed_f):
+            return d_f.at[ei_f].add(ed_f)   # |v|>127 corrections (pad: +0@0)
 
-        i16 = jax.vmap(densify_one)(vals, rank, bits, exc_idx, exc_delta)
-        i16 = i16.reshape(F, n, I16_STRIDE)
+        flat = jax.vmap(fix_one)(flat, exc_idx, exc_delta)
+        i16 = flat.reshape(F, npad, I16_STRIDE)[:, :n]
         qp_y = u8[:, :, 1].astype(jnp.int32)
         sid = (u8[:, :, 24].astype(jnp.int32)
                | (u8[:, :, 25].astype(jnp.int32) << 8))
@@ -328,13 +332,13 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
 _PACKED_FN_CACHE: dict = {}
 
 
-def make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1, cap, ecap,
+def make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1, W, ecap,
                        interpret=None):
-    key = (mb_w, mb_h, F, deblocked, c0, c1, cap, ecap, interpret)
+    key = (mb_w, mb_h, F, deblocked, c0, c1, W, ecap, interpret)
     fn = _PACKED_FN_CACHE.get(key)
     if fn is None:
         fn = _PACKED_FN_CACHE[key] = _make_packed_gop_fn(
-            mb_w, mb_h, F, deblocked, c0, c1, cap, ecap, interpret)
+            mb_w, mb_h, F, deblocked, c0, c1, W, ecap, interpret)
     return fn
 
 
@@ -357,7 +361,8 @@ def _split_gop(r, F):
 
 def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                                 n_threads: int = 0, device_out: bool = False,
-                                interpret=None):
+                                stacked_out: bool = False,
+                                interpret=None, timers=None):
     """Decode an Annex-B all-intra stream with the batched device pipeline.
 
     Steady state per batch of `gop` pictures: the C++ slice-parallel
@@ -367,28 +372,35 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     program unpacks, derives qp_c/availability/deblock-edge parameters,
     and runs the whole-GOP Pallas wavefront (+ Pallas deblock).
 
-    Returns a list of DecodedFrame (host planes), or, with
-    device_out=True, a list of (y, cb, cr) device arrays (uncropped) for
-    TPU-resident consumers.  Streams outside the batched scope (inter,
-    non-4:2:0, lossless, FMO, CAVLC, custom scaling matrices) fall back
-    to the per-picture paths."""
+    Returns a list of DecodedFrame (host planes); with device_out=True,
+    a list of per-frame (y, cb, cr) device arrays (uncropped); with
+    stacked_out=True, a list of per-batch (y, cb, cr, n_frames) stacked
+    [F, H, W] device arrays — the natural layout for TPU-resident
+    consumers (no per-frame split dispatches).  Streams outside the
+    batched scope (inter, non-4:2:0, lossless, FMO, CAVLC, custom
+    scaling matrices) fall back to the per-picture paths."""
     from concurrent.futures import ThreadPoolExecutor
 
     import jax.numpy as jnp
 
     from .decoder import DecodedFrame
+    from .kernels.densify import BLK, round_up
     from .kernels.transform import LS4_FLAT, LS8_FLAT
-    from .native.entropy import decode_picture_islices
+    from .native.entropy import decode_picture_islices, pack_frame
+    from .utils.obs import StageTimers
 
-    pics, sps, pps = _parse_pictures(stream)
+    tm = timers if timers is not None else StageTimers()
+    with tm.stage("parse"):
+        pics, sps, pps = _parse_pictures(stream)
     if not pics or not all(_gop_supported(sps, pps, h) for _, h in pics):
         from .pipeline import decode_annexb_fast
-        assert not device_out, "device_out requires the batched scope"
+        assert not (device_out or stacked_out), \
+            "device_out requires the batched scope"
         return decode_annexb_fast(stream, n_threads=n_threads)
 
     mb_w, mb_h = sps.pic_width_in_mbs, sps.frame_height_in_mbs
     n = mb_w * mb_h
-    S = n * I16_STRIDE
+    npad = round_up(n, BLK)
     F = gop
     deblocked = any(h.deblocking is None or h.deblocking.disable_idc != 1
                     for _, hs in pics for h in hs)
@@ -401,7 +413,9 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
 
     def harvest(p):
         (y, cb, cr), nf = p
-        if device_out:
+        if stacked_out:
+            results.append((y, cb, cr, nf))
+        elif device_out:
             results.extend(list(zip(y[:nf], cb[:nf], cr[:nf])))
         else:
             ys = np.asarray(y)
@@ -411,20 +425,37 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                 results.append(DecodedFrame(ys[i], cbs[i], crs[i])
                                .crop(sps))
 
-    def run_batch(arrs, cap, ecap):
+    def run_batch(arrs, W_, ecap_):
         fn = make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1,
-                                cap, ecap, interpret)
+                                W_, ecap_, interpret)
         r = fn(*arrs, *ls)
-        return _split_gop(r, F) if device_out else r
+        if device_out and not stacked_out:
+            return _split_gop(r, F)
+        return r
 
     # double-buffered host staging (a background thread ships batch k
-    # while the main thread entropy-decodes batch k+1)
-    bufs = [(np.zeros((F, S // 8), np.uint8),          # nonzero bitmap
-             np.zeros((F, n, U8_STRIDE), np.uint8))    # per-MB metadata
+    # while the main thread entropy-decodes batch k+1); the C++ pack
+    # stage (native dt_pack_frame) fills the slots straight from the
+    # entropy arena — no numpy rescan on the hot path
+    W = 0               # sticky per-MB vals stride (grow, never shrink:
+    ecap = 256          # one compile per growth, not per batch)
+    bufs = [{"bmp": np.zeros((F, npad, 51), np.uint8),
+             "cnt": np.zeros((F, npad), np.int32),
+             "u8": np.zeros((F, n, U8_STRIDE), np.uint8),
+             "vals": None,      # allocated lazily at the sticky W
+             "exc_idx": np.zeros((F, ecap), np.int32),
+             "exc_delta": np.zeros((F, ecap), np.int16)}
             for _ in range(2)]
-    dense_tmp = np.zeros((n, I16_STRIDE), np.int16)
-    cap = ecap = 0          # sticky caps: grow, never shrink (one
-                            # compile per growth, not per batch)
+
+    def dbctl_of(headers):
+        return np.asarray([(1, 0, 0) if h.deblocking is not None
+                           and h.deblocking.disable_idc == 1 else
+                           (0, 0, 0) if h.deblocking is None else
+                           (h.deblocking.disable_idc,
+                            h.deblocking.alpha_c0_offset_div2 * 2,
+                            h.deblocking.beta_offset_div2 * 2)
+                           for h in headers], np.int32)
+
     batches = [pics[b0:b0 + F] for b0 in range(0, len(pics), F)]
     fut = None              # in-flight H2D of the previous batch
     fut_nf = 0
@@ -433,10 +464,13 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
         def flush(new_pending):
             nonlocal pending, fut
             if fut is not None:
-                arrs, c_, e_ = fut.result()
-                r = run_batch(arrs, c_, e_)
+                with tm.stage("ship_wait"):
+                    arrs, w_, e_ = fut.result()
+                with tm.stage("dispatch"):
+                    r = run_batch(arrs, w_, e_)
                 if pending is not None:
-                    harvest(pending)
+                    with tm.stage("harvest"):
+                        harvest(pending)
                 pending = (r, fut_nf)
                 fut = None
             if new_pending is not None:
@@ -445,66 +479,77 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                 pending = new_pending
 
         for batch in batches:
-            bmp, u8 = bufs[cur]
+            b = bufs[cur]
+            if b["vals"] is None or b["vals"].shape[2] != W:
+                b["vals"] = np.zeros((F, npad, max(W, 32)), np.int8)
+                W = b["vals"].shape[2]
             has_pcm = False
-            vals_l = []
-            exc_l = []
             for i, (slice_datas, headers) in enumerate(batch):
-                out = decode_picture_islices(slice_datas, sps, pps,
-                                             n_threads=n_threads,
-                                             reuse=True)
-                dense_tmp[:] = 0
-                if fill_dense_frame(dense_tmp, out, n):
-                    has_pcm = True
+                with tm.stage("entropy"):
+                    out = decode_picture_islices(slice_datas, sps, pps,
+                                                 n_threads=n_threads,
+                                                 reuse=True)
+                tm.count("frames", 1)
+                tm.count("bins", int(out["bin_count"].sum()))
+                ctl = dbctl_of(headers)
+                while True:
+                    b["exc_idx"][i] = 0
+                    b["exc_delta"][i] = 0
+                    with tm.stage("pack"):
+                        maxnz, nexc = pack_frame(
+                            out, n, W, ctl, b["bmp"][i], b["vals"][i],
+                            b["cnt"][i], b["u8"][i], b["exc_idx"][i],
+                            b["exc_delta"][i], n_threads=n_threads)
+                    if maxnz < 0:
+                        has_pcm = True
+                        break
+                    if maxnz > W:
+                        newW = _round_cap(maxnz, 32)
+                        nv = np.zeros((F, npad, newW), np.int8)
+                        nv[:i, :, :W] = b["vals"][:i]
+                        b["vals"] = nv
+                        W = newW
+                        continue
+                    if nexc > ecap:
+                        newE = _round_cap(nexc, 256)
+                        for bb in bufs:
+                            ni = np.zeros((F, newE), np.int32)
+                            nd = np.zeros((F, newE), np.int16)
+                            ni[:, :ecap] = bb["exc_idx"]
+                            nd[:, :ecap] = bb["exc_delta"]
+                            bb["exc_idx"], bb["exc_delta"] = ni, nd
+                        ecap = newE
+                        continue
                     break
-                fill_meta_slot(u8, i, out, headers, pps)
-                flat = dense_tmp.reshape(-1)
-                mask = flat != 0
-                bmp[i] = np.packbits(mask, bitorder="little")
-                v = flat[np.flatnonzero(mask)]
-                vals_l.append(np.clip(v, -127, 127).astype(np.int8))
-                big = np.flatnonzero((v > 127) | (v < -127))
-                if big.size:
-                    idx = np.flatnonzero(mask)[big].astype(np.int32)
-                    delta = (v[big].astype(np.int32)
-                             - np.clip(v[big], -127, 127)).astype(np.int16)
-                    exc_l.append((idx, delta))
-                else:
-                    exc_l.append((np.empty(0, np.int32),
-                                  np.empty(0, np.int16)))
+                if has_pcm:
+                    break
             if has_pcm:
                 # PCM payloads ride the legacy per-batch path (x264 never
                 # emits PCM; this keeps the hot ABI lean)
                 r = _decode_batch_legacy(batch, sps, pps, mb_w, mb_h, F,
                                          deblocked, n_threads, interpret,
                                          ls)
-                flush((_split_gop(r, F) if device_out else r, len(batch)))
+                flush((_split_gop(r, F) if device_out and not stacked_out
+                       else r, len(batch)))
                 continue
             # pad the tail batch by replicating the last picture's slot
+            last = len(batch) - 1
             for i in range(len(batch), F):
-                bmp[i] = bmp[len(batch) - 1]
-                u8[i] = u8[len(batch) - 1]
-                vals_l.append(vals_l[-1])
-                exc_l.append(exc_l[-1])
-            cap = max(cap, _round_cap(max(len(v) for v in vals_l), 8192))
-            ecap = max(ecap, _round_cap(max(len(e[0]) for e in exc_l), 256))
-            vals = np.zeros((F, cap), np.int8)
-            exc_idx = np.zeros((F, ecap), np.int32)
-            exc_delta = np.zeros((F, ecap), np.int16)
-            for i in range(F):
-                vals[i, :len(vals_l[i])] = vals_l[i]
-                ei, ed = exc_l[i]
-                exc_idx[i, :len(ei)] = ei
-                exc_delta[i, :len(ed)] = ed
+                for k in ("bmp", "cnt", "u8", "vals", "exc_idx",
+                          "exc_delta"):
+                    b[k][i] = b[k][last]
             flush(None)     # dispatch the previous batch first
 
-            def ship(a_bmp, a_vals, a_ei, a_ed, a_u8, c_, e_):
-                return ((jnp.asarray(a_bmp), jnp.asarray(a_vals),
-                         jnp.asarray(a_ei), jnp.asarray(a_ed),
-                         jnp.asarray(a_u8)), c_, e_)
+            def ship(bb, w_, e_):
+                arrs = (jnp.asarray(bb["bmp"]), jnp.asarray(bb["vals"]),
+                        jnp.asarray(bb["cnt"].reshape(F, npad // BLK,
+                                                      BLK)),
+                        jnp.asarray(bb["exc_idx"]),
+                        jnp.asarray(bb["exc_delta"]),
+                        jnp.asarray(bb["u8"]))
+                return (arrs, w_, e_)
 
-            fut = pool.submit(ship, bmp, vals, exc_idx, exc_delta, u8,
-                              cap, ecap)
+            fut = pool.submit(ship, b, W, ecap)
             fut_nf = len(batch)
             cur ^= 1
         flush(None)

@@ -20,6 +20,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include "tables_data.h"
 #ifdef DT_RDTSC
 #include <x86intrin.h>
@@ -2003,3 +2007,130 @@ int dt_decode_picture_slices_cavlc(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Device bitmap-ABI pack: one picture's dense entropy outputs -> the compact
+// host->device buffers consumed by the Pallas densify kernel
+// (dryv_tpu/kernels/densify.py).  Replaces the per-frame numpy
+// memset+packbits+flatnonzero rescan that dominated the round-3 pipeline
+// (VERDICT r3 item 1).  Layout of the 408-coeff row per MB:
+//   [0:256)  luma levels (luma8 rows for 8x8-transform MBs, else luma4)
+//   [256:272) luma DC    [272:280) chroma DC (first 4 of each channel)
+//   [280:408) chroma AC  (first 4 blocks of each channel, 16 coeffs each)
+// Per MB the nonzero values are emitted in flat-row order into vals[a*W..],
+// clipped to +/-127; |v|>127 spills an (index, delta) exception pair.
+// Returns the max nonzero count per MB (caller re-packs with a larger W
+// if it exceeds W), or -1 if the picture contains PCM macroblocks.
+// ---------------------------------------------------------------------------
+extern "C" int dt_pack_frame(
+    const int32_t* kind, const int32_t* qp_y, const int32_t* i16_mode,
+    const int32_t* chroma_mode, const int32_t* modes4, const int32_t* modes8,
+    const int32_t* slice_id, const int32_t* luma4, const int32_t* luma8,
+    const int32_t* luma_dc, const int32_t* chroma_dc,
+    const int32_t* chroma_ac, int32_t n, int32_t W,
+    const int32_t* dbctl /* [n_slices*3] disable_idc, offa, offb */,
+    uint8_t* bmp /* [n*51] */, int8_t* vals /* [n*W] */,
+    int32_t* cnt /* [n] */, uint8_t* u8meta /* [n*29] */,
+    int32_t* exc_idx /* [ecap] */, int16_t* exc_delta, int32_t ecap,
+    int32_t* n_exc_out, int32_t n_threads) {
+  std::atomic<int> maxnz{0};
+  std::atomic<int> nexc{0};
+  std::atomic<int> has_pcm{0};
+  const int kNkI8 = 1, kNkPcm = 3;
+  auto pack_range = [&](int lo, int hi) {
+    int local_max = 0;
+    for (int a = lo; a < hi; a++) {
+      int k = kind[a];
+      if (k == kNkPcm) { has_pcm.store(1); return; }
+      uint8_t* brow = bmp + (int64_t)a * 51;
+      int8_t* vrow = vals + (int64_t)a * W;
+      int w = 0;
+      // scan one byte-aligned run of 8 coefficients: emit the bitmap
+      // byte and append clipped nonzero values (AVX2 zero-compare +
+      // movemask makes the ~94% all-zero bytes one branch each)
+      auto scan8 = [&](const int32_t* r8, int lane_base, uint8_t* bout) {
+#if defined(__AVX2__)
+        __m256i v = _mm256_loadu_si256((const __m256i*)r8);
+        __m256i z = _mm256_cmpeq_epi32(v, _mm256_setzero_si256());
+        unsigned bits =
+            (~(unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(z))) & 0xFF;
+#else
+        unsigned bits = 0;
+        for (int j = 0; j < 8; j++) bits |= (r8[j] != 0) << j;
+#endif
+        *bout = (uint8_t)bits;
+        if (!bits) return;
+        unsigned rem = bits;
+        while (rem) {
+          int j = __builtin_ctz(rem);
+          rem &= rem - 1;
+          int32_t vj = r8[j];
+          int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
+          if (w < W) vrow[w] = c8;
+          w++;
+          if (vj > 127 || vj < -127) {
+            int e = nexc.fetch_add(1, std::memory_order_relaxed);
+            if (e < ecap) {
+              exc_idx[e] = a * 408 + lane_base + j;
+              exc_delta[e] = (int16_t)(vj - c8);
+            }
+          }
+        }
+      };
+      const int32_t* lv = (k == kNkI8) ? luma8 + (int64_t)a * 256
+                                       : luma4 + (int64_t)a * 256;
+      for (int byte = 0; byte < 32; byte++)
+        scan8(lv + byte * 8, byte * 8, brow + byte);
+      const int32_t* ldc = luma_dc + (int64_t)a * 16;
+      scan8(ldc, 256, brow + 32);
+      scan8(ldc + 8, 264, brow + 33);
+      int32_t cdc[8];
+      std::memcpy(cdc, chroma_dc + (int64_t)a * 2 * 8, 4 * sizeof(int32_t));
+      std::memcpy(cdc + 4, chroma_dc + ((int64_t)a * 2 + 1) * 8,
+                  4 * sizeof(int32_t));
+      scan8(cdc, 272, brow + 34);
+      for (int c2 = 0; c2 < 2; c2++) {
+        const int32_t* cac = chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
+        for (int byte = 0; byte < 8; byte++)
+          scan8(cac + byte * 8, 280 + c2 * 64 + byte * 8,
+                brow + 35 + c2 * 8 + byte);
+      }
+      if (w < W) std::memset(vrow + w, 0, W - w);
+      cnt[a] = w;
+      if (w > local_max) local_max = w;
+      // per-MB metadata row
+      uint8_t* m = u8meta + (int64_t)a * 29;
+      m[0] = (uint8_t)k;
+      m[1] = (uint8_t)qp_y[a];
+      m[2] = (uint8_t)i16_mode[a];
+      m[3] = (uint8_t)chroma_mode[a];
+      for (int i = 0; i < 16; i++) m[4 + i] = (uint8_t)modes4[(int64_t)a * 16 + i];
+      for (int i = 0; i < 4; i++) m[20 + i] = (uint8_t)modes8[(int64_t)a * 4 + i];
+      int sid = slice_id[a];
+      m[24] = (uint8_t)(sid & 0xFF);
+      m[25] = (uint8_t)((sid >> 8) & 0xFF);
+      m[26] = (uint8_t)dbctl[sid * 3 + 0];
+      m[27] = (uint8_t)(dbctl[sid * 3 + 1] + 12);
+      m[28] = (uint8_t)(dbctl[sid * 3 + 2] + 12);
+    }
+    int prev = maxnz.load(std::memory_order_relaxed);
+    while (local_max > prev &&
+           !maxnz.compare_exchange_weak(prev, local_max)) {}
+  };
+  int nt = n_threads > 0 ? n_threads : 2;
+  if (nt <= 1) {
+    pack_range(0, n);
+  } else {
+    int chunks = nt * 4;
+    int step = (n + chunks - 1) / chunks;
+    std::function<void(int)> work = [&](int i) {
+      int lo = i * step;
+      int hi = lo + step < n ? lo + step : n;
+      if (lo < hi) pack_range(lo, hi);
+    };
+    SlicePool::inst().run_parallel(chunks, work);
+  }
+  if (has_pcm.load()) return -1;
+  *n_exc_out = nexc.load();
+  return maxnz.load();
+}

@@ -109,6 +109,12 @@ def lib():
         rp.restype = ct.c_int
         rp.argtypes = [_P] * 20 + [ct.c_int32] * 4 + [U8] * 3 + \
                       [ct.POINTER(InterParams)]
+        pk = _lib.dt_pack_frame
+        pk.restype = ct.c_int
+        pk.argtypes = [_P] * 12 + [ct.c_int32] * 2 + [_P] + \
+                      [ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8), _P,
+                       ct.POINTER(ct.c_uint8), _P,
+                       ct.POINTER(ct.c_int16), ct.c_int32, _P, ct.c_int32]
     return _lib
 
 
@@ -237,3 +243,28 @@ def reconstruct_islices(out: dict, sps, pps):
         y.ctypes.data_as(u8), cb.ctypes.data_as(u8), cr.ctypes.data_as(u8))
     assert rc == 0
     return y, cb, cr
+
+
+def pack_frame(out: dict, n: int, W: int, dbctl, bmp, vals, cnt, u8meta,
+               exc_idx, exc_delta, n_threads: int = 0):
+    """Pack one picture's entropy outputs into the device bitmap ABI.
+
+    bmp [>=n,51] u8, vals [>=n,W] i8, cnt [>=n] i32, u8meta [n,29] u8,
+    exc_idx/exc_delta [ecap]: caller-allocated slot views.  dbctl is an
+    [n_slices,3] int32 array (disable_idc, alpha_off, beta_off per slice).
+    Returns (max_nz_per_mb, n_exc); max_nz == -1 flags PCM (fall back),
+    max_nz > W or n_exc > ecap means the caller must grow and re-pack."""
+    n_exc = np.zeros(1, np.int32)
+    r = lib().dt_pack_frame(
+        _ptr(out["kind"]), _ptr(out["qp_y"]), _ptr(out["i16_mode"]),
+        _ptr(out["chroma_mode"]), _ptr(out["modes4"]), _ptr(out["modes8"]),
+        _ptr(out["slice_id"]), _ptr(out["luma4"]), _ptr(out["luma8"]),
+        _ptr(out["luma_dc"]), _ptr(out["chroma_dc"]), _ptr(out["chroma_ac"]),
+        ct.c_int32(n), ct.c_int32(W), _ptr(dbctl),
+        bmp.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        vals.ctypes.data_as(ct.POINTER(ct.c_int8)), _ptr(cnt),
+        u8meta.ctypes.data_as(ct.POINTER(ct.c_uint8)), _ptr(exc_idx),
+        exc_delta.ctypes.data_as(ct.POINTER(ct.c_int16)),
+        ct.c_int32(len(exc_idx)), _ptr(n_exc),
+        ct.c_int32(n_threads or 2))
+    return int(r), int(n_exc[0])
