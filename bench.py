@@ -137,24 +137,37 @@ def main():
     gop_stream = open(os.path.join(HERE, "benchdata",
                                    "bench1080p_gop16.264"), "rb").read()
     from dryv_tpu.testing.oracle import decode_annexb as _oracle
+    from dryv_tpu.utils.obs import StageTimers
     oref = _oracle(gop_stream)
     got = decode_annexb_gop_pipelined(gop_stream, gop=16,
-                                      n_threads=nthreads, device_out=True)
-    assert len(got) == len(oref) == 16
-    for (dy, dcb, dcr), (ry, rcb, rcr) in zip(got, oref):
-        assert np.array_equal(np.asarray(dy)[:1080], ry) \
-            and np.array_equal(np.asarray(dcb)[:540], rcb) \
-            and np.array_equal(np.asarray(dcr)[:540], rcr), \
+                                      n_threads=nthreads, stacked_out=True)
+    gframes = []
+    for (gy, gcb, gcr, nf) in got:
+        ys, cbs, crs = np.asarray(gy), np.asarray(gcb), np.asarray(gcr)
+        gframes += [(ys[i], cbs[i], crs[i]) for i in range(nf)]
+    assert len(gframes) == len(oref) == 16
+    for (dy, dcb, dcr), (ry, rcb, rcr) in zip(gframes, oref):
+        assert np.array_equal(dy[:1080], ry) \
+            and np.array_equal(dcb[:540], rcb) \
+            and np.array_equal(dcr[:540], rcr), \
             "pipelined path not bit-exact vs libavcodec"
     B = 4
     big = gop_stream * B       # B*16 distinct-content pictures, 1 call
     decode_annexb_gop_pipelined(big, gop=16, n_threads=nthreads,
-                                device_out=True)  # warm arena + jit
-    t0 = time.perf_counter()
-    res = decode_annexb_gop_pipelined(big, gop=16, n_threads=nthreads,
-                                      device_out=True)
-    np.asarray(res[-1][0][0, :2])  # drain the device pipeline
-    t_e2e_frame = (time.perf_counter() - t0) / (B * 16)
+                                stacked_out=True)  # warm arena + jit
+    t_e2e_frame = float("inf")
+    for _ in range(3):
+        tmr = StageTimers()
+        t0 = time.perf_counter()
+        res = decode_annexb_gop_pipelined(big, gop=16, n_threads=nthreads,
+                                          stacked_out=True, timers=tmr)
+        np.asarray(res[-1][0][0, 0, :2])  # drain the device pipeline
+        dt = (time.perf_counter() - t0) / (B * 16)
+        if dt < t_e2e_frame:
+            t_e2e_frame = dt
+            stage_ms = {k: round(v["total_s"] / (B * 16) * 1e3, 2)
+                        for k, v in tmr.report().items()
+                        if isinstance(v, dict)}
 
     # secondary: deblocked 1080p intra fully on device (Pallas recon +
     # Pallas in-loop filter, kernels/pallas_deblock.py); bit-exact gated
@@ -265,13 +278,14 @@ def main():
             "ipb_1080p_native_fps": (round(ipb1080_fps, 1)
                                      if ipb1080_fps else None),
             "entropy_qp_sweep": qp_sweep or None,
+            "e2e_stage_ms_per_frame": stage_ms,
             "bit_exact": True,
             "note": ("e2e = full library pipeline (gop_pipeline.py) over "
-                     "64 distinct 1080p pictures: header parse + C++ "
-                     "entropy + compact pack + H2D paid per batch inside "
-                     "the timed loop; host-entropy-bound on this 2-vCPU "
-                     "VM (entropy_ms_per_frame vs "
-                     "device_recon_ms_per_frame)"),
+                     "64 distinct 1080p pictures, best of 3: header "
+                     "parse + fused C++ entropy+pack (dt_decode_pack) + "
+                     "H2D + Pallas densify/wavefront paid per batch "
+                     "inside the timed loop; host-entropy-bound on this "
+                     "2-vCPU VM (see e2e_stage_ms_per_frame)"),
         },
     }
     print(json.dumps(result))

@@ -244,9 +244,9 @@ def fill_meta_slot(u8, i: int, out: dict, headers, pps) -> None:
 def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
                         chroma_off0: int, chroma_off1: int, W: int,
                         ecap: int, interpret=None):
-    """jit((bmp [F,npad,51] u8, vals [F,npad,W] i8, cnt [F,npad/BLK,BLK]
-    i32, exc_idx [F,ecap] i32, exc_delta [F,ecap] i16, u8meta [F,n,29],
-    ls4y, ls4cb, ls4cr, ls8y)) -> (y, cb, cr) uint8 [F,H,W] planes.
+    """jit((bmp [F,npad,51] u8, vals [F,npad,W] i8, exc_idx [F,ecap]
+    i32, exc_delta [F,ecap] i16, u8meta [F,n,29], ls4y, ls4cb, ls4cr,
+    ls8y)) -> (y, cb, cr) uint8 [F,H,W] planes.
     Coefficient densify (Pallas, kernels/densify.py), derived syntax
     (qp_c, slice availability), and the deblock edge parameters are all
     computed on device; the host ships ~1.5 MB/frame."""
@@ -275,9 +275,9 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
         qpi = jnp.clip(qp + off, 0, 51)
         return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
 
-    def run(bmp, vals, cnt, exc_idx, exc_delta, u8,
+    def run(bmp, vals, exc_idx, exc_delta, u8,
             ls4y, ls4cb, ls4cr, ls8y):
-        dense = densify(bmp, vals, cnt)            # [F, npad, 408] i16
+        dense = densify(bmp, vals)                 # [F, npad, 408] i16
         flat = dense.reshape(F, npad * I16_STRIDE)
 
         def fix_one(d_f, ei_f, ed_f):
@@ -386,7 +386,7 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     from .decoder import DecodedFrame
     from .kernels.densify import BLK, round_up
     from .kernels.transform import LS4_FLAT, LS8_FLAT
-    from .native.entropy import decode_picture_islices, pack_frame
+    from .native.entropy import decode_pack_picture_islices, pack_frame
     from .utils.obs import StageTimers
 
     tm = timers if timers is not None else StageTimers()
@@ -485,31 +485,28 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                 W = b["vals"].shape[2]
             has_pcm = False
             for i, (slice_datas, headers) in enumerate(batch):
+                ctl = dbctl_of(headers)
+                b["exc_idx"][i] = 0
+                b["exc_delta"][i] = 0
+                # fused: slice workers pack their MB ranges cache-hot
                 with tm.stage("entropy"):
-                    out = decode_picture_islices(slice_datas, sps, pps,
-                                                 n_threads=n_threads,
-                                                 reuse=True)
+                    out, maxnz, nexc = decode_pack_picture_islices(
+                        slice_datas, sps, pps, W, ctl, b["bmp"][i],
+                        b["vals"][i], b["cnt"][i], b["u8"][i],
+                        b["exc_idx"][i], b["exc_delta"][i],
+                        n_threads=n_threads, reuse=True)
                 tm.count("frames", 1)
                 tm.count("bins", int(out["bin_count"].sum()))
-                ctl = dbctl_of(headers)
-                while True:
-                    b["exc_idx"][i] = 0
-                    b["exc_delta"][i] = 0
-                    with tm.stage("pack"):
-                        maxnz, nexc = pack_frame(
-                            out, n, W, ctl, b["bmp"][i], b["vals"][i],
-                            b["cnt"][i], b["u8"][i], b["exc_idx"][i],
-                            b["exc_delta"][i], n_threads=n_threads)
-                    if maxnz < 0:
-                        has_pcm = True
-                        break
+                # rare growth retries re-pack from the arena (no
+                # re-decode): sticky caps, typically one growth per
+                # stream on the first picture
+                while maxnz >= 0 and (maxnz > W or nexc > ecap):
                     if maxnz > W:
                         newW = _round_cap(maxnz, 32)
                         nv = np.zeros((F, npad, newW), np.int8)
                         nv[:i, :, :W] = b["vals"][:i]
                         b["vals"] = nv
                         W = newW
-                        continue
                     if nexc > ecap:
                         newE = _round_cap(nexc, 256)
                         for bb in bufs:
@@ -519,9 +516,15 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                             nd[:, :ecap] = bb["exc_delta"]
                             bb["exc_idx"], bb["exc_delta"] = ni, nd
                         ecap = newE
-                        continue
-                    break
-                if has_pcm:
+                    b["exc_idx"][i] = 0
+                    b["exc_delta"][i] = 0
+                    with tm.stage("pack"):
+                        maxnz, nexc = pack_frame(
+                            out, n, W, ctl, b["bmp"][i], b["vals"][i],
+                            b["cnt"][i], b["u8"][i], b["exc_idx"][i],
+                            b["exc_delta"][i], n_threads=n_threads)
+                if maxnz < 0:
+                    has_pcm = True
                     break
             if has_pcm:
                 # PCM payloads ride the legacy per-batch path (x264 never
@@ -542,8 +545,6 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
 
             def ship(bb, w_, e_):
                 arrs = (jnp.asarray(bb["bmp"]), jnp.asarray(bb["vals"]),
-                        jnp.asarray(bb["cnt"].reshape(F, npad // BLK,
-                                                      BLK)),
                         jnp.asarray(bb["exc_idx"]),
                         jnp.asarray(bb["exc_delta"]),
                         jnp.asarray(bb["u8"]))

@@ -36,16 +36,16 @@ def round_up(x: int, q: int) -> int:
 
 
 def make_densify(F: int, npad: int, W: int, interpret=None):
-    """pallas_call: (bmp [F,npad,51] u8, vals [F,npad,W] i8,
-    cnt [F,npad//BLK,BLK] i32) -> dense [F,npad,408] i16.
+    """pallas_call: (bmp [F,npad,51] u8, vals [F,npad,W] i8)
+    -> dense [F,npad,408] i16.
 
-    npad must be a multiple of BLK (pad rows with zero counts)."""
+    npad must be a multiple of BLK (pad rows with zero bitmaps)."""
     assert npad % BLK == 0 and W % 8 == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid = (F, npad // BLK)
 
-    def kernel(bmp_ref, vals_ref, cnt_ref, out_ref):
+    def kernel(bmp_ref, vals_ref, out_ref):
         bmp = bmp_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
         kio = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 0)
         cio = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 1)
@@ -61,8 +61,10 @@ def make_densify(F: int, npad: int, W: int, interpret=None):
         rinc = jax.lax.dot(bits.astype(jnp.bfloat16), lower_tri,
                            preferred_element_type=jnp.float32
                            ).astype(jnp.int32)             # inclusive rank
-        b = pl.program_id(1)
-        wmax = jnp.max(cnt_ref[0, pl.ds(b, 1), :])
+        # the block's max nonzero count falls out of the rank matmul
+        # (inclusive rank at the last lane = the row's total), so the
+        # host ships no count array at all
+        wmax = jnp.max(rinc[:, L - 1:L])
         vals = vals_ref[0].astype(jnp.bfloat16)            # [BLK, W]
         jl = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 0)
         tl = jax.lax.broadcasted_iota(jnp.int32, (W, 8), 1)
@@ -90,7 +92,6 @@ def make_densify(F: int, npad: int, W: int, interpret=None):
         in_specs=[
             pl.BlockSpec((1, BLK, NB), lambda f, b: (f, b, 0)),
             pl.BlockSpec((1, BLK, W), lambda f, b: (f, b, 0)),
-            pl.BlockSpec((1, npad // BLK, BLK), lambda f, b: (f, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BLK, L), lambda f, b: (f, b, 0)),
         out_shape=jax.ShapeDtypeStruct((F, npad, L), jnp.int16),

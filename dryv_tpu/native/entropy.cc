@@ -1218,7 +1218,29 @@ struct SliceCtx {
         int pre = 0;
         if (decision_bl_h(h, eng, c0)) {
           pre = 1;
-          while (pre < 14 && decision_bl_h(h, eng, c1)) pre++;
+          // TU prefix rides a constant ctx: keep the packed record in a
+          // register across the run (one load + one store per run
+          // instead of per bin)
+          uint64_t r = eng.ctx_rec[c1];
+          while (pre < 14) {
+            unsigned s = (unsigned)r & 0xff;
+            uint32_t lps =
+                (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
+            uint32_t mps_rng = h.range - lps;
+            uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
+            uint64_t is_lps = (uint64_t)(h.low >= scaled);
+            h.low -= scaled & (0 - is_lps);
+            uint32_t nrange = is_lps ? lps : mps_rng;
+            r = is_lps ? kPackedTrans.lrec[s] : kPackedTrans.mrec[s];
+            int nn = __builtin_clz(nrange) - 23;
+            h.range = nrange << nn;
+            h.lowbits -= nn;
+            if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, eng);
+            h.bins++;
+            if (((s & 1) ^ (unsigned)is_lps) == 0) break;
+            pre++;
+          }
+          eng.ctx_rec[c1] = r;
         }
         int mag = pre;
         if (pre >= 14) {  // UEG0 suffix
@@ -2022,6 +2044,114 @@ int dt_decode_picture_slices_cavlc(
 // Returns the max nonzero count per MB (caller re-packs with a larger W
 // if it exceeds W), or -1 if the picture contains PCM macroblocks.
 // ---------------------------------------------------------------------------
+namespace {
+
+// shared pack state: input entropy arrays + output buffers + batch-wide
+// atomics (threads pack disjoint MB ranges; only the counters are shared)
+struct PackJob {
+  const int32_t *kind, *qp_y, *i16_mode, *chroma_mode, *modes4, *modes8;
+  const int32_t *slice_id, *luma4, *luma8, *luma_dc, *chroma_dc, *chroma_ac;
+  int32_t W;
+  const int32_t* dbctl;
+  uint8_t* bmp;
+  int8_t* vals;
+  int32_t* cnt;
+  uint8_t* u8meta;
+  int32_t* exc_idx;
+  int16_t* exc_delta;
+  int32_t ecap;
+  std::atomic<int> maxnz{0};
+  std::atomic<int> nexc{0};
+  std::atomic<int> has_pcm{0};
+};
+
+void pack_mb_range(PackJob& pj, int lo, int hi) {
+  const int kNkI8 = 1, kNkPcm = 3;
+  const int W = pj.W;
+  int local_max = 0;
+  for (int a = lo; a < hi; a++) {
+    int k = pj.kind[a];
+    if (k == kNkPcm) { pj.has_pcm.store(1); return; }
+    uint8_t* brow = pj.bmp + (int64_t)a * 51;
+    int8_t* vrow = pj.vals + (int64_t)a * W;
+    int w = 0;
+    // scan one byte-aligned run of 8 coefficients: emit the bitmap
+    // byte and append clipped nonzero values (AVX2 zero-compare +
+    // movemask makes the ~94% all-zero bytes one branch each)
+    auto scan8 = [&](const int32_t* r8, int lane_base, uint8_t* bout) {
+#if defined(__AVX2__)
+      __m256i v = _mm256_loadu_si256((const __m256i*)r8);
+      __m256i z = _mm256_cmpeq_epi32(v, _mm256_setzero_si256());
+      unsigned bits =
+          (~(unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(z))) & 0xFF;
+#else
+      unsigned bits = 0;
+      for (int j = 0; j < 8; j++) bits |= (r8[j] != 0) << j;
+#endif
+      *bout = (uint8_t)bits;
+      if (!bits) return;
+      unsigned rem = bits;
+      while (rem) {
+        int j = __builtin_ctz(rem);
+        rem &= rem - 1;
+        int32_t vj = r8[j];
+        int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
+        if (w < W) vrow[w] = c8;
+        w++;
+        if (vj > 127 || vj < -127) {
+          int e = pj.nexc.fetch_add(1, std::memory_order_relaxed);
+          if (e < pj.ecap) {
+            pj.exc_idx[e] = a * 408 + lane_base + j;
+            pj.exc_delta[e] = (int16_t)(vj - c8);
+          }
+        }
+      }
+    };
+    const int32_t* lv = (k == kNkI8) ? pj.luma8 + (int64_t)a * 256
+                                     : pj.luma4 + (int64_t)a * 256;
+    for (int byte = 0; byte < 32; byte++)
+      scan8(lv + byte * 8, byte * 8, brow + byte);
+    const int32_t* ldc = pj.luma_dc + (int64_t)a * 16;
+    scan8(ldc, 256, brow + 32);
+    scan8(ldc + 8, 264, brow + 33);
+    int32_t cdc[8];
+    std::memcpy(cdc, pj.chroma_dc + (int64_t)a * 2 * 8, 4 * sizeof(int32_t));
+    std::memcpy(cdc + 4, pj.chroma_dc + ((int64_t)a * 2 + 1) * 8,
+                4 * sizeof(int32_t));
+    scan8(cdc, 272, brow + 34);
+    for (int c2 = 0; c2 < 2; c2++) {
+      const int32_t* cac = pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
+      for (int byte = 0; byte < 8; byte++)
+        scan8(cac + byte * 8, 280 + c2 * 64 + byte * 8,
+              brow + 35 + c2 * 8 + byte);
+    }
+    if (w < W) std::memset(vrow + w, 0, W - w);
+    pj.cnt[a] = w;
+    if (w > local_max) local_max = w;
+    // per-MB metadata row
+    uint8_t* m = pj.u8meta + (int64_t)a * 29;
+    m[0] = (uint8_t)k;
+    m[1] = (uint8_t)pj.qp_y[a];
+    m[2] = (uint8_t)pj.i16_mode[a];
+    m[3] = (uint8_t)pj.chroma_mode[a];
+    for (int i = 0; i < 16; i++)
+      m[4 + i] = (uint8_t)pj.modes4[(int64_t)a * 16 + i];
+    for (int i = 0; i < 4; i++)
+      m[20 + i] = (uint8_t)pj.modes8[(int64_t)a * 4 + i];
+    int sid = pj.slice_id[a];
+    m[24] = (uint8_t)(sid & 0xFF);
+    m[25] = (uint8_t)((sid >> 8) & 0xFF);
+    m[26] = (uint8_t)pj.dbctl[sid * 3 + 0];
+    m[27] = (uint8_t)(pj.dbctl[sid * 3 + 1] + 12);
+    m[28] = (uint8_t)(pj.dbctl[sid * 3 + 2] + 12);
+  }
+  int prev = pj.maxnz.load(std::memory_order_relaxed);
+  while (local_max > prev &&
+         !pj.maxnz.compare_exchange_weak(prev, local_max)) {}
+}
+
+}  // namespace
+
 extern "C" int dt_pack_frame(
     const int32_t* kind, const int32_t* qp_y, const int32_t* i16_mode,
     const int32_t* chroma_mode, const int32_t* modes4, const int32_t* modes8,
@@ -2033,104 +2163,64 @@ extern "C" int dt_pack_frame(
     int32_t* cnt /* [n] */, uint8_t* u8meta /* [n*29] */,
     int32_t* exc_idx /* [ecap] */, int16_t* exc_delta, int32_t ecap,
     int32_t* n_exc_out, int32_t n_threads) {
-  std::atomic<int> maxnz{0};
-  std::atomic<int> nexc{0};
-  std::atomic<int> has_pcm{0};
-  const int kNkI8 = 1, kNkPcm = 3;
-  auto pack_range = [&](int lo, int hi) {
-    int local_max = 0;
-    for (int a = lo; a < hi; a++) {
-      int k = kind[a];
-      if (k == kNkPcm) { has_pcm.store(1); return; }
-      uint8_t* brow = bmp + (int64_t)a * 51;
-      int8_t* vrow = vals + (int64_t)a * W;
-      int w = 0;
-      // scan one byte-aligned run of 8 coefficients: emit the bitmap
-      // byte and append clipped nonzero values (AVX2 zero-compare +
-      // movemask makes the ~94% all-zero bytes one branch each)
-      auto scan8 = [&](const int32_t* r8, int lane_base, uint8_t* bout) {
-#if defined(__AVX2__)
-        __m256i v = _mm256_loadu_si256((const __m256i*)r8);
-        __m256i z = _mm256_cmpeq_epi32(v, _mm256_setzero_si256());
-        unsigned bits =
-            (~(unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(z))) & 0xFF;
-#else
-        unsigned bits = 0;
-        for (int j = 0; j < 8; j++) bits |= (r8[j] != 0) << j;
-#endif
-        *bout = (uint8_t)bits;
-        if (!bits) return;
-        unsigned rem = bits;
-        while (rem) {
-          int j = __builtin_ctz(rem);
-          rem &= rem - 1;
-          int32_t vj = r8[j];
-          int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
-          if (w < W) vrow[w] = c8;
-          w++;
-          if (vj > 127 || vj < -127) {
-            int e = nexc.fetch_add(1, std::memory_order_relaxed);
-            if (e < ecap) {
-              exc_idx[e] = a * 408 + lane_base + j;
-              exc_delta[e] = (int16_t)(vj - c8);
-            }
-          }
-        }
-      };
-      const int32_t* lv = (k == kNkI8) ? luma8 + (int64_t)a * 256
-                                       : luma4 + (int64_t)a * 256;
-      for (int byte = 0; byte < 32; byte++)
-        scan8(lv + byte * 8, byte * 8, brow + byte);
-      const int32_t* ldc = luma_dc + (int64_t)a * 16;
-      scan8(ldc, 256, brow + 32);
-      scan8(ldc + 8, 264, brow + 33);
-      int32_t cdc[8];
-      std::memcpy(cdc, chroma_dc + (int64_t)a * 2 * 8, 4 * sizeof(int32_t));
-      std::memcpy(cdc + 4, chroma_dc + ((int64_t)a * 2 + 1) * 8,
-                  4 * sizeof(int32_t));
-      scan8(cdc, 272, brow + 34);
-      for (int c2 = 0; c2 < 2; c2++) {
-        const int32_t* cac = chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
-        for (int byte = 0; byte < 8; byte++)
-          scan8(cac + byte * 8, 280 + c2 * 64 + byte * 8,
-                brow + 35 + c2 * 8 + byte);
-      }
-      if (w < W) std::memset(vrow + w, 0, W - w);
-      cnt[a] = w;
-      if (w > local_max) local_max = w;
-      // per-MB metadata row
-      uint8_t* m = u8meta + (int64_t)a * 29;
-      m[0] = (uint8_t)k;
-      m[1] = (uint8_t)qp_y[a];
-      m[2] = (uint8_t)i16_mode[a];
-      m[3] = (uint8_t)chroma_mode[a];
-      for (int i = 0; i < 16; i++) m[4 + i] = (uint8_t)modes4[(int64_t)a * 16 + i];
-      for (int i = 0; i < 4; i++) m[20 + i] = (uint8_t)modes8[(int64_t)a * 4 + i];
-      int sid = slice_id[a];
-      m[24] = (uint8_t)(sid & 0xFF);
-      m[25] = (uint8_t)((sid >> 8) & 0xFF);
-      m[26] = (uint8_t)dbctl[sid * 3 + 0];
-      m[27] = (uint8_t)(dbctl[sid * 3 + 1] + 12);
-      m[28] = (uint8_t)(dbctl[sid * 3 + 2] + 12);
-    }
-    int prev = maxnz.load(std::memory_order_relaxed);
-    while (local_max > prev &&
-           !maxnz.compare_exchange_weak(prev, local_max)) {}
-  };
+  PackJob pj{kind, qp_y, i16_mode, chroma_mode, modes4, modes8,
+             slice_id, luma4, luma8, luma_dc, chroma_dc, chroma_ac,
+             W, dbctl, bmp, vals, cnt, u8meta, exc_idx, exc_delta, ecap};
   int nt = n_threads > 0 ? n_threads : 2;
   if (nt <= 1) {
-    pack_range(0, n);
+    pack_mb_range(pj, 0, n);
   } else {
     int chunks = nt * 4;
     int step = (n + chunks - 1) / chunks;
     std::function<void(int)> work = [&](int i) {
       int lo = i * step;
       int hi = lo + step < n ? lo + step : n;
-      if (lo < hi) pack_range(lo, hi);
+      if (lo < hi) pack_mb_range(pj, lo, hi);
     };
     SlicePool::inst().run_parallel(chunks, work);
   }
-  if (has_pcm.load()) return -1;
-  *n_exc_out = nexc.load();
-  return maxnz.load();
+  if (pj.has_pcm.load()) return -1;
+  *n_exc_out = pj.nexc.load();
+  return pj.maxnz.load();
+}
+
+// Fused decode+pack: each slice worker packs its own MB range right
+// after entropy-decoding it, while the coefficient arrays are still hot
+// in cache (a separate dt_pack_frame pass re-reads ~27 MB from DRAM per
+// 1080p frame).  Same outputs as dt_decode_picture_slices followed by
+// dt_pack_frame; pack results (max nz/MB, exception count, PCM flag)
+// return via pack_out[3] = {maxnz|-1, n_exc, has_pcm}.
+extern "C" int dt_decode_pack_picture_slices(
+    const uint8_t* rbsp_all, const SliceParams* sp, int32_t n_slices,
+    PicParams pp, Out o, int32_t n_threads, int32_t W,
+    const int32_t* dbctl, uint8_t* bmp, int8_t* vals, int32_t* cnt,
+    uint8_t* u8meta, int32_t* exc_idx, int16_t* exc_delta, int32_t ecap,
+    int32_t* pack_out) {
+  int n = pp.mb_w * pp.mb_h;
+  std::vector<MB> mbs(n);
+  for (int k = 0; k < n_slices; k++) {
+    int lo = sp[k].first_mb;
+    int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
+    for (int a = lo; a < hi; a++) o.slice_id[a] = k;
+  }
+  PackJob pj{o.kind, o.qp_y, o.i16_mode, o.chroma_mode, o.modes4,
+             o.modes8, o.slice_id, o.luma4, o.luma8, o.luma_dc,
+             o.chroma_dc, o.chroma_ac, W, dbctl, bmp, vals, cnt,
+             u8meta, exc_idx, exc_delta, ecap};
+  std::function<void(int)> work = [&](int k) {
+    int lo = sp[k].first_mb;
+    int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
+    decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], hi - 1, k, &pp, &o,
+                     &mbs, k);
+    pack_mb_range(pj, lo, hi);
+  };
+  if (n_threads <= 1 || n_slices == 1) {
+    for (int k = 0; k < n_slices; k++) work(k);
+  } else {
+    SlicePool::inst().run_parallel(n_slices, work);
+  }
+  pack_out[0] = pj.has_pcm.load() ? -1 : pj.maxnz.load();
+  pack_out[1] = pj.nexc.load();
+  pack_out[2] = pj.has_pcm.load();
+  return 0;
 }

@@ -115,6 +115,13 @@ def lib():
                       [ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8), _P,
                        ct.POINTER(ct.c_uint8), _P,
                        ct.POINTER(ct.c_int16), ct.c_int32, _P, ct.c_int32]
+        dp = _lib.dt_decode_pack_picture_slices
+        dp.restype = ct.c_int
+        dp.argtypes = [ct.POINTER(ct.c_uint8), ct.POINTER(SliceParams),
+                       ct.c_int32, PicParams, Out, ct.c_int32, ct.c_int32,
+                       _P, ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8),
+                       _P, ct.POINTER(ct.c_uint8), _P,
+                       ct.POINTER(ct.c_int16), ct.c_int32, _P]
     return _lib
 
 
@@ -169,14 +176,8 @@ def _alloc_out(n: int, ns: int, reuse: bool):
     return out
 
 
-def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
-                          reuse: bool = False):
-    """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
-    cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict.
-
-    reuse=True hands back arena-cached output buffers (overwritten on the
-    next reuse=True call with the same geometry) — use for throughput
-    pipelines that consume the arrays before the next frame decode."""
+def _marshal(slice_datas, sps, pps, reuse):
+    """Shared ctypes marshaling for the picture-level native entries."""
     mb_w = sps.pic_width_in_mbs
     mb_h = sps.frame_height_in_mbs
     n = mb_w * mb_h
@@ -192,7 +193,6 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
         off += len(rbsp)
 
     out = _alloc_out(n, ns, reuse)
-
     ostruct = Out(
         _ptr(out["kind"]), _ptr(out["qp_y"]), _ptr(out["cbp"]),
         _ptr(out["i16_mode"]), _ptr(out["chroma_mode"]), _ptr(out["modes4"]),
@@ -208,8 +208,22 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
                    8 + sps.bit_depth_chroma_minus8,
                    sps.direct_8x8_inference_flag)
 
-    # zero-copy: the native stage only reads the rbsp bytes
+    # zero-copy: the native stage only reads the rbsp bytes; keep the
+    # joined bytes object alive through the call via the returned tuple
     buf = ct.cast(ct.c_char_p(rbsp_all), ct.POINTER(ct.c_uint8))
+    return rbsp_all, buf, sp_arr, ns, pp, out, ostruct
+
+
+def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
+                          reuse: bool = False):
+    """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
+    cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict.
+
+    reuse=True hands back arena-cached output buffers (overwritten on the
+    next reuse=True call with the same geometry) — use for throughput
+    pipelines that consume the arrays before the next frame decode."""
+    keep, buf, sp_arr, ns, pp, out, ostruct = _marshal(slice_datas, sps,
+                                                       pps, reuse)
     entry = (lib().dt_decode_picture_slices if pps.entropy_coding_mode_flag
              else lib().dt_decode_picture_slices_cavlc)
     rc = entry(
@@ -217,6 +231,30 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
         ostruct, ct.c_int32(n_threads or min(ns, 16)))
     assert rc == 0
     return out
+
+
+def decode_pack_picture_islices(slice_datas, sps, pps, W, dbctl, bmp, vals,
+                                cnt, u8meta, exc_idx, exc_delta,
+                                n_threads: int = 0, reuse: bool = True):
+    """Fused intra CABAC decode + device bitmap-ABI pack: each slice
+    worker packs its MB range right after decoding it (coefficients
+    still cache-hot).  slice_datas as decode_picture_islices.  Returns
+    (out, max_nz_per_mb, n_exc); max_nz == -1 flags PCM."""
+    full = [(rbsp, bitoff, first, qp, 2, 0, 0, 0)
+            for rbsp, bitoff, first, qp in slice_datas]
+    keep, buf, sp_arr, ns, pp, out, ostruct = _marshal(full, sps, pps,
+                                                       reuse)
+    pack_out = np.zeros(3, np.int32)
+    rc = lib().dt_decode_pack_picture_slices(
+        buf, sp_arr, ct.c_int32(ns), pp, ostruct,
+        ct.c_int32(n_threads or min(ns, 16)), ct.c_int32(W), _ptr(dbctl),
+        bmp.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        vals.ctypes.data_as(ct.POINTER(ct.c_int8)), _ptr(cnt),
+        u8meta.ctypes.data_as(ct.POINTER(ct.c_uint8)), _ptr(exc_idx),
+        exc_delta.ctypes.data_as(ct.POINTER(ct.c_int16)),
+        ct.c_int32(len(exc_idx)), _ptr(pack_out))
+    assert rc == 0
+    return out, int(pack_out[0]), int(pack_out[1])
 
 
 def reconstruct_islices(out: dict, sps, pps):
