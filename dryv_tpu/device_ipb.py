@@ -149,14 +149,21 @@ def _nz4_from_coeffs(out, mb_w, mb_h):
 
 
 def decode_annexb_device(stream: bytes, max_frames: int = 0,
-                         n_threads: int = 0, use_pallas=None):
+                         n_threads: int = 0, use_pallas=None,
+                         device_out: bool = False):
     """Decode an Annex-B I/P/B stream with device reconstruction + MC.
 
     On a TPU backend the wavefront + deblock run as the single-launch
     Pallas kernels (use_pallas defaults on; pass False for the portable
     XLA-scan formulation).  Falls back to the native host path for
     features outside the device scope (mirrors native/full.py's own
-    fallback set, plus constrained intra prediction)."""
+    fallback set, plus constrained intra prediction).
+
+    Dispatch is fully asynchronous: the host loop never waits on the
+    device (frame k+1's entropy/motion overlap frame k's device recon;
+    the frame-to-frame reference dependency chains on device).  Host
+    planes are drained in one batched D2H at the end; device_out=True
+    skips the drain and returns (y, cb, cr, poc, sps) device tuples."""
     from .avc import split_annexb
     from .avc.dpb import DecodedPictureBuffer
     from .avc.slice_header import SliceHeader, SliceType
@@ -172,6 +179,8 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
     stored: dict[int, object] = {}   # motion metadata for col/direct
     dev: dict[int, tuple] = {}       # frame_idx -> device (y, cb, cr) uint8
     frames = []
+    order = []
+    epoch = -1   # display order = POC order within each IDR epoch
 
     class _Meta:
         pass
@@ -189,14 +198,15 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
             sps = sd.sps_map[pps.seq_parameter_set_id]
             h = SliceHeader.parse(rbsp, nal, sps, pps)
             st = h.slice_type
+            # RPLM stays in scope: ref-pic-list modification only
+            # reorders the host-side list bookkeeping feeding the
+            # device reference stack (dpb.build_ref_lists handles it)
             if (sps.chroma_array_type != 1
                     or sps.bit_depth_luma_minus8
                     or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None
                     or pps.constrained_intra_pred_flag
                     or st in (SliceType.SP, SliceType.SI)
-                    or h.ref_pic_list_modification_l0
-                    or h.ref_pic_list_modification_l1
                     or pps.pic_scaling_matrix_present_flag
                     or sps.seq_scaling_matrix_present_flag):
                 from .native.full import decode_annexb_native
@@ -212,6 +222,8 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
                                 h.num_ref_idx_l1_active_minus1))
         h0 = headers[0]
         nal0 = pic_nals[0]
+        if int(nal0.type) == 5:
+            epoch += 1
         poc = dpb.decode_poc(sps, h0, nal0)
         dpb.build_ref_lists(sps, h0, poc)
         out = decode_picture_slices(slice_datas, sps, pps,
@@ -341,8 +353,19 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
             stored = {k: v for k, v in stored.items() if k in live}
             dev = {k: v for k, v in dev.items() if k in live}
 
-        frames.append(DecodedFrame(np.asarray(y), np.asarray(cb),
-                                   np.asarray(cr), poc).crop(sps))
-        if max_frames and len(frames) >= max_frames:
+        frames.append((y, cb, cr, poc, sps))
+        order.append((epoch, poc))
+        if max_frames and len(frames) >= max_frames + 16:
             break
-    return frames
+    frames = [f for _, f in sorted(zip(order, frames), key=lambda t: t[0])]
+    if max_frames:
+        frames = frames[:max_frames]
+    if device_out:
+        return frames
+    # one batched D2H drain (a per-frame np.asarray would sync the
+    # pipeline once per picture — ~200 ms/frame on the tunneled dev rig)
+    ys = np.asarray(jnp.stack([f[0] for f in frames]))
+    cbs = np.asarray(jnp.stack([f[1] for f in frames]))
+    crs = np.asarray(jnp.stack([f[2] for f in frames]))
+    return [DecodedFrame(ys[i], cbs[i], crs[i], f[3]).crop(f[4])
+            for i, f in enumerate(frames)]
