@@ -22,6 +22,9 @@ def main(argv=None):
                     default="jax")
     ap.add_argument("-s", "--seek", default=None,
                     help="seek position: Ns | Nms | N%% | Nts")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-stage timing (demux/entropy/pack/"
+                         "dispatch) as JSON after decoding")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -38,13 +41,21 @@ def main(argv=None):
     info = v.info()
     for k, val in info.items():
         print(f"{k}: {val}")
-    frames = v.decode_frames(max_frames=args.frames, backend=args.backend)
+    tm = None
+    if args.stats:
+        from .utils.obs import StageTimers
+        tm = StageTimers()
+    frames = v.decode_frames(max_frames=args.frames, backend=args.backend,
+                             timers=tm)
     if frames:
         import os
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         v.write_yuv(args.output, frames[0])
         print(f"wrote {args.output} "
               f"({frames[0].y.shape[1]}x{frames[0].y.shape[0]})")
+    if tm is not None:
+        import json
+        print("stats:", json.dumps(tm.report()))
     print(f"Done in {time.time() - t0:.3f}s")
     return 0
 

@@ -554,7 +554,8 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
             fut_nf = len(batch)
             cur ^= 1
         flush(None)
-    harvest(pending)
+    with tm.stage("harvest"):
+        harvest(pending)
     return results
 
 

@@ -105,13 +105,27 @@ class Video:
             nals.extend(split_avcc(sample, avcc.nal_length_size))
         return to_annexb(nals)
 
-    def decode_frames(self, max_frames: int = 1, backend: str = "jax"):
+    def decode_frames(self, max_frames: int = 1, backend: str = "jax",
+                      timers=None):
         """Decode the first `max_frames` pictures to YUV, returned in
         display (POC) order.  Backends: 'jax' (device intra recon, native
         C++ host path for inter streams), 'native' (C++ entropy + recon +
         deblock), 'scalar' (Python refimpl).  The reference decodes
-        exactly one intra frame (decoder.rs:88)."""
-        stream = self.annexb_stream()
+        exactly one intra frame (decoder.rs:88).  With `timers` (a
+        utils.obs.StageTimers) the demux/entropy/pack/dispatch stages are
+        accumulated for CLI --stats reporting."""
+        import contextlib
+
+        stage = (timers.stage if timers is not None
+                 else lambda _name: contextlib.nullcontext())
+        with stage("demux"):
+            stream = self.annexb_stream()
+        if backend == "jax" and timers is not None:
+            from .gop_pipeline import decode_annexb_gop_pipelined
+            frames = decode_annexb_gop_pipelined(stream, timers=timers)
+            if max_frames:
+                frames = frames[:max_frames]
+            return sorted(frames, key=lambda f: f.poc)
         if backend == "jax":
             from .pipeline import decode_annexb_fast as fn
         elif backend == "device-ipb":
@@ -120,7 +134,8 @@ class Video:
             from .native.full import decode_annexb_native as fn
         else:
             from .decoder import decode_annexb_scalar as fn
-        frames = fn(stream, max_frames=max_frames)
+        with stage("decode"):
+            frames = fn(stream, max_frames=max_frames)
         return sorted(frames, key=lambda f: f.poc)
 
     def write_yuv(self, path, frame: DecodedFrame):
