@@ -9,8 +9,9 @@ src/video/cabac/mod.rs:89-1111 (macroblock_layer and friends), restructured:
 instead of reconstructing pixels per-MB, it fills per-slice dense arrays
 (coefficients in scan order + mode/QP planes) that the TPU kernels consume.
 
-Scope: I slices (I_NxN 4x4/8x8, I_16x16, I_PCM), chroma_array_type 0/1/2.
-P/B syntax (mvd/ref_idx/sub_mb) lands with inter support; 4:4:4 raises.
+Scope: I slices (I_NxN 4x4/8x8, I_16x16, I_PCM), chroma_array_type 0-3
+(4:4:4 Cb/Cr residuals ride the luma process with categories 6-13), and
+full P/B syntax (mvd/ref_idx/sub_mb).
 """
 from __future__ import annotations
 
@@ -135,6 +136,11 @@ class MBState:
     chroma_ac: np.ndarray = None    # [2][8][16] (AC in slots 1..15)
     pcm_luma: np.ndarray = None     # [256]
     pcm_chroma: np.ndarray = None   # [2][64*cat]
+    # 4:4:4 (ChromaArrayType 3): Cb/Cr coefficients in the luma layout
+    # (allocated lazily by alloc_444 — only 4:4:4 streams pay for them)
+    cbcr_dc: np.ndarray = None      # [2][16]
+    cbcr4: np.ndarray = None        # [2][16][16]
+    cbcr8: np.ndarray = None        # [2][4][64]
 
     @classmethod
     def fresh(cls, **kw) -> "MBState":
@@ -152,6 +158,14 @@ class MBState:
         m.ref_idx = np.zeros((2, 4), dtype=np.int32)
         m.mvd = np.zeros((2, 16, 2), dtype=np.int32)
         return m
+
+    def alloc_444(self) -> "MBState":
+        """Allocate the Cb/Cr luma-layout coefficient planes (4:4:4)."""
+        if self.cbcr4 is None:
+            self.cbcr_dc = np.zeros((2, 16), dtype=np.int32)
+            self.cbcr4 = np.zeros((2, 16, 16), dtype=np.int32)
+            self.cbcr8 = np.zeros((2, 4, 64), dtype=np.int32)
+        return self
 
 
 def _unavailable(intra: bool) -> MBState:
@@ -174,6 +188,23 @@ CAT_LUMA_4X4 = 2
 CAT_CHROMA_DC = 3
 CAT_CHROMA_AC = 4
 CAT_LUMA_8X8 = 5
+# 4:4:4 (ChromaArrayType 3): Cb/Cr residuals ride the luma process with
+# their own context categories (spec 7.3.5.3.1 residual_luma for Cb/Cr;
+# reference consts.rs CAT6..CAT13 bases / cabac/mod.rs:433-467 routing)
+CAT_CB_DC = 6
+CAT_CB_AC = 7
+CAT_CB_4X4 = 8
+CAT_CB_8X8 = 9
+CAT_CR_DC = 10
+CAT_CR_AC = 11
+CAT_CR_4X4 = 12
+CAT_CR_8X8 = 13
+
+# per-category neighbor-context shape groups for coded_block_flag
+_CATS_MBDC = {CAT_LUMA_DC: 0, CAT_CB_DC: 1, CAT_CR_DC: 2}
+_CATS_BLK4 = {CAT_LUMA_AC: 0, CAT_LUMA_4X4: 0, CAT_CB_AC: 1,
+              CAT_CB_4X4: 1, CAT_CR_AC: 2, CAT_CR_4X4: 2}
+_CATS_BLK8 = {CAT_LUMA_8X8: 0, CAT_CB_8X8: 1, CAT_CR_8X8: 2}
 
 
 def _fieldscan_perms():
@@ -973,12 +1004,17 @@ class SliceCoder:
 
     # -- residual -------------------------------------------------------
     def coded_block_flag(self, cat: int, idx: int, val=None) -> int:
-        """9.3.3.1.1.9: ctx from neighbor blocks' coded_block_flag."""
+        """9.3.3.1.1.9: ctx from neighbor blocks' coded_block_flag.
+
+        4:4:4 categories (6-13) reuse the luma neighbor shapes with the
+        Cb/Cr cbf planes (comp 1/2)."""
         cur = self.cur_mb()
-        if cat in (CAT_LUMA_DC,):
-            comp = 0
-        elif cat in (CAT_LUMA_AC, CAT_LUMA_4X4, CAT_LUMA_8X8):
-            comp = 0
+        if cat in _CATS_MBDC:
+            comp = _CATS_MBDC[cat]
+        elif cat in _CATS_BLK4:
+            comp = _CATS_BLK4[cat]
+        elif cat in _CATS_BLK8:
+            comp = _CATS_BLK8[cat]
         elif cat == CAT_CHROMA_DC:
             comp = idx + 1
         elif cat == CAT_CHROMA_AC:
@@ -987,13 +1023,13 @@ class SliceCoder:
         else:
             raise NotImplementedError(f"cat {cat}")
 
-        if cat in (CAT_LUMA_DC, CAT_CHROMA_DC):
+        if cat in _CATS_MBDC or cat == CAT_CHROMA_DC:
             nb_a, nb_b = self.nb_mb("A"), self.nb_mb("B")
             idx_a = idx_b = 16
-        elif cat in (CAT_LUMA_AC, CAT_LUMA_4X4):
+        elif cat in _CATS_BLK4:
             nb_a, idx_a = self.nb_blk4("A", idx)
             nb_b, idx_b = self.nb_blk4("B", idx)
-        elif cat == CAT_LUMA_8X8:
+        elif cat in _CATS_BLK8:
             nb_a, idx_a = self.nb_blk8("A", idx)
             nb_b, idx_b = self.nb_blk8("B", idx)
             idx_a *= 4
@@ -1011,17 +1047,25 @@ class SliceCoder:
                 nb_b = UNAVAIL_INTER
         cond_a = int(nb_a.cbf[comp][idx_a])
         cond_b = int(nb_b.cbf[comp][idx_b])
+        if cat in _CATS_BLK8:
+            # 9.3.3.1.1.9: for 8x8 categories an available non-PCM
+            # neighbor coded with the 4x4 transform has no 8x8 transform
+            # block -> condTermFlagN = 0 (reference cabac/mod.rs:790-801)
+            if nb_a.available and not nb_a.transform8x8 \
+                    and nb_a.kind != MbKind.I_PCM:
+                cond_a = 0
+            if nb_b.available and not nb_b.transform8x8 \
+                    and nb_b.kind != MbKind.I_PCM:
+                cond_b = 0
         ctx = T.CTX_CODED_BLOCK_FLAG[cat] + cond_a + 2 * cond_b
         out = self._bin(ctx, val)
         # record
-        if cat == CAT_LUMA_DC:
-            cur.cbf[0][16] = out
-        elif cat in (CAT_LUMA_AC, CAT_LUMA_4X4):
-            cur.cbf[0][idx] = out
-        elif cat == CAT_LUMA_8X8:
-            cur.cbf[0][idx:idx + 4] = out
-        elif cat == CAT_CHROMA_DC:
+        if cat in _CATS_MBDC or cat == CAT_CHROMA_DC:
             cur.cbf[comp][16] = out
+        elif cat in _CATS_BLK8:
+            # cbf for 8x8 blocks is only *coded* when ChromaArrayType == 3
+            # (spec 7.3.5.3.2); covers the block's four 4x4 cbf slots
+            cur.cbf[comp][idx * 4:idx * 4 + 4] = out
         else:
             cur.cbf[comp][idx] = out
         return out
@@ -1029,7 +1073,7 @@ class SliceCoder:
     def _sig_ctx(self, cat: int, i: int, last: bool) -> int:
         if cat == CAT_CHROMA_DC:
             inc = min(i // self.chroma_array_type, 2)
-        elif cat == CAT_LUMA_8X8:
+        elif cat in _CATS_BLK8:  # luma/Cb/Cr 8x8 (Table 9-43)
             col = 2 if last else self.field_flag
             inc = int(T.SIG_COEFF_8X8[i][col])
         else:
@@ -1077,12 +1121,12 @@ class SliceCoder:
             cbf = 0
             # record zeros for neighbor ctx
             cur = self.cur_mb()
-            if cat == CAT_LUMA_DC:
-                cur.cbf[0][16] = 0
-            elif cat in (CAT_LUMA_AC, CAT_LUMA_4X4):
-                cur.cbf[0][idx] = 0
-            elif cat == CAT_LUMA_8X8:
-                cur.cbf[0][idx * 4:idx * 4 + 4] = 0
+            if cat in _CATS_MBDC:
+                cur.cbf[_CATS_MBDC[cat]][16] = 0
+            elif cat in _CATS_BLK4:
+                cur.cbf[_CATS_BLK4[cat]][idx] = 0
+            elif cat in _CATS_BLK8:
+                cur.cbf[_CATS_BLK8[cat]][idx * 4:idx * 4 + 4] = 0
             elif cat == CAT_CHROMA_DC:
                 cur.cbf[idx + 1][16] = 0
             else:
@@ -1187,7 +1231,33 @@ class SliceCoder:
                                         mb.chroma_ac[c][j], 0, 14, 15,
                                         bool(mb.cbp & 0x20))
         elif self.chroma_array_type == 3:
-            raise NotImplementedError("4:4:4 residual")
+            # 7.3.5.3.1: Cb then Cr ride the residual_luma process with
+            # their own context categories and the SAME CodedBlockPatternLuma
+            # bits (reference cabac/mod.rs:433-467 routes these but its
+            # recon todo!()s 4:4:4; we decode AND reconstruct)
+            mb.alloc_444()
+            for ci, (cat_dc, cat_ac, cat_44, cat_88) in enumerate(
+                    ((CAT_CB_DC, CAT_CB_AC, CAT_CB_4X4, CAT_CB_8X8),
+                     (CAT_CR_DC, CAT_CR_AC, CAT_CR_4X4, CAT_CR_8X8))):
+                if mb.kind == MbKind.I_16X16:
+                    self.residual_block(cat_dc, 0, mb.cbcr_dc[ci], 0, 15,
+                                        16, True)
+                    for i in range(16):
+                        coded = bool((mb.cbp >> (i >> 2)) & 1)
+                        self.residual_block(cat_ac, i, mb.cbcr4[ci][i],
+                                            0, 14, 15, coded)
+                elif mb.transform8x8:
+                    mb.cbf[1 + ci][16] = 0
+                    for i in range(4):
+                        coded = bool((mb.cbp >> i) & 1)
+                        self.residual_block(cat_88, i, mb.cbcr8[ci][i],
+                                            0, 63, 64, coded)
+                else:
+                    mb.cbf[1 + ci][16] = 0
+                    for i in range(16):
+                        coded = bool((mb.cbp >> (i >> 2)) & 1)
+                        self.residual_block(cat_44, i, mb.cbcr4[ci][i],
+                                            0, 15, 16, coded)
 
     # -- macroblock layer ----------------------------------------------
     def macroblock_layer(self, mb: MBState):

@@ -71,23 +71,25 @@ class QuantMaps:
             return np.linalg.inv(_basis_map(dec, 16))
         return self._get(("i4dc", qp, comp), build)
 
-    def inv8(self, qp: int) -> np.ndarray:
-        ls8 = self.recon.ls8[0]
+    def inv8(self, qp: int, comp: int = 0) -> np.ndarray:
+        # 8x8 scaling lists: intra Y / inter Y / intra Cb / inter Cb /
+        # intra Cr / inter Cr (Table 7-2; Cb/Cr rows only for 4:4:4)
+        ls8 = self.recon.ls8[0 if comp == 0 else 2 * comp]
 
         def build():
             def dec(levels):
                 return dequant_idct_8x8(levels.reshape(8, 8), qp, ls8).reshape(-1)
             return np.linalg.inv(_basis_map(dec, 64))
-        return self._get(("i8", qp), build)
+        return self._get(("i8", qp, comp), build)
 
-    def inv_dc16(self, qp: int) -> np.ndarray:
-        ls4 = self.recon.ls4[0]
+    def inv_dc16(self, qp: int, comp: int = 0) -> np.ndarray:
+        ls4 = self.recon.ls4[comp]
 
         def build():
             def dec(levels):
                 return idct_dc_16x16(levels.reshape(4, 4), qp, ls4).reshape(-1)
             return np.linalg.inv(_basis_map(dec, 16))
-        return self._get(("dc16", qp), build)
+        return self._get(("dc16", qp, comp), build)
 
     def inv_dcc(self, qp: int, comp: int) -> np.ndarray:
         ls4 = self.recon.ls4[comp]
@@ -156,7 +158,9 @@ class IntraEncoder:
                 self._encode_i8(mb, addr, sid, src_y)
             else:
                 self._encode_i4(mb, addr, sid, src_y)
-            if mb.kind != MbKind.I_PCM and R.chroma_array_type:
+            if mb.kind != MbKind.I_PCM and R.chroma_array_type == 3:
+                self._encode_chroma444(mb, addr, sid, src_cb, src_cr)
+            elif mb.kind != MbKind.I_PCM and R.chroma_array_type:
                 self._encode_chroma(mb, addr, sid, src_cb, src_cr)
                 R._recon_chroma(mb, addr % R.mb_w, addr // R.mb_w, sid, 255)
             R.mb_done[addr // R.mb_w, addr % R.mb_w] = True
@@ -179,7 +183,12 @@ class IntraEncoder:
         x0, y0 = mx * 16, my * 16
         mb.kind = MbKind.I_PCM
         mb.pcm_luma = src_y[y0:y0 + 16, x0:x0 + 16].reshape(-1).astype(np.int64)
-        if R.chroma_array_type:
+        if R.chroma_array_type == 3:
+            mb.pcm_chroma = np.stack([
+                src_cb[y0:y0 + 16, x0:x0 + 16].reshape(-1),
+                src_cr[y0:y0 + 16, x0:x0 + 16].reshape(-1),
+            ]).astype(np.int64)
+        elif R.chroma_array_type:
             ch = 8 * R.chroma_array_type
             cy = my * ch
             mb.pcm_chroma = np.stack([
@@ -218,6 +227,25 @@ class IntraEncoder:
         mb.i16_pred_mode = best
         resid = src - best_pred
         qp = self.qp
+        if self.bypass:
+            # 8.3.5 lossless I_16x16: residual coded directly; DPCM along
+            # the prediction direction for V/H modes (decoder cumsums)
+            if best in (0, 1):
+                resid = np.diff(resid, axis=best, prepend=0)
+            d00 = np.zeros((4, 4), dtype=np.int64)
+            ac_any = False
+            for blk in range(16):
+                ox, oy = ZSCAN_4X4_POS[blk]
+                zz = resid[oy * 4:oy * 4 + 4,
+                           ox * 4:ox * 4 + 4].reshape(-1)[ZIGZAG_4X4]
+                d00[oy, ox] = zz[0]
+                mb.luma4[blk][:15] = zz[1:]
+                if np.any(zz[1:]):
+                    ac_any = True
+            mb.luma_dc[:] = d00.reshape(-1)[ZIGZAG_4X4]
+            mb.cbp = 0x0F if ac_any else 0
+            R._recon_i16(mb, mx, my, sid, qp, 255)  # identity -> src
+            return
         inv = self.q.inv4_dcpass(qp, 0)
         d00 = np.zeros((4, 4), dtype=np.float64)
         ac_levels = np.zeros((16, 16), dtype=np.int64)
@@ -459,4 +487,112 @@ class IntraEncoder:
         if chroma_cbp != 2:
             mb.chroma_ac[:] = 0
         mb.cbp |= chroma_cbp << 4
+
+    # ------------------------------------------------------------------
+    def _encode_chroma444(self, mb, addr, sid, src_cb, src_cr):
+        """4:4:4 (ChromaArrayType 3): Cb/Cr encoded with the luma process
+        — the luma prediction modes apply per plane (spec 8.4.4), and the
+        CodedBlockPatternLuma bits gate all three planes' AC blocks
+        (7.3.5.3.1), so cbp ends as the OR across planes; blocks a plane
+        leaves zero code coded_block_flag 0."""
+        R = self.recon
+        assert not self.bypass, "lossless 4:4:4 fixtures not supported"
+        mb.alloc_444()
+        mx, my = addr % R.mb_w, addr // R.mb_w
+        qp = self.qp
+        for ci, src in enumerate((src_cb, src_cr)):
+            plane = (R.cb, R.cr)[ci]
+            done = R.blk_done_c[ci]
+            qp_off = (self.pps.chroma_qp_index_offset if ci == 0
+                      else self.pps.second_chroma_qp_offset)
+            qpc = qpc_from_qpy(qp, qp_off, 0)
+            if mb.kind == MbKind.I_16X16:
+                x0, y0 = mx * 16, my * 16
+                avail_a = R.mb_avail(mx - 1, my, sid)
+                avail_b = R.mb_avail(mx, my - 1, sid)
+                avail_d = R.mb_avail(mx - 1, my - 1, sid)
+                above = (plane[y0 - 1, x0:x0 + 16] if avail_b
+                         else np.zeros(16, np.int64))
+                left = (plane[y0:y0 + 16, x0 - 1] if avail_a
+                        else np.zeros(16, np.int64))
+                corner = int(plane[y0 - 1, x0 - 1]) if avail_d else 0
+                pred = ip.pred16x16(int(mb.i16_pred_mode), above, left,
+                                    corner, avail_a, avail_b, avail_d)
+                resid = src[y0:y0 + 16, x0:x0 + 16].astype(np.int64) - pred
+                inv = self.q.inv4_dcpass(qpc, 1 + ci)
+                d00 = np.zeros((4, 4), dtype=np.float64)
+                ac_any = False
+                for blk in range(16):
+                    ox, oy = ZSCAN_4X4_POS[blk]
+                    r = resid[oy * 4:oy * 4 + 4,
+                              ox * 4:ox * 4 + 4].reshape(-1)
+                    v = inv @ r
+                    d00[oy, ox] = v.reshape(4, 4)[0, 0]
+                    lv = _round_levels(v, self.deadzone)
+                    lv.reshape(4, 4)[0, 0] = 0
+                    zz = lv.reshape(-1)[ZIGZAG_4X4]
+                    mb.cbcr4[ci][blk][:15] = zz[1:]
+                    if np.any(zz[1:]):
+                        ac_any = True
+                dc = _round_levels(self.q.inv_dc16(qpc, 1 + ci)
+                                   @ d00.reshape(-1)).reshape(4, 4)
+                mb.cbcr_dc[ci][:] = dc.reshape(-1)[ZIGZAG_4X4]
+                if ac_any:
+                    mb.cbp |= 0x0F
+                R._recon_i16(mb, mx, my, sid, qp, 255, ci)
+            elif mb.transform8x8:
+                inv = self.q.inv8(qpc, 1 + ci)
+                ls8 = R.ls8[2 + 2 * ci]
+                for blk in range(4):
+                    ox, oy = blk & 1, blk >> 1
+                    x0, y0 = mx * 16 + ox * 8, my * 16 + oy * 8
+                    s8 = src[y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+                    avail_a = R.luma_avail(x0 - 1, y0, sid, done)
+                    avail_b = R.luma_avail(x0, y0 - 1, sid, done)
+                    avail_c = R.luma_avail(x0 + 8, y0 - 1, sid, done)
+                    avail_d = R.luma_avail(x0 - 1, y0 - 1, sid, done)
+                    above = np.zeros(16, dtype=np.int64)
+                    left = np.zeros(8, dtype=np.int64)
+                    corner = 0
+                    if avail_b:
+                        above[:8] = plane[y0 - 1, x0:x0 + 8]
+                        above[8:] = (plane[y0 - 1, x0 + 8:x0 + 16]
+                                     if avail_c else above[7])
+                    if avail_a:
+                        left[:] = plane[y0:y0 + 8, x0 - 1]
+                    if avail_d:
+                        corner = int(plane[y0 - 1, x0 - 1])
+                    fa, fl, fz = ip.filter_ref_8x8(above, left, corner,
+                                                   avail_a, avail_b,
+                                                   avail_c, avail_d)
+                    pred = ip.pred8x8(int(mb.intra8x8_modes[blk]), fa, fl,
+                                      fz, avail_a, avail_b, avail_d)
+                    lv = _round_levels(inv @ (s8 - pred).reshape(-1),
+                                       self.deadzone)
+                    if np.any(lv):
+                        mb.cbp |= 1 << blk
+                    mb.cbcr8[ci][blk][:] = lv.reshape(-1)[ZIGZAG_8X8]
+                    r = dequant_idct_8x8(lv.reshape(8, 8), qpc, ls8)
+                    plane[y0:y0 + 8, x0:x0 + 8] = np.clip(pred + r, 0, 255)
+                    done[y0 // 4:y0 // 4 + 2, x0 // 4:x0 // 4 + 2] = True
+            else:
+                inv = self.q.inv4(qpc, 1 + ci)
+                ls4 = R.ls4[1 + ci]
+                for blk in range(16):
+                    ox, oy = ZSCAN_4X4_POS[blk]
+                    bx, by = mx * 4 + ox, my * 4 + oy
+                    x0, y0 = bx * 4, by * 4
+                    s4 = src[y0:y0 + 4, x0:x0 + 4].astype(np.int64)
+                    above, left, corner, aa, ab, ac, ad = R._luma_window4(
+                        bx, by, sid, plane, done)
+                    pred = ip.pred4x4(int(mb.intra4x4_modes[blk]), above,
+                                      left, corner, aa, ab, ac, ad)
+                    lv = _round_levels(inv @ (s4 - pred).reshape(-1),
+                                       self.deadzone)
+                    if np.any(lv):
+                        mb.cbp |= 1 << (blk >> 2)
+                    mb.cbcr4[ci][blk][:] = lv.reshape(-1)[ZIGZAG_4X4]
+                    r = dequant_idct_4x4(lv.reshape(4, 4), qpc, ls4, False)
+                    plane[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + r, 0, 255)
+                    done[by, bx] = True
 

@@ -48,13 +48,21 @@ class FrameRecon:
         self.bitdepth = 8 + sps.bit_depth_luma_minus8
         self.y = np.zeros((H, W), dtype=np.int64)
         if self.chroma_array_type:
-            cw = W // 2
+            cw = W if self.chroma_array_type == 3 else W // 2
             ch = H // (2 if self.chroma_array_type == 1 else 1)
             self.cb = np.zeros((ch, cw), dtype=np.int64)
             self.cr = np.zeros((ch, cw), dtype=np.int64)
         else:
             self.cb = self.cr = None
         self.blk_done = np.zeros((self.mb_h * 4, self.mb_w * 4), dtype=bool)
+        if self.chroma_array_type == 3:
+            # 4:4:4: Cb/Cr follow the luma intra process (spec 8.4.4 for
+            # ChromaArrayType 3) with their own block decode-order maps
+            # (within-MB availability progresses per plane)
+            self.blk_done_c = [np.zeros_like(self.blk_done),
+                               np.zeros_like(self.blk_done)]
+        else:
+            self.blk_done_c = None
         self.mb_done = np.zeros((self.mb_h, self.mb_w), dtype=bool)
         self.mb_slice = np.full((self.mb_h, self.mb_w), -2, dtype=np.int64)
         self.mb_intra = np.zeros((self.mb_h, self.mb_w), dtype=bool)
@@ -75,10 +83,14 @@ class FrameRecon:
         return bool(self.bypass_flag) and qpy + self.qp_bd_offset_y == 0
 
     # -- availability ----------------------------------------------------
-    def luma_avail(self, x: int, y: int, slice_id: int) -> bool:
+    def luma_avail(self, x: int, y: int, slice_id: int, done=None) -> bool:
+        """Block availability at sample (x, y); `done` selects the plane's
+        decode-order map (luma by default, Cb/Cr for 4:4:4)."""
+        if done is None:
+            done = self.blk_done
         if x < 0 or y < 0 or x >= self.y.shape[1] or y >= self.y.shape[0]:
             return False
-        if not self.blk_done[y >> 2, x >> 2]:
+        if not done[y >> 2, x >> 2]:
             return False
         if self.mb_slice[y >> 4, x >> 4] != slice_id:
             return False
@@ -107,7 +119,14 @@ class FrameRecon:
 
         if mb.kind == MbKind.I_PCM:
             self.y[y0:y0 + 16, x0:x0 + 16] = mb.pcm_luma.reshape(16, 16)
-            if self.chroma_array_type:
+            if self.chroma_array_type == 3:
+                self.cb[y0:y0 + 16, x0:x0 + 16] = \
+                    mb.pcm_chroma[0].reshape(16, 16)
+                self.cr[y0:y0 + 16, x0:x0 + 16] = \
+                    mb.pcm_chroma[1].reshape(16, 16)
+                for d in self.blk_done_c:
+                    d[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+            elif self.chroma_array_type:
                 ch = 8 * self.chroma_array_type
                 cx, cy = x0 // 2, y0 // (2 if self.chroma_array_type == 1 else 1)
                 self.cb[cy:cy + ch, cx:cx + 8] = mb.pcm_chroma[0].reshape(ch, 8)
@@ -128,42 +147,73 @@ class FrameRecon:
             self._recon_i4(mb, mx, my, slice_id, qpy, maxv)
         if self.chroma_array_type in (1, 2):
             self._recon_chroma(mb, mx, my, slice_id, maxv)
+        elif self.chroma_array_type == 3:
+            # 8.4.4 / 8.5 for ChromaArrayType 3: each chroma plane runs
+            # the luma process with the luma prediction modes, its own
+            # decode-order map, and the chroma QP / scaling lists
+            for ci in (0, 1):
+                if mb.kind == MbKind.I_16X16:
+                    self._recon_i16(mb, mx, my, slice_id, qpy, maxv, ci)
+                elif mb.transform8x8:
+                    self._recon_i8(mb, mx, my, slice_id, qpy, maxv, ci)
+                else:
+                    self._recon_i4(mb, mx, my, slice_id, qpy, maxv, ci)
         self.mb_done[my, mx] = True
 
-    # -- luma paths -------------------------------------------------------
-    def _luma_window4(self, bx: int, by: int, slice_id: int):
+    # -- luma-process paths (luma plane, or Cb/Cr for 4:4:4) --------------
+    def _plane_ctx(self, mb, ci=None, qpy=None):
+        """(plane, done-map, dc/c4/c8 coefficients, ls4, ls8, qp) for the
+        luma process: ci None = luma; ci 0/1 = Cb/Cr under ChromaArrayType
+        3 (spec 8.4.4/8.5 invoke the luma process per chroma plane)."""
+        if ci is None:
+            return (self.y, self.blk_done, mb.luma_dc, mb.luma4, mb.luma8,
+                    self.ls4[0], self.ls8[0], qpy)
+        qp_off = (self.pps.chroma_qp_index_offset if ci == 0
+                  else self.pps.second_chroma_qp_offset)
+        qpc = qpc_from_qpy(qpy, qp_off, self.qp_bd_offset_c)
+        # 8x8 scaling lists for 4:4:4: Sl_8x8 order intra Y/inter Y/
+        # intra Cb/inter Cb/intra Cr/inter Cr (Table 7-2)
+        return ((self.cb, self.cr)[ci], self.blk_done_c[ci],
+                mb.cbcr_dc[ci], mb.cbcr4[ci], mb.cbcr8[ci],
+                self.ls4[1 + ci], self.ls8[2 + 2 * ci], qpc)
+
+    def _luma_window4(self, bx: int, by: int, slice_id: int,
+                      plane=None, done=None):
         """Neighbor window for a 4x4 block at luma coords (bx*4, by*4)."""
+        if plane is None:
+            plane, done = self.y, self.blk_done
         x0, y0 = bx * 4, by * 4
-        avail_a = self.luma_avail(x0 - 1, y0, slice_id)
-        avail_b = self.luma_avail(x0, y0 - 1, slice_id)
-        avail_c = self.luma_avail(x0 + 4, y0 - 1, slice_id)
-        avail_d = self.luma_avail(x0 - 1, y0 - 1, slice_id)
+        avail_a = self.luma_avail(x0 - 1, y0, slice_id, done)
+        avail_b = self.luma_avail(x0, y0 - 1, slice_id, done)
+        avail_c = self.luma_avail(x0 + 4, y0 - 1, slice_id, done)
+        avail_d = self.luma_avail(x0 - 1, y0 - 1, slice_id, done)
         above = np.zeros(8, dtype=np.int64)
         left = np.zeros(4, dtype=np.int64)
         corner = 0
         if avail_b:
-            above[:4] = self.y[y0 - 1, x0:x0 + 4]
+            above[:4] = plane[y0 - 1, x0:x0 + 4]
             if avail_c:
-                above[4:] = self.y[y0 - 1, x0 + 4:x0 + 8]
+                above[4:] = plane[y0 - 1, x0 + 4:x0 + 8]
             else:
                 above[4:] = above[3]
         if avail_a:
-            left[:] = self.y[y0:y0 + 4, x0 - 1]
+            left[:] = plane[y0:y0 + 4, x0 - 1]
         if avail_d:
-            corner = int(self.y[y0 - 1, x0 - 1])
+            corner = int(plane[y0 - 1, x0 - 1])
         return above, left, corner, avail_a, avail_b, avail_c, avail_d
 
-    def _recon_i4(self, mb, mx, my, slice_id, qpy, maxv):
-        ls4 = self.ls4[0]
+    def _recon_i4(self, mb, mx, my, slice_id, qpy, maxv, ci=None):
+        plane, done, _dc, c4, _c8, ls4, _ls8, qp = \
+            self._plane_ctx(mb, ci, qpy)
         byp = self.bypass(qpy)
         for blk in range(16):
             ox, oy = ZSCAN_4X4_POS[blk]
             bx, by = mx * 4 + ox, my * 4 + oy
-            c = dezigzag4(mb.luma4[blk])
+            c = dezigzag4(c4[blk])
             r = (c if byp
-                 else dequant_idct_4x4(c, qpy, ls4, dc_passthrough=False))
+                 else dequant_idct_4x4(c, qp, ls4, dc_passthrough=False))
             above, left, corner, aa, ab, ac, ad = \
-                self._luma_window4(bx, by, slice_id)
+                self._luma_window4(bx, by, slice_id, plane, done)
             mode = int(mb.intra4x4_modes[blk])
             if byp and mode in (0, 1):
                 # 8.3.5 intra residual transform-bypass: cumulative sum
@@ -173,34 +223,35 @@ class FrameRecon:
             pred = ip.pred4x4(mode, above, left, corner, aa, ab, ac, ad,
                               self.bitdepth)
             u = np.clip(pred + r, 0, maxv)
-            self.y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = u
-            self.blk_done[by, bx] = True
+            plane[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = u
+            done[by, bx] = True
 
-    def _recon_i8(self, mb, mx, my, slice_id, qpy, maxv):
-        ls8 = self.ls8[0]
+    def _recon_i8(self, mb, mx, my, slice_id, qpy, maxv, ci=None):
+        plane, done, _dc, _c4, c8, _ls4, ls8, qp = \
+            self._plane_ctx(mb, ci, qpy)
         for blk in range(4):
             ox, oy = blk & 1, blk >> 1
             x0, y0 = mx * 16 + ox * 8, my * 16 + oy * 8
-            c = dezigzag8(mb.luma8[blk])
+            c = dezigzag8(c8[blk])
             byp = self.bypass(qpy)
-            r = c if byp else dequant_idct_8x8(c, qpy, ls8)
-            avail_a = self.luma_avail(x0 - 1, y0, slice_id)
-            avail_b = self.luma_avail(x0, y0 - 1, slice_id)
-            avail_c = self.luma_avail(x0 + 8, y0 - 1, slice_id)
-            avail_d = self.luma_avail(x0 - 1, y0 - 1, slice_id)
+            r = c if byp else dequant_idct_8x8(c, qp, ls8)
+            avail_a = self.luma_avail(x0 - 1, y0, slice_id, done)
+            avail_b = self.luma_avail(x0, y0 - 1, slice_id, done)
+            avail_c = self.luma_avail(x0 + 8, y0 - 1, slice_id, done)
+            avail_d = self.luma_avail(x0 - 1, y0 - 1, slice_id, done)
             above = np.zeros(16, dtype=np.int64)
             left = np.zeros(8, dtype=np.int64)
             corner = 0
             if avail_b:
-                above[:8] = self.y[y0 - 1, x0:x0 + 8]
+                above[:8] = plane[y0 - 1, x0:x0 + 8]
                 if avail_c:
-                    above[8:] = self.y[y0 - 1, x0 + 8:x0 + 16]
+                    above[8:] = plane[y0 - 1, x0 + 8:x0 + 16]
                 else:
                     above[8:] = above[7]
             if avail_a:
-                left[:] = self.y[y0:y0 + 8, x0 - 1]
+                left[:] = plane[y0:y0 + 8, x0 - 1]
             if avail_d:
-                corner = int(self.y[y0 - 1, x0 - 1])
+                corner = int(plane[y0 - 1, x0 - 1])
             mode = int(mb.intra8x8_modes[blk])
             if byp and mode in (0, 1):
                 r = np.cumsum(r, axis=mode)  # 8.3.5 DPCM bypass
@@ -209,38 +260,43 @@ class FrameRecon:
             pred = ip.pred8x8(mode, fa, fl, fz, avail_a, avail_b,
                               avail_d, self.bitdepth)
             u = np.clip(pred + r, 0, maxv)
-            self.y[y0:y0 + 8, x0:x0 + 8] = u
-            self.blk_done[y0 // 4:y0 // 4 + 2, x0 // 4:x0 // 4 + 2] = True
+            plane[y0:y0 + 8, x0:x0 + 8] = u
+            done[y0 // 4:y0 // 4 + 2, x0 // 4:x0 // 4 + 2] = True
 
-    def _recon_i16(self, mb, mx, my, slice_id, qpy, maxv):
-        if self.bypass(qpy):
-            raise NotImplementedError(
-                "transform-bypass I_16x16 (lossless streams use I_NxN)")
-        ls4 = self.ls4[0]
+    def _recon_i16(self, mb, mx, my, slice_id, qpy, maxv, ci=None):
+        plane, done, cdc, c4, _c8, ls4, _ls8, qp = \
+            self._plane_ctx(mb, ci, qpy)
+        byp = self.bypass(qpy)
         x0, y0 = mx * 16, my * 16
         avail_a = self.mb_avail(mx - 1, my, slice_id)
         avail_b = self.mb_avail(mx, my - 1, slice_id)
         avail_d = self.mb_avail(mx - 1, my - 1, slice_id)
-        above = self.y[y0 - 1, x0:x0 + 16] if avail_b else np.zeros(16, np.int64)
-        left = self.y[y0:y0 + 16, x0 - 1] if avail_a else np.zeros(16, np.int64)
-        corner = int(self.y[y0 - 1, x0 - 1]) if avail_d else 0
+        above = plane[y0 - 1, x0:x0 + 16] if avail_b else np.zeros(16, np.int64)
+        left = plane[y0:y0 + 16, x0 - 1] if avail_a else np.zeros(16, np.int64)
+        corner = int(plane[y0 - 1, x0 - 1]) if avail_d else 0
         pred = ip.pred16x16(int(mb.i16_pred_mode), above, left, corner,
                             avail_a, avail_b, avail_d, self.bitdepth)
         # DC: levels in 4x4 zig-zag scan over the (blkX, blkY) raster grid
-        dc_levels = dezigzag4(mb.luma_dc)
-        dc_vals = idct_dc_16x16(dc_levels, qpy, ls4)
+        dc_levels = dezigzag4(cdc)
+        dc_vals = (dc_levels if byp
+                   else idct_dc_16x16(dc_levels, qp, ls4))
         resid = np.zeros((16, 16), dtype=np.int64)
         for blk in range(16):
             ox, oy = ZSCAN_4X4_POS[blk]
             full = np.zeros(16, dtype=np.int64)
-            full[1:] = mb.luma4[blk][:15]
+            full[1:] = c4[blk][:15]
             c = dezigzag4(full)
             c[0, 0] = dc_vals[oy, ox]
-            r = dequant_idct_4x4(c, qpy, ls4, dc_passthrough=True)
+            r = c if byp else dequant_idct_4x4(c, qp, ls4,
+                                               dc_passthrough=True)
             resid[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] = r
+        if byp and int(mb.i16_pred_mode) in (0, 1):
+            # 8.3.5 lossless DPCM: vertical (0) accumulates down rows,
+            # horizontal (1) across columns, over the whole 16x16 array
+            resid = np.cumsum(resid, axis=int(mb.i16_pred_mode))
         u = np.clip(pred + resid, 0, maxv)
-        self.y[y0:y0 + 16, x0:x0 + 16] = u
-        self.blk_done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+        plane[y0:y0 + 16, x0:x0 + 16] = u
+        done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
 
     # -- chroma -----------------------------------------------------------
     def _recon_chroma(self, mb, mx, my, slice_id, maxv):

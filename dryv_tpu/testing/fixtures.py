@@ -56,6 +56,12 @@ FIXTURE_SPECS = [
     ("big_qp30", 8, 6, 30, "mix8", True, 2, None),
     ("mono_qp26", 4, 3, 26, "mix", False, None, None),  # 4:0:0
     ("c422_qp27", 4, 3, 27, "mix420", False, None, None),  # 4:2:2
+    # 4:4:4 (High 4:4:4 Predictive): Cb/Cr residuals in the luma process
+    # with context categories 6-13 — the reference's CABAC tables cover
+    # these (consts.rs cat5-13 bases) but its recon todo!()s 4:4:4
+    ("c444_qp27", 4, 3, 27, "mix420", False, None, None),
+    ("c444_i8_qp30", 4, 3, 30, "mix48", True, None, None),  # cats 9/13
+    ("c444_slices_qp24", 4, 4, 24, "mix420", False, 2, None),
     # "dblk_" prefix: in-loop deblocking ENABLED (disable_idc 0) — goes
     # beyond the reference, which has no deblocking (README.md:14)
     ("dblk_i16_qp30", 4, 3, 30, "i16", False, None, None),
@@ -83,6 +89,10 @@ FIXTURE_SPECS = [
     # reference leaves lossless as todo!()
     ("lossless_i4", 4, 3, 0, "i4", False, None, None),
     ("lossless_mix48", 4, 3, 0, "mix48", True, 1, None),
+    # transform-bypass I_16x16 (8.3.5 DPCM over the 16x16 array; the
+    # reference todo!()s all lossless)
+    ("lossless_i16", 4, 3, 0, "i16", False, None, None),
+    ("lossless_mix16", 4, 3, 0, "mix420", False, None, None),
     # "scal_" prefix: custom scaling matrices (non-flat weight lists;
     # reference sps.rs:179-249 parses them, header.rs:317-332 activates)
     ("scal_mix8_qp28", 4, 3, 28, "mix8", True, None, None),   # SPS matrix
@@ -98,6 +108,7 @@ def get_fixture(name: str):
     _, mb_w, mb_h, qp, policy, t8, rps, crop = spec
     mono = "mono" in name
     c422 = "c422" in name
+    c444 = "c444" in name
     deblock = name.startswith("dblk") or "dblk" in name
     cavlc = name.startswith("cavlc")
     lossless = name.startswith("lossless")
@@ -112,11 +123,21 @@ def get_fixture(name: str):
                        0, 255).astype(np.int64),
                np.clip(130 + rng.randint(-20, 21, (H, W // 2)),
                        0, 255).astype(np.int64))
+    if c444:
+        rng = np.random.RandomState(11)
+        H, W = mb_h * 16, mb_w * 16
+        src = (src[0],
+               np.clip(105 + rng.randint(-25, 26, (H, W)),
+                       0, 255).astype(np.int64),
+               np.clip(125 + rng.randint(-25, 26, (H, W)),
+                       0, 255).astype(np.int64))
     profile = 66
     if mono:
         profile = 100
     if c422:
         profile = 122
+    if c444:
+        profile = 244
     sps, pps = default_sps_pps(mb_w, mb_h, qp=qp, transform_8x8=t8,
                                crop=crop, profile=profile, cabac=not cavlc,
                                lossless=lossless)
@@ -124,6 +145,8 @@ def get_fixture(name: str):
         sps.chroma_format_idc = 0
     if c422:
         sps.chroma_format_idc = 2
+    if c444:
+        sps.chroma_format_idc = 3
     if name.startswith("scal"):
         from ..avc.sps import ScalingLists
         rng = np.random.RandomState(7)
