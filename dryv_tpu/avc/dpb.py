@@ -319,8 +319,16 @@ class DecodedPictureBuffer:
                      if p.is_reference and not p.is_long_term
                      and p.pic_num == wrap and p.field_ref[par]), None)
             else:
-                raise NotImplementedError(
-                    "long-term field list modification")
+                # idc == 2: long_term_pic_num selects a long-term FIELD
+                # (8.2.4.3.2: LongTermPicNum = 2*LongTermFrameIdx + 1 for
+                # same-parity fields, 2*LongTermFrameIdx for opposite)
+                wrap, same = m.value >> 1, m.value & 1
+                par = cur_par if same else 1 - cur_par
+                target = next(
+                    ((p, par) for p in self.pictures
+                     if p.is_reference and p.is_long_term
+                     and p.long_term_frame_idx == wrap
+                     and p.field_ref[par]), None)
             if target is None:
                 continue
             lst.insert(ref_idx, target)
@@ -344,12 +352,13 @@ class DecodedPictureBuffer:
             self._decode_count += 1
             return None
         m = header.dec_ref_pic_marking
-        if m and m.adaptive_ref_pic_marking_mode_flag:
-            raise NotImplementedError("MMCO in field pictures")
+        adaptive = bool(m and m.adaptive_ref_pic_marking_mode_flag)
         if idr:
             self.pictures.clear()
             self.max_long_term_frame_idx = -1
         else:
+            if adaptive:
+                self._adaptive_marking_field(sps, header, m.mmco_ops, par)
             # second field of the pair?
             if self.pictures:
                 last = self.pictures[-1]
@@ -366,15 +375,100 @@ class DecodedPictureBuffer:
                     last.pic_order_cnt = min(last.top_field_order_cnt,
                                              last.bottom_field_order_cnt)
                     self._decode_count += 1
+                    if adaptive:
+                        for op in m.mmco_ops:
+                            if op.op == 6:  # current field -> long-term
+                                last.is_long_term = True
+                                last.long_term_frame_idx = op.val1
                     return last
-            self._sliding_window(sps)
+            if not adaptive:
+                self._sliding_window(sps)
         pic = Picture(frame_num=header.frame_num, pic_order_cnt=poc,
                       top_field_order_cnt=poc, bottom_field_order_cnt=poc,
                       frame_idx=self._decode_count,
                       field_ref=(par == 0, par == 1))
         self._decode_count += 1
+        if adaptive:
+            for op in m.mmco_ops:
+                if op.op == 6:
+                    pic.is_long_term = True
+                    pic.long_term_frame_idx = op.val1
         self.pictures.append(pic)
         return pic
+
+    def _adaptive_marking_field(self, sps: SPS, header: SliceHeader, ops,
+                                cur_par: int):
+        """8.2.5.4 MMCO with FIELD picture numbers: CurrPicNum =
+        2*frame_num + 1, MaxPicNum = 2*MaxFrameNum; field PicNum =
+        2*FrameNumWrap + (1 if same parity as the current field).
+
+        Ops 1/2 unmark individual fields (a picture leaves the DPB when
+        neither of its fields remains a reference); op 3 promotes the
+        addressed pair to long-term (frame-granular: exact once the
+        stream marks both fields, the common encoder pattern); ops 4/5
+        as for frames; op 6 is applied by store_field to the current
+        entry."""
+        curr = 2 * header.frame_num + 1
+        max_pn = 2 * sps.max_frame_num
+        max_fn = sps.max_frame_num
+
+        def wrap_of(p):
+            return (p.frame_num - max_fn if p.frame_num > header.frame_num
+                    else p.frame_num)
+
+        def split_pic_num(pic_num):
+            wrap, same = pic_num >> 1, pic_num & 1
+            return wrap, (cur_par if same else 1 - cur_par)
+
+        def unmark_field(p, par):
+            fr = list(p.field_ref)
+            fr[par] = False
+            p.field_ref = tuple(fr)
+            if not any(p.field_ref):
+                p.is_reference = False
+                self.pictures.remove(p)
+
+        for op in ops:
+            if op.op in (1, 3):
+                pic_num = curr - (op.val1 + 1)
+                if pic_num < 0:
+                    pic_num += max_pn
+                if pic_num > curr:
+                    pic_num -= max_pn
+                wrap, par = split_pic_num(pic_num)
+                target = next(
+                    (p for p in self.pictures
+                     if p.is_reference and not p.is_long_term
+                     and wrap_of(p) == wrap and p.field_ref[par]), None)
+                if target is None:
+                    continue
+                if op.op == 1:
+                    unmark_field(target, par)
+                else:  # 3: short-term field -> long-term
+                    target.is_long_term = True
+                    target.long_term_frame_idx = op.val2
+                    target.long_term_pic_num = op.val2
+            elif op.op == 2:  # unmark long-term field by LongTermPicNum
+                wrap, par = split_pic_num(op.val1)
+                target = next(
+                    (p for p in self.pictures
+                     if p.is_reference and p.is_long_term
+                     and p.long_term_frame_idx == wrap
+                     and p.field_ref[par]), None)
+                if target is not None:
+                    unmark_field(target, par)
+            elif op.op == 4:
+                self.max_long_term_frame_idx = op.val1 - 1
+                self.pictures = [
+                    p for p in self.pictures
+                    if not (p.is_long_term and p.long_term_frame_idx
+                            > self.max_long_term_frame_idx)]
+            elif op.op == 5:
+                self.pictures.clear()
+                self.max_long_term_frame_idx = -1
+                self.prev_pic_order_cnt_msb = 0
+                self.prev_pic_order_cnt_lsb = 0
+            # op 6 applied by store_field to the stored entry
 
     # -- marking (spec 8.2.5; dpb.rs:415-589) ----------------------------
     def mark_and_store(self, sps: SPS, header: SliceHeader, nal: NalUnit,

@@ -166,6 +166,7 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
     stored_maps = {}  # frame_idx -> (l0 keys, l1 keys) for temporal direct
     stored_fields = {}  # (frame_idx, parity) -> field planes (PAFF refs)
     stored_field_ms = {}  # (frame_idx, parity) -> field MotionState
+    stored_field_maps = {}  # (frame_idx, parity) -> (l0 keys, l1 keys)
     pending_field = None  # (bottom_flag, FrameRecon) awaiting its pair
     # Output (display) order is POC order within each IDR epoch — a later
     # coded picture may precede an earlier one in display order (e.g.
@@ -265,13 +266,33 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                 if st0 == SliceType.B:
                     if not fl1:
                         raise ValueError("B field without list 1")
-                    if not h0.direct_spatial_mv_pred_flag:
-                        raise NotImplementedError(
-                            "temporal direct in field pictures")
                     colp, colpar = fl1[0]
-                    dctx = DirectCtx(
-                        stored_field_ms[(colp.frame_idx, colpar)],
-                        not colp.is_long_term)
+                    if h0.direct_spatial_mv_pred_flag:
+                        dctx = DirectCtx(
+                            stored_field_ms[(colp.frame_idx, colpar)],
+                            not colp.is_long_term)
+                    else:
+                        # temporal direct between coded FIELDS
+                        # (8.4.1.2.3): picture keys are (frame_idx,
+                        # parity), distances use FIELD POCs; no vertical
+                        # MV scaling (both pictures are fields)
+                        from .refimpl.inter import TemporalDirectCtx
+                        km0, km1 = stored_field_maps.get(
+                            (colp.frame_idx, colpar), ((), ()))
+                        dctx = TemporalDirectCtx(
+                            stored_field_ms[(colp.frame_idx, colpar)],
+                            km0, km1,
+                            [(p.frame_idx, par) for p, par in fl0],
+                            {(p.frame_idx, par):
+                             (p.bottom_field_order_cnt if par
+                              else p.top_field_order_cnt)
+                             for p, par in fl0 + fl1},
+                            {(p.frame_idx, par): p.is_long_term
+                             for p, par in fl0 + fl1},
+                            poc,
+                            (colp.bottom_field_order_cnt if colpar
+                             else colp.top_field_order_cnt),
+                            cur_parity=parity)
             recon = FrameRecon(sps, pps, mb_h=fh)
             ms = MotionState(recon.mb_w, fh)
             for addr, mb in enumerate(mbs):
@@ -308,12 +329,18 @@ def decode_annexb_scalar(stream: bytes, max_frames: int = 0):
                     (recon.y, recon.cb, recon.cr)
                 ms.cur_sid = None
                 stored_field_ms[(fpic.frame_idx, parity)] = ms
+                stored_field_maps[(fpic.frame_idx, parity)] = (
+                    [(p.frame_idx, par) for p, par in fl0] if fl0 else [],
+                    [(p.frame_idx, par) for p, par in fl1] if fl1 else [])
                 live = {p.frame_idx for p in dpb.pictures}
                 stored_fields = {k: v for k, v in stored_fields.items()
                                  if k[0] in live}
                 stored_field_ms = {k: v for k, v in
                                    stored_field_ms.items()
                                    if k[0] in live}
+                stored_field_maps = {k: v for k, v in
+                                     stored_field_maps.items()
+                                     if k[0] in live}
             if pending_field is None or pending_field[0] == parity:
                 pending_field = (parity, recon, poc)
                 continue

@@ -39,16 +39,23 @@ class FieldSequenceEncoder(SequenceEncoder):
                                 mb_h=self.fh)
         self.dpb = DecodedPictureBuffer()
         self.fields = {}      # (frame_idx, parity) -> (planes, ms, poc)
+        self.field_maps = {}  # (frame_idx, parity) -> (l0 keys, l1 keys)
         self._fl = ([], [])   # current picture's field lists
 
     # -- coding-order driver -------------------------------------------------
     def code_field(self, kind: str, src_field, parity: int, frame_num: int,
-                   poc_lsb: int, idr: bool = False, ref: bool = True):
+                   poc_lsb: int, idr: bool = False, ref: bool = True,
+                   nref_l0: int = None, mmco=None, rplm_l0=None,
+                   temporal_direct: bool = False):
         """Encode one field; returns (mbs, header_kwargs).
 
         kind: 'i' | 'p' | 'b'; src_field: (y, cb, cr) half-height planes;
         the caller supplies frame_num (increments per frame pair) and
-        pic_order_cnt_lsb (poc type 0)."""
+        pic_order_cnt_lsb (poc type 0).  nref_l0 overrides the active
+        list-0 size; mmco (list of MmcoOp) and rplm_l0 (list of
+        RefPicListModification) ride the header into the encoder's own
+        DPB, so its reference machinery applies them exactly as the
+        decoder will."""
         st_code = {"i": 7, "p": 5, "b": 6}[kind]
         h = SliceHeader(
             first_mb_in_slice=0,
@@ -59,6 +66,19 @@ class FieldSequenceEncoder(SequenceEncoder):
             field_pic_flag=1,
             bottom_field_flag=parity,
         )
+        if nref_l0 is not None:
+            h.num_ref_idx_l0_active_minus1 = nref_l0 - 1
+        elif temporal_direct and kind == "b":
+            # temporal direct needs the co-located field's references
+            # present in the current list 0: keep the whole derived list
+            # (the written header carries the actual list length)
+            h.num_ref_idx_l0_active_minus1 = 15
+        if mmco:
+            from ..avc.slice_header import DecRefPicMarking
+            h.dec_ref_pic_marking = DecRefPicMarking(
+                adaptive_ref_pic_marking_mode_flag=1, mmco_ops=list(mmco))
+        if rplm_l0:
+            h.ref_pic_list_modification_l0 = list(rplm_l0)
         nal = SimpleNamespace(
             type=NalUnitType.IDR_SLICE if idr else NalUnitType.NON_IDR_SLICE,
             ref_idc=3 if ref else 0)
@@ -89,7 +109,9 @@ class FieldSequenceEncoder(SequenceEncoder):
         elif kind == "p":
             mbs = self.encode_p(y, cb, cr, poc=poc)
         else:
-            mbs = self.encode_b_field(y, cb, cr, poc)
+            self._cur_parity = parity
+            mbs = self.encode_b_field(y, cb, cr, poc,
+                                      temporal=temporal_direct)
         R = self.enc.recon
         fpic = self.dpb.store_field(self.sps, h, nal, poc) if ref else None
         if fpic is not None:
@@ -101,6 +123,10 @@ class FieldSequenceEncoder(SequenceEncoder):
                     ms.set_mb_intra(a)
             self.fields[(fpic.frame_idx, parity)] = \
                 ((R.y.copy(), R.cb.copy(), R.cr.copy()), ms, poc)
+            fl0, fl1 = self._fl if kind != "i" else ([], [])
+            self.field_maps[(fpic.frame_idx, parity)] = (
+                [(p.frame_idx, par) for p, par in fl0],
+                [(p.frame_idx, par) for p, par in fl1] if fl1 else [])
             live = {p.frame_idx for p in self.dpb.pictures}
             self.fields = {k: v for k, v in self.fields.items()
                            if k[0] in live}
@@ -109,7 +135,9 @@ class FieldSequenceEncoder(SequenceEncoder):
                    slice_type_code=st_code,
                    nal_ref_idc=3 if ref else 0,
                    num_ref_l0=nref if kind in "pb" else None,
-                   num_ref_l1=len(self._fl[1]) if kind == "b" else None)
+                   num_ref_l1=len(self._fl[1]) if kind == "b" else None,
+                   mmco=mmco, rplm_l0=rplm_l0,
+                   direct_spatial=0 if temporal_direct else 1)
         return mbs, hdr
 
     # SequenceEncoder.encode_p stores refs itself; intercept to keep our
@@ -118,10 +146,14 @@ class FieldSequenceEncoder(SequenceEncoder):
     def _store_ref(self, planes, poc, ms, maps=((), ())):
         self._last_ms = ms
 
-    def encode_b_field(self, src_y, src_cb, src_cr, poc: int):
+    def encode_b_field(self, src_y, src_cb, src_cr, poc: int,
+                       temporal: bool = False):
         """B field: lists come from the dpb field derivation (not the
-        frame POC partition encode_b re-derives)."""
-        from ..refimpl.inter import (DirectCtx, MotionState, derive_direct,
+        frame POC partition encode_b re-derives).  temporal=True uses
+        the 8.4.1.2.3 field temporal-direct derivation (field POCs,
+        (frame_idx, parity) picture keys)."""
+        from ..refimpl.inter import (DirectCtx, MotionState,
+                                     TemporalDirectCtx, derive_direct,
                                      recon_inter_mb)
         from ..refimpl.recon import FrameRecon
         from ..cabac.syntax import MBState, MbKind
@@ -129,7 +161,20 @@ class FieldSequenceEncoder(SequenceEncoder):
         l0_list = [self.fields[(p.frame_idx, par)][0] for p, par in fl0]
         l1_list = [self.fields[(p.frame_idx, par)][0] for p, par in fl1]
         colp, colpar = fl1[0]
-        dctx = DirectCtx(self.fields[(colp.frame_idx, colpar)][1], True)
+        if temporal:
+            km0, km1 = self.field_maps.get((colp.frame_idx, colpar),
+                                           ((), ()))
+            def fpoc(p, par):
+                return (p.bottom_field_order_cnt if par
+                        else p.top_field_order_cnt)
+            dctx = TemporalDirectCtx(
+                self.fields[(colp.frame_idx, colpar)][1], km0, km1,
+                [(p.frame_idx, par) for p, par in fl0],
+                {(p.frame_idx, par): fpoc(p, par) for p, par in fl0 + fl1},
+                {(p.frame_idx, par): p.is_long_term for p, par in fl0 + fl1},
+                poc, fpoc(colp, colpar), cur_parity=self._cur_parity)
+        else:
+            dctx = DirectCtx(self.fields[(colp.frame_idx, colpar)][1], True)
         self._wp = None
         R = FrameRecon(self.sps, self.pps, mb_h=self.fh)
         self.enc.recon = R
@@ -179,7 +224,8 @@ class FieldSequenceEncoder(SequenceEncoder):
 
 def encode_paff_ipb_annexb(sps, pps, frame_sources, qp: int,
                            b_fields: bool = False,
-                           deblock: bool = False) -> bytes:
+                           deblock: bool = False,
+                           temporal_direct: bool = False) -> bytes:
     """Assemble a PAFF sequence: IDR fields then P (and optionally B)
     field pairs.  frame_sources: list of (y, cb, cr) FULL-height frames;
     each splits into top+bottom coded fields."""
@@ -221,7 +267,9 @@ def encode_paff_ipb_annexb(sps, pps, frame_sources, qp: int,
         ref = kind != "b"
         mbs, hdr = enc.code_field(kind, src, parity, frame_num,
                                   poc_lsb=(2 * fi) % 256,
-                                  idr=(fi == 0 and parity == 0), ref=ref)
+                                  idr=(fi == 0 and parity == 0), ref=ref,
+                                  temporal_direct=(temporal_direct
+                                                   and kind == "b"))
         mbs_frame = [None] * (sps.pic_width_in_mbs * enc.fh)
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mbs, 0, 0,

@@ -121,6 +121,10 @@ def _parse_pictures(stream: bytes):
     rest = sd.feed_parameter_sets(list(split_annexb(stream)))
     pics = []
     sps = pps = None
+    # single parameter-set streams (the common case) parse each slice
+    # header once; multi-PPS streams probe with an arbitrary set first
+    # to learn the pic_parameter_set_id, then re-parse with the right one
+    single = len(sd.pps_map) == 1 and len(sd.sps_map) == 1
     for pic_nals in group_access_units(rest):
         headers = []
         slice_datas = []
@@ -131,7 +135,7 @@ def _parse_pictures(stream: bytes):
             h0 = SliceHeader.parse(rbsp, nal, probe_sps, probe_pps)
             pps = sd.pps_map[h0.pic_parameter_set_id]
             sps = sd.sps_map[pps.seq_parameter_set_id]
-            h = SliceHeader.parse(rbsp, nal, sps, pps)
+            h = h0 if single else SliceHeader.parse(rbsp, nal, sps, pps)
             headers.append(h)
             bitoff = ((h.header_bit_len + 7) & ~7
                       if pps.entropy_coding_mode_flag else h.header_bit_len)
@@ -166,8 +170,9 @@ def _gop_supported(sps, pps, headers) -> bool:
 # ---------------------------------------------------------------------------
 
 I16_STRIDE = 408    # luma_lv 256 | luma_dc 16 | chroma_dc 8 | chroma_ac 128
-U8_STRIDE = 29      # kind qp_y i16_mode chroma_mode | modes4 16 | modes8 4
-                    # | sid_lo sid_hi | dis offa+12 offb+12
+U8_STRIDE = 19      # kind qp_y i16_mode chroma_mode | modes4 8 (nibbles)
+                    # | modes8 2 (nibbles) | sid_lo sid_hi
+                    # | dis offa+12 offb+12   (entropy.cc kMetaStride)
 
 
 def alloc_packed(F: int, n: int):
@@ -183,73 +188,32 @@ def alloc_packed(F: int, n: int):
 # entropy decode itself.  Encode instead as:
 #   bmp  u8 [F, npad, 51]  per-MB nonzero bitmap (bit c of the 408-row at
 #                          byte c>>3, bit c&7)
-#   vals i8 [F, npad, W]   per-MB nonzero values in row order, +/-127 clip,
-#                          zero-padded to the sticky per-batch stride W
-#   cnt  i32 [F, npad]     per-MB nonzero counts (kernel early-exit)
+#   vals i8 [F, npad, 32]  per-MB nonzero values in row order, +/-127 clip;
+#                          the stride is FIXED at 32 — an MB with more
+#                          nonzeros ships its whole dense 408-coeff int16
+#                          row via the overflow channel instead
 #   exc_idx i32 / exc_delta i16 [F, ecap]   rare |v|>127 corrections
-# = ~1.5 MB/frame at QP30 vs 6.7 dense.  The C++ entropy stage emits these
+#   ovf_idx i32 [F, ovcap] / ovf_rows i16 [F, ovcap, 408]   heavy MBs
+# = ~1 MB/frame at QP30 vs 6.7 dense.  The C++ entropy stage emits these
 # directly (native dt_pack_frame); the device rebuilds the dense rows with
-# the gather-free Pallas kernel in kernels/densify.py.
+# the gather-free Pallas kernel in kernels/densify.py plus one vmap'd
+# row scatter for the overflow MBs.
 
 def _round_cap(x, q):
     return max(q, (int(x) + q - 1) & ~(q - 1))
 
 
-def fill_dense_frame(dst, out: dict, n: int) -> bool:
-    """One picture's coefficients from the entropy arena into the
-    [n, 408] int16 layout.  Returns True on PCM (caller falls back)."""
-    kind = out["kind"]
-    if bool((kind == KIND_PCM).any()):
-        return True
-    lv = dst[:, :256]
-    np.copyto(lv, out["luma4"].reshape(n, 256), casting="unsafe")
-    i8_rows = np.nonzero(kind == 1)[0]                 # KIND_I8
-    if i8_rows.size:
-        lv[i8_rows] = out["luma8"].reshape(n, 256)[i8_rows]
-    np.copyto(dst[:, 256:272], out["luma_dc"].reshape(n, 16),
-              casting="unsafe")
-    np.copyto(dst[:, 272:280],
-              np.ascontiguousarray(out["chroma_dc"][:, :, :4]).reshape(n, 8),
-              casting="unsafe")
-    np.copyto(dst[:, 280:408],
-              np.ascontiguousarray(out["chroma_ac"][:, :, :4, :])
-              .reshape(n, 128), casting="unsafe")
-    return False
-
-
-def fill_meta_slot(u8, i: int, out: dict, headers, pps) -> None:
-    """One picture's per-MB metadata into batch slot i of the u8 buffer."""
-    s = u8[i]
-    s[:, 0] = out["kind"]
-    s[:, 1] = out["qp_y"]
-    s[:, 2] = out["i16_mode"]
-    s[:, 3] = out["chroma_mode"]
-    s[:, 4:20] = out["modes4"]
-    s[:, 20:24] = out["modes8"]
-    sid = out["slice_id"].astype(np.int64)
-    s[:, 24] = sid & 0xFF
-    s[:, 25] = (sid >> 8) & 0xFF
-    ctl = np.asarray([(1, 0, 0) if h.deblocking is not None
-                      and h.deblocking.disable_idc == 1 else
-                      (0, 0, 0) if h.deblocking is None else
-                      (h.deblocking.disable_idc,
-                       h.deblocking.alpha_c0_offset_div2 * 2,
-                       h.deblocking.beta_offset_div2 * 2)
-                      for h in headers], np.int64)
-    s[:, 26] = ctl[sid, 0]
-    s[:, 27] = ctl[sid, 1] + 12
-    s[:, 28] = ctl[sid, 2] + 12
-
-
 def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
                         chroma_off0: int, chroma_off1: int, W: int,
-                        ecap: int, interpret=None):
+                        ecap: int, ovcap: int, interpret=None):
     """jit((bmp [F,npad,51] u8, vals [F,npad,W] i8, exc_idx [F,ecap]
-    i32, exc_delta [F,ecap] i16, u8meta [F,n,29], ls4y, ls4cb, ls4cr,
-    ls8y)) -> (y, cb, cr) uint8 [F,H,W] planes.
-    Coefficient densify (Pallas, kernels/densify.py), derived syntax
-    (qp_c, slice availability), and the deblock edge parameters are all
-    computed on device; the host ships ~1.5 MB/frame."""
+    i32, exc_delta [F,ecap] i16, ovf_idx [F,ovcap] i32, ovf_rows
+    [F,ovcap,408] i16, u8meta [F,n,19], ls4y, ls4cb, ls4cr, ls8y)) ->
+    (y, cb, cr) uint8 [F,H,W] planes.
+    Coefficient densify (Pallas, kernels/densify.py), heavy-MB overflow
+    row scatter, derived syntax (qp_c, slice availability), and the
+    deblock edge parameters are all computed on device; the host ships
+    ~1 MB/frame."""
     import jax
     import jax.numpy as jnp
 
@@ -275,7 +239,7 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
         qpi = jnp.clip(qp + off, 0, 51)
         return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
 
-    def run(bmp, vals, exc_idx, exc_delta, u8,
+    def run(bmp, vals, exc_idx, exc_delta, ovf_idx, ovf_rows, u8,
             ls4y, ls4cb, ls4cr, ls8y):
         dense = densify(bmp, vals)                 # [F, npad, 408] i16
         flat = dense.reshape(F, npad * I16_STRIDE)
@@ -284,10 +248,18 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
             return d_f.at[ei_f].add(ed_f)   # |v|>127 corrections (pad: +0@0)
 
         flat = jax.vmap(fix_one)(flat, exc_idx, exc_delta)
-        i16 = flat.reshape(F, npad, I16_STRIDE)[:, :n]
+        dense = flat.reshape(F, npad, I16_STRIDE)
+
+        def ovf_one(d_f, oi_f, orow_f):
+            # heavy MBs (> W nonzeros) ship whole dense rows; pad slots
+            # carry index npad (out of range -> dropped)
+            return d_f.at[oi_f].set(orow_f, mode="drop")
+
+        dense = jax.vmap(ovf_one)(dense, ovf_idx, ovf_rows)
+        i16 = dense[:, :n]
         qp_y = u8[:, :, 1].astype(jnp.int32)
-        sid = (u8[:, :, 24].astype(jnp.int32)
-               | (u8[:, :, 25].astype(jnp.int32) << 8))
+        sid = (u8[:, :, 14].astype(jnp.int32)
+               | (u8[:, :, 15].astype(jnp.int32) << 8))
         sid2 = sid.reshape(F, mb_h, mb_w)
         # shifted-neighbor slice-id grids (-9 = outside the picture):
         # a neighbor is available iff it exists and shares the slice
@@ -297,6 +269,12 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
         nb_c = neg.at[:, 1:, :-1].set(sid2[:, :-1, 1:])
         nb_d = neg.at[:, 1:, 1:].set(sid2[:, :-1, :-1])
 
+        # nibble-packed intra modes -> [F, n, 16] / [F, n, 4]
+        m4n = u8[:, :, 4:12]
+        modes4 = jnp.stack([m4n & 0xF, m4n >> 4], axis=-1).reshape(F, n, 16)
+        m8n = u8[:, :, 12:14]
+        modes8 = jnp.stack([m8n & 0xF, m8n >> 4], axis=-1).reshape(F, n, 4)
+
         s = {
             "kind": u8[:, :, 0],
             "qp_y": u8[:, :, 1],
@@ -304,8 +282,8 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
             "qp_cr": qpc_vec(qp_y, chroma_off1),
             "i16_mode": u8[:, :, 2],
             "chroma_mode": u8[:, :, 3],
-            "modes4": u8[:, :, 4:20],
-            "modes8": u8[:, :, 20:24],
+            "modes4": modes4,
+            "modes8": modes8,
             "avail_a": (nb_a == sid2).reshape(F, n),
             "avail_b": (nb_b == sid2).reshape(F, n),
             "avail_c": (nb_c == sid2).reshape(F, n),
@@ -317,9 +295,9 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
         }
         if not deblocked:
             return inner.__wrapped__(s, ls4y, ls4cb, ls4cr, ls8y)
-        dis = u8[:, :, 26].astype(jnp.int32)
-        offa = u8[:, :, 27].astype(jnp.int32) - 12
-        offb = u8[:, :, 28].astype(jnp.int32) - 12
+        dis = u8[:, :, 16].astype(jnp.int32)
+        offa = u8[:, :, 17].astype(jnp.int32) - 12
+        offb = u8[:, :, 18].astype(jnp.int32) - 12
         pre = jax.vmap(
             lambda k, q, si, d, oa, ob: deblock_precompute_intra_jax(
                 k, q, si, d, oa, ob, mb_w, mb_h, chroma_off0, chroma_off1)
@@ -332,13 +310,13 @@ def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
 _PACKED_FN_CACHE: dict = {}
 
 
-def make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1, W, ecap,
+def make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1, W, ecap, ovcap,
                        interpret=None):
-    key = (mb_w, mb_h, F, deblocked, c0, c1, W, ecap, interpret)
+    key = (mb_w, mb_h, F, deblocked, c0, c1, W, ecap, ovcap, interpret)
     fn = _PACKED_FN_CACHE.get(key)
     if fn is None:
         fn = _PACKED_FN_CACHE[key] = _make_packed_gop_fn(
-            mb_w, mb_h, F, deblocked, c0, c1, W, ecap, interpret)
+            mb_w, mb_h, F, deblocked, c0, c1, W, ecap, ovcap, interpret)
     return fn
 
 
@@ -425,9 +403,9 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                 results.append(DecodedFrame(ys[i], cbs[i], crs[i])
                                .crop(sps))
 
-    def run_batch(arrs, W_, ecap_):
+    def run_batch(arrs, W_, ecap_, ovcap_):
         fn = make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1,
-                                W_, ecap_, interpret)
+                                W_, ecap_, ovcap_, interpret)
         r = fn(*arrs, *ls)
         if device_out and not stacked_out:
             return _split_gop(r, F)
@@ -436,15 +414,21 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     # double-buffered host staging (a background thread ships batch k
     # while the main thread entropy-decodes batch k+1); the C++ pack
     # stage (native dt_pack_frame) fills the slots straight from the
-    # entropy arena — no numpy rescan on the hot path
-    W = 0               # sticky per-MB vals stride (grow, never shrink:
-    ecap = 256          # one compile per growth, not per batch)
+    # entropy arena — no numpy rescan on the hot path.  The vals stride
+    # W stays fixed at 32: MBs with more nonzeros ship dense 408-coeff
+    # int16 overflow rows instead (the wire stays ~1 MB/frame on a
+    # bandwidth-limited tunnel); only the exc/ovf caps grow (sticky).
+    W = 32
+    ecap = 256
+    ovcap = 64
     bufs = [{"bmp": np.zeros((F, npad, 51), np.uint8),
              "cnt": np.zeros((F, npad), np.int32),
              "u8": np.zeros((F, n, U8_STRIDE), np.uint8),
-             "vals": None,      # allocated lazily at the sticky W
+             "vals": np.zeros((F, npad, W), np.int8),
              "exc_idx": np.zeros((F, ecap), np.int32),
-             "exc_delta": np.zeros((F, ecap), np.int16)}
+             "exc_delta": np.zeros((F, ecap), np.int16),
+             "ovf_idx": np.full((F, ovcap), npad, np.int32),
+             "ovf_rows": np.zeros((F, ovcap, I16_STRIDE), np.int16)}
             for _ in range(2)]
 
     def dbctl_of(headers):
@@ -465,9 +449,9 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
             nonlocal pending, fut
             if fut is not None:
                 with tm.stage("ship_wait"):
-                    arrs, w_, e_ = fut.result()
+                    arrs, w_, e_, o_ = fut.result()
                 with tm.stage("dispatch"):
-                    r = run_batch(arrs, w_, e_)
+                    r = run_batch(arrs, w_, e_, o_)
                 if pending is not None:
                     with tm.stage("harvest"):
                         harvest(pending)
@@ -480,33 +464,26 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
 
         for batch in batches:
             b = bufs[cur]
-            if b["vals"] is None or b["vals"].shape[2] != W:
-                b["vals"] = np.zeros((F, npad, max(W, 32)), np.int8)
-                W = b["vals"].shape[2]
             has_pcm = False
             for i, (slice_datas, headers) in enumerate(batch):
                 ctl = dbctl_of(headers)
                 b["exc_idx"][i] = 0
                 b["exc_delta"][i] = 0
+                b["ovf_idx"][i] = npad
                 # fused: slice workers pack their MB ranges cache-hot
                 with tm.stage("entropy"):
-                    out, maxnz, nexc = decode_pack_picture_islices(
+                    out, maxnz, nexc, novf = decode_pack_picture_islices(
                         slice_datas, sps, pps, W, ctl, b["bmp"][i],
                         b["vals"][i], b["cnt"][i], b["u8"][i],
                         b["exc_idx"][i], b["exc_delta"][i],
+                        b["ovf_idx"][i], b["ovf_rows"][i],
                         n_threads=n_threads, reuse=True)
                 tm.count("frames", 1)
                 tm.count("bins", int(out["bin_count"].sum()))
                 # rare growth retries re-pack from the arena (no
                 # re-decode): sticky caps, typically one growth per
                 # stream on the first picture
-                while maxnz >= 0 and (maxnz > W or nexc > ecap):
-                    if maxnz > W:
-                        newW = _round_cap(maxnz, 32)
-                        nv = np.zeros((F, npad, newW), np.int8)
-                        nv[:i, :, :W] = b["vals"][:i]
-                        b["vals"] = nv
-                        W = newW
+                while maxnz >= 0 and (nexc > ecap or novf > ovcap):
                     if nexc > ecap:
                         newE = _round_cap(nexc, 256)
                         for bb in bufs:
@@ -516,13 +493,24 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                             nd[:, :ecap] = bb["exc_delta"]
                             bb["exc_idx"], bb["exc_delta"] = ni, nd
                         ecap = newE
+                    if novf > ovcap:
+                        newO = _round_cap(novf, 64)
+                        for bb in bufs:
+                            oi = np.full((F, newO), npad, np.int32)
+                            orow = np.zeros((F, newO, I16_STRIDE), np.int16)
+                            oi[:, :ovcap] = bb["ovf_idx"]
+                            orow[:, :ovcap] = bb["ovf_rows"]
+                            bb["ovf_idx"], bb["ovf_rows"] = oi, orow
+                        ovcap = newO
                     b["exc_idx"][i] = 0
                     b["exc_delta"][i] = 0
+                    b["ovf_idx"][i] = npad
                     with tm.stage("pack"):
-                        maxnz, nexc = pack_frame(
+                        maxnz, nexc, novf = pack_frame(
                             out, n, W, ctl, b["bmp"][i], b["vals"][i],
                             b["cnt"][i], b["u8"][i], b["exc_idx"][i],
-                            b["exc_delta"][i], n_threads=n_threads)
+                            b["exc_delta"][i], b["ovf_idx"][i],
+                            b["ovf_rows"][i], n_threads=n_threads)
                 if maxnz < 0:
                     has_pcm = True
                     break
@@ -539,18 +527,20 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
             last = len(batch) - 1
             for i in range(len(batch), F):
                 for k in ("bmp", "cnt", "u8", "vals", "exc_idx",
-                          "exc_delta"):
+                          "exc_delta", "ovf_idx", "ovf_rows"):
                     b[k][i] = b[k][last]
             flush(None)     # dispatch the previous batch first
 
-            def ship(bb, w_, e_):
+            def ship(bb, w_, e_, o_):
                 arrs = (jnp.asarray(bb["bmp"]), jnp.asarray(bb["vals"]),
                         jnp.asarray(bb["exc_idx"]),
                         jnp.asarray(bb["exc_delta"]),
+                        jnp.asarray(bb["ovf_idx"]),
+                        jnp.asarray(bb["ovf_rows"]),
                         jnp.asarray(bb["u8"]))
-                return (arrs, w_, e_)
+                return (arrs, w_, e_, o_)
 
-            fut = pool.submit(ship, b, W, ecap)
+            fut = pool.submit(ship, b, W, ecap, ovcap)
             fut_nf = len(batch)
             cur ^= 1
         flush(None)

@@ -1202,7 +1202,10 @@ struct SliceCtx {
     for (int i = start; i < numcoeff - 1; i++) {
       if (decision_bl_h(h, eng, sigtab[i])) {
         sigpos[nsig++] = (uint8_t)i;
-        if (decision_bl_h(h, eng, lasttab[i])) { numcoeff = i + 1; goto levels; }
+        // last-flag is 1 at most once per block (the loop exits there),
+        // so it is heavily 0-skewed: the branchy predicted path beats
+        // the deterministic-latency CMOV variant here
+        if (decision_h(h, eng, lasttab[i])) { numcoeff = i + 1; goto levels; }
       }
     }
     sigpos[nsig++] = (uint8_t)(numcoeff - 1);
@@ -1212,48 +1215,79 @@ struct SliceCtx {
       int num1 = 0, numgt1 = 0;
       const int base = kAbsBase[cat];
       const int clampv = (cat == CAT_CHROMA_DC) ? 3 : 4;
+      // sticky register-cached context records: c0 walks base+1..base+4
+      // then pins at base+0 after the first gt1; c1 walks base+5..
+      // base+5+clamp then pins.  Both sequences are monotone with
+      // disjoint ranges, so each record lives in a register between
+      // (rare) context switches instead of a load+store per coefficient.
+      int c0 = base + 1, c1 = base + 5;
+      uint64_t r0 = eng.ctx_rec[c0], r1 = eng.ctx_rec[c1];
+      // one branchless bin against a local record (CMOV; identical
+      // arithmetic to decision_bl_h)
+      auto bin_rec = [&](uint64_t& r) -> unsigned {
+        unsigned s = (unsigned)r & 0xff;
+        uint32_t lps = (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
+        uint32_t mps_rng = h.range - lps;
+        uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
+        uint64_t is_lps = (uint64_t)(h.low >= scaled);
+        h.low -= scaled & (0 - is_lps);
+        uint32_t nrange = is_lps ? lps : mps_rng;
+        r = is_lps ? kPackedTrans.lrec[s] : kPackedTrans.mrec[s];
+        int nn = __builtin_clz(nrange) - 23;
+        h.range = nrange << nn;
+        h.lowbits -= nn;
+        if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, eng);
+        h.bins++;
+        return (s & 1) ^ (unsigned)is_lps;
+      };
       for (int j = nsig - 1; j >= 0; j--) {
-        int c0 = base + (numgt1 != 0 ? 0 : (num1 >= 4 ? 4 : num1 + 1));
-        int c1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
         int pre = 0;
-        if (decision_bl_h(h, eng, c0)) {
+        if (bin_rec(r0)) {
           pre = 1;
-          // TU prefix rides a constant ctx: keep the packed record in a
-          // register across the run (one load + one store per run
-          // instead of per bin)
-          uint64_t r = eng.ctx_rec[c1];
-          while (pre < 14) {
-            unsigned s = (unsigned)r & 0xff;
-            uint32_t lps =
-                (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
-            uint32_t mps_rng = h.range - lps;
-            uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
-            uint64_t is_lps = (uint64_t)(h.low >= scaled);
-            h.low -= scaled & (0 - is_lps);
-            uint32_t nrange = is_lps ? lps : mps_rng;
-            r = is_lps ? kPackedTrans.lrec[s] : kPackedTrans.mrec[s];
-            int nn = __builtin_clz(nrange) - 23;
-            h.range = nrange << nn;
-            h.lowbits -= nn;
-            if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, eng);
-            h.bins++;
-            if (((s & 1) ^ (unsigned)is_lps) == 0) break;
-            pre++;
-          }
-          eng.ctx_rec[c1] = r;
+          while (pre < 14 && bin_rec(r1)) pre++;
         }
         int mag = pre;
-        if (pre >= 14) {  // UEG0 suffix
+        int s;
+        if (__builtin_expect(pre >= 14, 0)) {  // UEG0 suffix (+ sign)
           int k = 0;
           while (bypass_h(h, eng)) { mag += 1 << k; k++; }
-          if (k <= 16) mag += bypass_n_h(h, eng, k);
-          else
+          if (k <= 15) {
+            int v = bypass_n_h(h, eng, k + 1);  // suffix bits + sign fused
+            mag += v >> 1;
+            s = v & 1;
+          } else {
             while (k > 0) { k--; if (bypass_h(h, eng)) mag += 1 << k; }
+            s = bypass_h(h, eng);
+          }
+        } else {
+          s = bypass_h(h, eng);
         }
-        int s = bypass_h(h, eng);
         vals[j] = s ? -(mag + 1) : mag + 1;
-        if (mag != 0) numgt1++; else num1++;
+        if (mag != 0) {
+          if (numgt1 == 0) {        // c0 pins at base+0
+            eng.ctx_rec[c0] = r0;
+            c0 = base;
+            r0 = eng.ctx_rec[c0];
+          }
+          numgt1++;
+          int nc1 = base + 5 + (numgt1 > clampv ? clampv : numgt1);
+          if (nc1 != c1) {
+            eng.ctx_rec[c1] = r1;
+            c1 = nc1;
+            r1 = eng.ctx_rec[c1];
+          }
+        } else if (numgt1 == 0) {
+          num1++;
+          int nc0 = base + (num1 >= 4 ? 4 : num1 + 1);
+          if (nc0 != c0) {
+            eng.ctx_rec[c0] = r0;
+            c0 = nc0;
+            r0 = eng.ctx_rec[c0];
+          }
+        }
       }
+      eng.ctx_rec[c0] = r0;
+      eng.ctx_rec[c1] = r1;
       for (int j = 0; j < nsig; j++) coeffs[remap[sigpos[j]]] = vals[j];
       TSC_END(2);
     }
@@ -2048,6 +2082,8 @@ namespace {
 
 // shared pack state: input entropy arrays + output buffers + batch-wide
 // atomics (threads pack disjoint MB ranges; only the counters are shared)
+constexpr int kMetaStride = 19;  // must match gop_pipeline.U8_STRIDE
+
 struct PackJob {
   const int32_t *kind, *qp_y, *i16_mode, *chroma_mode, *modes4, *modes8;
   const int32_t *slice_id, *luma4, *luma8, *luma_dc, *chroma_dc, *chroma_ac;
@@ -2060,8 +2096,17 @@ struct PackJob {
   int32_t* exc_idx;
   int16_t* exc_delta;
   int32_t ecap;
+  // heavy-MB overflow channel: an MB with > W nonzeros ships its whole
+  // dense 408-coeff int16 row instead of bitmap+vals, so the sticky vals
+  // stride never grows past W (wire bytes stay ~1 MB/frame on a
+  // bandwidth-limited tunnel); the device scatters the rows back after
+  // the densify kernel
+  int32_t* ovf_idx;    // [ovcap] MB indices
+  int16_t* ovf_rows;   // [ovcap][408]
+  int32_t ovcap;
   std::atomic<int> maxnz{0};
   std::atomic<int> nexc{0};
+  std::atomic<int> novf{0};
   std::atomic<int> has_pcm{0};
 };
 
@@ -2074,7 +2119,12 @@ void pack_mb_range(PackJob& pj, int lo, int hi) {
     if (k == kNkPcm) { pj.has_pcm.store(1); return; }
     uint8_t* brow = pj.bmp + (int64_t)a * 51;
     int8_t* vrow = pj.vals + (int64_t)a * W;
-    int w = 0;
+    // staged locally so an overflowing MB can be redirected wholesale
+    uint8_t lb[51];
+    int8_t lv8[408];
+    int32_t lexc_lane[408];
+    int16_t lexc_delta[408];
+    int w = 0, nlex = 0;
     // scan one byte-aligned run of 8 coefficients: emit the bitmap
     // byte and append clipped nonzero values (AVX2 zero-compare +
     // movemask makes the ~94% all-zero bytes one branch each)
@@ -2096,54 +2146,84 @@ void pack_mb_range(PackJob& pj, int lo, int hi) {
         rem &= rem - 1;
         int32_t vj = r8[j];
         int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
-        if (w < W) vrow[w] = c8;
+        if (w < 408) lv8[w] = c8;
         w++;
         if (vj > 127 || vj < -127) {
-          int e = pj.nexc.fetch_add(1, std::memory_order_relaxed);
-          if (e < pj.ecap) {
-            pj.exc_idx[e] = a * 408 + lane_base + j;
-            pj.exc_delta[e] = (int16_t)(vj - c8);
-          }
+          lexc_lane[nlex] = lane_base + j;
+          lexc_delta[nlex] = (int16_t)(vj - c8);
+          nlex++;
         }
       }
     };
     const int32_t* lv = (k == kNkI8) ? pj.luma8 + (int64_t)a * 256
                                      : pj.luma4 + (int64_t)a * 256;
     for (int byte = 0; byte < 32; byte++)
-      scan8(lv + byte * 8, byte * 8, brow + byte);
+      scan8(lv + byte * 8, byte * 8, lb + byte);
     const int32_t* ldc = pj.luma_dc + (int64_t)a * 16;
-    scan8(ldc, 256, brow + 32);
-    scan8(ldc + 8, 264, brow + 33);
+    scan8(ldc, 256, lb + 32);
+    scan8(ldc + 8, 264, lb + 33);
     int32_t cdc[8];
     std::memcpy(cdc, pj.chroma_dc + (int64_t)a * 2 * 8, 4 * sizeof(int32_t));
     std::memcpy(cdc + 4, pj.chroma_dc + ((int64_t)a * 2 + 1) * 8,
                 4 * sizeof(int32_t));
-    scan8(cdc, 272, brow + 34);
+    scan8(cdc, 272, lb + 34);
     for (int c2 = 0; c2 < 2; c2++) {
       const int32_t* cac = pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
       for (int byte = 0; byte < 8; byte++)
         scan8(cac + byte * 8, 280 + c2 * 64 + byte * 8,
-              brow + 35 + c2 * 8 + byte);
+              lb + 35 + c2 * 8 + byte);
     }
-    if (w < W) std::memset(vrow + w, 0, W - w);
-    pj.cnt[a] = w;
-    if (w > local_max) local_max = w;
-    // per-MB metadata row
-    uint8_t* m = pj.u8meta + (int64_t)a * 29;
+    if (w <= W) {
+      std::memcpy(brow, lb, 51);
+      std::memcpy(vrow, lv8, w);
+      if (w < W) std::memset(vrow + w, 0, W - w);
+      for (int e0 = 0; e0 < nlex; e0++) {
+        int e = pj.nexc.fetch_add(1, std::memory_order_relaxed);
+        if (e < pj.ecap) {
+          pj.exc_idx[e] = a * 408 + lexc_lane[e0];
+          pj.exc_delta[e] = lexc_delta[e0];
+        }
+      }
+      pj.cnt[a] = w;
+      if (w > local_max) local_max = w;
+    } else {
+      // overflow: empty bitmap row; the dense int16 row rides ovf_rows
+      std::memset(brow, 0, 51);
+      std::memset(vrow, 0, W);
+      pj.cnt[a] = 0;
+      int o = pj.novf.fetch_add(1, std::memory_order_relaxed);
+      if (o < pj.ovcap) {
+        pj.ovf_idx[o] = a;
+        int16_t* r = pj.ovf_rows + (int64_t)o * 408;
+        for (int i = 0; i < 256; i++) r[i] = (int16_t)lv[i];
+        for (int i = 0; i < 16; i++) r[256 + i] = (int16_t)ldc[i];
+        for (int i = 0; i < 8; i++) r[272 + i] = (int16_t)cdc[i];
+        for (int c2 = 0; c2 < 2; c2++) {
+          const int32_t* cac =
+              pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
+          for (int i = 0; i < 64; i++)
+            r[280 + c2 * 64 + i] = (int16_t)cac[i];
+        }
+      }
+    }
+    // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits)
+    uint8_t* m = pj.u8meta + (int64_t)a * kMetaStride;
     m[0] = (uint8_t)k;
     m[1] = (uint8_t)pj.qp_y[a];
     m[2] = (uint8_t)pj.i16_mode[a];
     m[3] = (uint8_t)pj.chroma_mode[a];
-    for (int i = 0; i < 16; i++)
-      m[4 + i] = (uint8_t)pj.modes4[(int64_t)a * 16 + i];
-    for (int i = 0; i < 4; i++)
-      m[20 + i] = (uint8_t)pj.modes8[(int64_t)a * 4 + i];
+    const int32_t* m4 = pj.modes4 + (int64_t)a * 16;
+    for (int i = 0; i < 8; i++)
+      m[4 + i] = (uint8_t)((m4[2 * i] & 0xF) | ((m4[2 * i + 1] & 0xF) << 4));
+    const int32_t* m8 = pj.modes8 + (int64_t)a * 4;
+    m[12] = (uint8_t)((m8[0] & 0xF) | ((m8[1] & 0xF) << 4));
+    m[13] = (uint8_t)((m8[2] & 0xF) | ((m8[3] & 0xF) << 4));
     int sid = pj.slice_id[a];
-    m[24] = (uint8_t)(sid & 0xFF);
-    m[25] = (uint8_t)((sid >> 8) & 0xFF);
-    m[26] = (uint8_t)pj.dbctl[sid * 3 + 0];
-    m[27] = (uint8_t)(pj.dbctl[sid * 3 + 1] + 12);
-    m[28] = (uint8_t)(pj.dbctl[sid * 3 + 2] + 12);
+    m[14] = (uint8_t)(sid & 0xFF);
+    m[15] = (uint8_t)((sid >> 8) & 0xFF);
+    m[16] = (uint8_t)pj.dbctl[sid * 3 + 0];
+    m[17] = (uint8_t)(pj.dbctl[sid * 3 + 1] + 12);
+    m[18] = (uint8_t)(pj.dbctl[sid * 3 + 2] + 12);
   }
   int prev = pj.maxnz.load(std::memory_order_relaxed);
   while (local_max > prev &&
@@ -2160,12 +2240,15 @@ extern "C" int dt_pack_frame(
     const int32_t* chroma_ac, int32_t n, int32_t W,
     const int32_t* dbctl /* [n_slices*3] disable_idc, offa, offb */,
     uint8_t* bmp /* [n*51] */, int8_t* vals /* [n*W] */,
-    int32_t* cnt /* [n] */, uint8_t* u8meta /* [n*29] */,
+    int32_t* cnt /* [n] */, uint8_t* u8meta /* [n*kMetaStride] */,
     int32_t* exc_idx /* [ecap] */, int16_t* exc_delta, int32_t ecap,
-    int32_t* n_exc_out, int32_t n_threads) {
+    int32_t* ovf_idx /* [ovcap] */, int16_t* ovf_rows /* [ovcap*408] */,
+    int32_t ovcap, int32_t* n_exc_out, int32_t* n_ovf_out,
+    int32_t n_threads) {
   PackJob pj{kind, qp_y, i16_mode, chroma_mode, modes4, modes8,
              slice_id, luma4, luma8, luma_dc, chroma_dc, chroma_ac,
-             W, dbctl, bmp, vals, cnt, u8meta, exc_idx, exc_delta, ecap};
+             W, dbctl, bmp, vals, cnt, u8meta, exc_idx, exc_delta, ecap,
+             ovf_idx, ovf_rows, ovcap};
   int nt = n_threads > 0 ? n_threads : 2;
   if (nt <= 1) {
     pack_mb_range(pj, 0, n);
@@ -2179,8 +2262,9 @@ extern "C" int dt_pack_frame(
     };
     SlicePool::inst().run_parallel(chunks, work);
   }
-  if (pj.has_pcm.load()) return -1;
   *n_exc_out = pj.nexc.load();
+  *n_ovf_out = pj.novf.load();
+  if (pj.has_pcm.load()) return -1;
   return pj.maxnz.load();
 }
 
@@ -2195,7 +2279,8 @@ extern "C" int dt_decode_pack_picture_slices(
     PicParams pp, Out o, int32_t n_threads, int32_t W,
     const int32_t* dbctl, uint8_t* bmp, int8_t* vals, int32_t* cnt,
     uint8_t* u8meta, int32_t* exc_idx, int16_t* exc_delta, int32_t ecap,
-    int32_t* pack_out) {
+    int32_t* ovf_idx, int16_t* ovf_rows, int32_t ovcap,
+    int32_t* pack_out /* [4]: maxnz|-1, n_exc, has_pcm, n_ovf */) {
   int n = pp.mb_w * pp.mb_h;
   std::vector<MB> mbs(n);
   for (int k = 0; k < n_slices; k++) {
@@ -2206,7 +2291,7 @@ extern "C" int dt_decode_pack_picture_slices(
   PackJob pj{o.kind, o.qp_y, o.i16_mode, o.chroma_mode, o.modes4,
              o.modes8, o.slice_id, o.luma4, o.luma8, o.luma_dc,
              o.chroma_dc, o.chroma_ac, W, dbctl, bmp, vals, cnt,
-             u8meta, exc_idx, exc_delta, ecap};
+             u8meta, exc_idx, exc_delta, ecap, ovf_idx, ovf_rows, ovcap};
   std::function<void(int)> work = [&](int k) {
     int lo = sp[k].first_mb;
     int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
@@ -2222,5 +2307,6 @@ extern "C" int dt_decode_pack_picture_slices(
   pack_out[0] = pj.has_pcm.load() ? -1 : pj.maxnz.load();
   pack_out[1] = pj.nexc.load();
   pack_out[2] = pj.has_pcm.load();
+  pack_out[3] = pj.novf.load();
   return 0;
 }

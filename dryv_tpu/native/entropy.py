@@ -114,14 +114,17 @@ def lib():
         pk.argtypes = [_P] * 12 + [ct.c_int32] * 2 + [_P] + \
                       [ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8), _P,
                        ct.POINTER(ct.c_uint8), _P,
-                       ct.POINTER(ct.c_int16), ct.c_int32, _P, ct.c_int32]
+                       ct.POINTER(ct.c_int16), ct.c_int32,
+                       _P, ct.POINTER(ct.c_int16), ct.c_int32,
+                       _P, _P, ct.c_int32]
         dp = _lib.dt_decode_pack_picture_slices
         dp.restype = ct.c_int
         dp.argtypes = [ct.POINTER(ct.c_uint8), ct.POINTER(SliceParams),
                        ct.c_int32, PicParams, Out, ct.c_int32, ct.c_int32,
                        _P, ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8),
                        _P, ct.POINTER(ct.c_uint8), _P,
-                       ct.POINTER(ct.c_int16), ct.c_int32, _P]
+                       ct.POINTER(ct.c_int16), ct.c_int32,
+                       _P, ct.POINTER(ct.c_int16), ct.c_int32, _P]
     return _lib
 
 
@@ -235,16 +238,19 @@ def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
 
 def decode_pack_picture_islices(slice_datas, sps, pps, W, dbctl, bmp, vals,
                                 cnt, u8meta, exc_idx, exc_delta,
+                                ovf_idx, ovf_rows,
                                 n_threads: int = 0, reuse: bool = True):
     """Fused intra CABAC decode + device bitmap-ABI pack: each slice
     worker packs its MB range right after decoding it (coefficients
-    still cache-hot).  slice_datas as decode_picture_islices.  Returns
-    (out, max_nz_per_mb, n_exc); max_nz == -1 flags PCM."""
+    still cache-hot).  slice_datas as decode_picture_islices.  MBs with
+    more than W nonzeros ship their dense 408-coeff int16 row through
+    ovf_idx/ovf_rows instead of growing W (wire stays small).  Returns
+    (out, max_nz_per_mb, n_exc, n_ovf); max_nz == -1 flags PCM."""
     full = [(rbsp, bitoff, first, qp, 2, 0, 0, 0)
             for rbsp, bitoff, first, qp in slice_datas]
     keep, buf, sp_arr, ns, pp, out, ostruct = _marshal(full, sps, pps,
                                                        reuse)
-    pack_out = np.zeros(3, np.int32)
+    pack_out = np.zeros(4, np.int32)
     rc = lib().dt_decode_pack_picture_slices(
         buf, sp_arr, ct.c_int32(ns), pp, ostruct,
         ct.c_int32(n_threads or min(ns, 16)), ct.c_int32(W), _ptr(dbctl),
@@ -252,9 +258,11 @@ def decode_pack_picture_islices(slice_datas, sps, pps, W, dbctl, bmp, vals,
         vals.ctypes.data_as(ct.POINTER(ct.c_int8)), _ptr(cnt),
         u8meta.ctypes.data_as(ct.POINTER(ct.c_uint8)), _ptr(exc_idx),
         exc_delta.ctypes.data_as(ct.POINTER(ct.c_int16)),
-        ct.c_int32(len(exc_idx)), _ptr(pack_out))
+        ct.c_int32(len(exc_idx)), _ptr(ovf_idx),
+        ovf_rows.ctypes.data_as(ct.POINTER(ct.c_int16)),
+        ct.c_int32(len(ovf_idx)), _ptr(pack_out))
     assert rc == 0
-    return out, int(pack_out[0]), int(pack_out[1])
+    return out, int(pack_out[0]), int(pack_out[1]), int(pack_out[3])
 
 
 def reconstruct_islices(out: dict, sps, pps):
@@ -284,15 +292,18 @@ def reconstruct_islices(out: dict, sps, pps):
 
 
 def pack_frame(out: dict, n: int, W: int, dbctl, bmp, vals, cnt, u8meta,
-               exc_idx, exc_delta, n_threads: int = 0):
+               exc_idx, exc_delta, ovf_idx, ovf_rows, n_threads: int = 0):
     """Pack one picture's entropy outputs into the device bitmap ABI.
 
-    bmp [>=n,51] u8, vals [>=n,W] i8, cnt [>=n] i32, u8meta [n,29] u8,
-    exc_idx/exc_delta [ecap]: caller-allocated slot views.  dbctl is an
-    [n_slices,3] int32 array (disable_idc, alpha_off, beta_off per slice).
-    Returns (max_nz_per_mb, n_exc); max_nz == -1 flags PCM (fall back),
-    max_nz > W or n_exc > ecap means the caller must grow and re-pack."""
+    bmp [>=n,51] u8, vals [>=n,W] i8, cnt [>=n] i32, u8meta [n,19] u8,
+    exc_idx/exc_delta [ecap], ovf_idx [ovcap] i32 / ovf_rows [ovcap,408]
+    i16: caller-allocated slot views.  dbctl is an [n_slices,3] int32
+    array (disable_idc, alpha_off, beta_off per slice).  Returns
+    (max_nz_per_mb, n_exc, n_ovf); max_nz == -1 flags PCM (fall back),
+    n_exc > ecap or n_ovf > ovcap means the caller must grow and
+    re-pack."""
     n_exc = np.zeros(1, np.int32)
+    n_ovf = np.zeros(1, np.int32)
     r = lib().dt_pack_frame(
         _ptr(out["kind"]), _ptr(out["qp_y"]), _ptr(out["i16_mode"]),
         _ptr(out["chroma_mode"]), _ptr(out["modes4"]), _ptr(out["modes8"]),
@@ -303,6 +314,8 @@ def pack_frame(out: dict, n: int, W: int, dbctl, bmp, vals, cnt, u8meta,
         vals.ctypes.data_as(ct.POINTER(ct.c_int8)), _ptr(cnt),
         u8meta.ctypes.data_as(ct.POINTER(ct.c_uint8)), _ptr(exc_idx),
         exc_delta.ctypes.data_as(ct.POINTER(ct.c_int16)),
-        ct.c_int32(len(exc_idx)), _ptr(n_exc),
+        ct.c_int32(len(exc_idx)), _ptr(ovf_idx),
+        ovf_rows.ctypes.data_as(ct.POINTER(ct.c_int16)),
+        ct.c_int32(len(ovf_idx)), _ptr(n_exc), _ptr(n_ovf),
         ct.c_int32(n_threads or 2))
-    return int(r), int(n_exc[0])
+    return int(r), int(n_exc[0]), int(n_ovf[0])

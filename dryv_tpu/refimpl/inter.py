@@ -236,13 +236,17 @@ class TemporalDirectCtx:
     poc_cur / poc_pic1: POC of the current picture and of ref_list1[0]."""
 
     def __init__(self, col_ms, col_map0, col_map1, list0_keys, poc_by_key,
-                 longterm_by_key, poc_cur, poc_pic1):
+                 longterm_by_key, poc_cur, poc_pic1, cur_parity=None):
         self.col_ms = col_ms
         self.col_map0, self.col_map1 = col_map0, col_map1
         self.list0_keys = list(list0_keys)
         self.poc_by_key = poc_by_key
         self.longterm_by_key = longterm_by_key
         self.poc_cur, self.poc_pic1 = poc_cur, poc_pic1
+        # field decoding (8.4.1.2.3): keys are (frame_idx, parity) and
+        # refIdxL0 selects the co-located reference FRAME's field with
+        # the CURRENT field's parity
+        self.cur_parity = cur_parity
 
 
 def _min_positive(a: int, b: int) -> int:
@@ -330,6 +334,11 @@ def _temporal_direct(ms: MotionState, addr: int, ctx: TemporalDirectCtx):
                 # intra co-located: mvCol = 0, refIdxCol = 0
                 cmv, cref, cmap = zero, 0, ctx.col_map0
         ref_key = cmap[int(cref)]
+        if ctx.cur_parity is not None:
+            # map to the same FRAME's field with the current parity
+            same = (ref_key[0], ctx.cur_parity)
+            if same in ctx.list0_keys:
+                ref_key = same
         try:
             ref0 = ctx.list0_keys.index(ref_key)
         except ValueError:

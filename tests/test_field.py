@@ -60,25 +60,40 @@ def test_paff_intra_bit_exact(t8, policy, qp, deblock):
 # samples) for opposite-parity references.  Deblocking uses the
 # field-picture vertical MV threshold of 2 quarter samples (8.7.2.1).
 
-def _paff_ipb(mb_w, mb_h, qp, b_fields, deblock, n_frames=4, seed=13):
+def _paff_ipb(mb_w, mb_h, qp, b_fields, deblock, n_frames=4, seed=13,
+              temporal=False):
     from dryv_tpu.encoder.field_seq import encode_paff_ipb_annexb
-    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp)
+    # temporal direct needs the co-located field's own references still
+    # in the DPB when the B field decodes (sliding window must not have
+    # evicted them)
+    # temporal direct derives motion from POC distances, so the fixture
+    # needs real (type 0) POCs with the B between its references; POC
+    # type 2 (decode order == output order) would make the reordered B
+    # nonconformant
+    sps, pps = default_sps_pps(mb_w, mb_h, qp=qp,
+                               max_refs=4 if temporal else 1,
+                               poc_type=0 if temporal else 2)
     sps.frame_mbs_only_flag = 0
     sps.pic_height_in_map_units_minus1 = mb_h // 2 - 1
     srcs = [make_source(mb_w, mb_h, seed=seed + i) for i in range(n_frames)]
     stream = encode_paff_ipb_annexb(sps, pps, srcs, qp,
-                                    b_fields=b_fields, deblock=deblock)
+                                    b_fields=b_fields, deblock=deblock,
+                                    temporal_direct=temporal)
     return stream, n_frames
 
 
-@pytest.mark.parametrize("b_fields,deblock,qp", [
-    (False, False, 27),   # IDR + P fields
-    (False, True, 30),    # P fields through the in-loop filter
-    (True, False, 27),    # B fields (parity-interleaved list1, direct)
-    (True, True, 29),     # B fields + deblock (field bS thresholds)
+@pytest.mark.parametrize("b_fields,deblock,qp,temporal", [
+    (False, False, 27, False),   # IDR + P fields
+    (False, True, 30, False),    # P fields through the in-loop filter
+    (True, False, 27, False),    # B fields (parity-interleaved l1, direct)
+    (True, True, 29, False),     # B fields + deblock (field bS thresholds)
+    (True, False, 28, True),     # B fields, TEMPORAL direct (8.4.1.2.3
+                                 # with field POCs + parity keys)
+    (True, True, 30, True),      # temporal direct + in-loop filter
 ])
-def test_paff_inter_bit_exact(b_fields, deblock, qp):
-    stream, n_frames = _paff_ipb(6, 4, qp, b_fields, deblock)
+def test_paff_inter_bit_exact(b_fields, deblock, qp, temporal):
+    stream, n_frames = _paff_ipb(6, 4, qp, b_fields, deblock,
+                                 temporal=temporal)
     goldens = oracle_decode(stream)
     assert len(goldens) == n_frames
     frames = decode_annexb_scalar(stream)
