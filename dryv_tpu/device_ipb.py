@@ -202,6 +202,9 @@ def decode_annexb_device(stream: bytes, max_frames: int = 0,
             # reorders the host-side list bookkeeping feeding the
             # device reference stack (dpb.build_ref_lists handles it)
             if (sps.chroma_array_type != 1
+                    or h.field_pic_flag
+                    or (not sps.frame_mbs_only_flag
+                        and sps.mb_adaptive_frame_field_flag)
                     or sps.bit_depth_luma_minus8
                     or sps.qpprime_y_zero_transform_bypass_flag
                     or pps.slice_groups is not None

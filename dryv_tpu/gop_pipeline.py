@@ -344,11 +344,17 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     """Decode an Annex-B all-intra stream with the batched device pipeline.
 
     Steady state per batch of `gop` pictures: the C++ slice-parallel
-    entropy stage fills one packed int16 + one packed uint8 host buffer
-    (double-buffered), a background thread ships them to the device (the
-    transfer overlaps the next batch's entropy decode), and one jitted
-    program unpacks, derives qp_c/availability/deblock-edge parameters,
-    and runs the whole-GOP Pallas wavefront (+ Pallas deblock).
+    entropy stage fills one packed bitmap + one packed uint8 host buffer
+    (double-buffered), the main thread enqueues them to the device in
+    one shot (jax device transfers are asynchronous: the enqueue costs
+    ~1 ms/frame of serialization and the wire transfer overlaps the next
+    batch's entropy decode), and one jitted program unpacks, derives
+    qp_c/availability/deblock-edge parameters, and runs the whole-GOP
+    Pallas wavefront (+ Pallas deblock).  Everything runs on the main
+    thread: a round-4 profile showed a background ship thread fighting
+    the two entropy worker threads for this host's 2 cores (and the GIL),
+    inflating entropy from ~21 to ~45-74 ms/frame; the synchronous
+    enqueue design is ~3.5x faster end-to-end on the same rig.
 
     Returns a list of DecodedFrame (host planes); with device_out=True,
     a list of per-frame (y, cb, cr) device arrays (uncropped); with
@@ -357,8 +363,6 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     consumers (no per-frame split dispatches).  Streams outside the
     batched scope (inter, non-4:2:0, lossless, FMO, CAVLC, custom
     scaling matrices) fall back to the per-picture paths."""
-    from concurrent.futures import ThreadPoolExecutor
-
     import jax.numpy as jnp
 
     from .decoder import DecodedFrame
@@ -411,13 +415,13 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
             return _split_gop(r, F)
         return r
 
-    # double-buffered host staging (a background thread ships batch k
-    # while the main thread entropy-decodes batch k+1); the C++ pack
-    # stage (native dt_pack_frame) fills the slots straight from the
-    # entropy arena — no numpy rescan on the hot path.  The vals stride
-    # W stays fixed at 32: MBs with more nonzeros ship dense 408-coeff
-    # int16 overflow rows instead (the wire stays ~1 MB/frame on a
-    # bandwidth-limited tunnel); only the exc/ovf caps grow (sticky).
+    # double-buffered host staging; the C++ pack stage (native
+    # dt_pack_frame) fills the slots straight from the entropy arena —
+    # no numpy rescan on the hot path.  The vals stride W starts at 32
+    # and grows (sticky, like the exc/ovf caps) when the stream is dense
+    # enough that the 816-byte-per-MB overflow channel would dominate
+    # the wire: at QP30 1080p the mean is ~74 nonzeros/MB, so a fixed
+    # W=32 ships ~7 MB/frame where W=96 ships ~1.3 MB/frame.
     W = 32
     ecap = 256
     ovcap = 64
@@ -441,111 +445,115 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                            for h in headers], np.int32)
 
     batches = [pics[b0:b0 + F] for b0 in range(0, len(pics), F)]
-    fut = None              # in-flight H2D of the previous batch
-    fut_nf = 0
     cur = 0
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        def flush(new_pending):
-            nonlocal pending, fut
-            if fut is not None:
-                with tm.stage("ship_wait"):
-                    arrs, w_, e_, o_ = fut.result()
-                with tm.stage("dispatch"):
-                    r = run_batch(arrs, w_, e_, o_)
-                if pending is not None:
-                    with tm.stage("harvest"):
-                        harvest(pending)
-                pending = (r, fut_nf)
-                fut = None
-            if new_pending is not None:
-                if pending is not None:
-                    harvest(pending)
-                pending = new_pending
-
-        for batch in batches:
-            b = bufs[cur]
-            has_pcm = False
-            for i, (slice_datas, headers) in enumerate(batch):
+    for batch in batches:
+        b = bufs[cur]
+        has_pcm = False
+        for i, (slice_datas, headers) in enumerate(batch):
+            with tm.stage("prep"):
                 ctl = dbctl_of(headers)
                 b["exc_idx"][i] = 0
                 b["exc_delta"][i] = 0
                 b["ovf_idx"][i] = npad
-                # fused: slice workers pack their MB ranges cache-hot
-                with tm.stage("entropy"):
-                    out, maxnz, nexc, novf = decode_pack_picture_islices(
-                        slice_datas, sps, pps, W, ctl, b["bmp"][i],
-                        b["vals"][i], b["cnt"][i], b["u8"][i],
-                        b["exc_idx"][i], b["exc_delta"][i],
-                        b["ovf_idx"][i], b["ovf_rows"][i],
-                        n_threads=n_threads, reuse=True)
-                tm.count("frames", 1)
-                tm.count("bins", int(out["bin_count"].sum()))
-                # rare growth retries re-pack from the arena (no
-                # re-decode): sticky caps, typically one growth per
-                # stream on the first picture
-                while maxnz >= 0 and (nexc > ecap or novf > ovcap):
-                    if nexc > ecap:
-                        newE = _round_cap(nexc, 256)
-                        for bb in bufs:
-                            ni = np.zeros((F, newE), np.int32)
-                            nd = np.zeros((F, newE), np.int16)
-                            ni[:, :ecap] = bb["exc_idx"]
-                            nd[:, :ecap] = bb["exc_delta"]
-                            bb["exc_idx"], bb["exc_delta"] = ni, nd
-                        ecap = newE
-                    if novf > ovcap:
-                        newO = _round_cap(novf, 64)
-                        for bb in bufs:
-                            oi = np.full((F, newO), npad, np.int32)
-                            orow = np.zeros((F, newO, I16_STRIDE), np.int16)
-                            oi[:, :ovcap] = bb["ovf_idx"]
-                            orow[:, :ovcap] = bb["ovf_rows"]
-                            bb["ovf_idx"], bb["ovf_rows"] = oi, orow
-                        ovcap = newO
-                    b["exc_idx"][i] = 0
-                    b["exc_delta"][i] = 0
-                    b["ovf_idx"][i] = npad
-                    with tm.stage("pack"):
-                        maxnz, nexc, novf = pack_frame(
-                            out, n, W, ctl, b["bmp"][i], b["vals"][i],
-                            b["cnt"][i], b["u8"][i], b["exc_idx"][i],
-                            b["exc_delta"][i], b["ovf_idx"][i],
-                            b["ovf_rows"][i], n_threads=n_threads)
-                if maxnz < 0:
-                    has_pcm = True
-                    break
-            if has_pcm:
-                # PCM payloads ride the legacy per-batch path (x264 never
-                # emits PCM; this keeps the hot ABI lean)
-                r = _decode_batch_legacy(batch, sps, pps, mb_w, mb_h, F,
-                                         deblocked, n_threads, interpret,
-                                         ls)
-                flush((_split_gop(r, F) if device_out and not stacked_out
-                       else r, len(batch)))
-                continue
-            # pad the tail batch by replicating the last picture's slot
+            # fused: slice workers pack their MB ranges cache-hot
+            with tm.stage("entropy"):
+                out, maxnz, nexc, novf = decode_pack_picture_islices(
+                    slice_datas, sps, pps, W, ctl, b["bmp"][i],
+                    b["vals"][i], b["cnt"][i], b["u8"][i],
+                    b["exc_idx"][i], b["exc_delta"][i],
+                    b["ovf_idx"][i], b["ovf_rows"][i],
+                    n_threads=n_threads, reuse=True)
+            tm.count("frames", 1)
+            tm.count("bins", int(out["bin_count"].sum()))
+            # rare growth retries re-pack from the arena (no
+            # re-decode): sticky caps, typically one growth per
+            # stream on the first picture
+            while maxnz >= 0 and (nexc > ecap or novf > ovcap
+                                  or (maxnz > W and W < 256
+                                      and novf * 816 > npad * 32)):
+                if maxnz > W and W < 256 and novf * 816 > npad * 32:
+                    # dense stream (low QP / high detail): most MBs
+                    # exceed the vals stride and would ship 816-byte
+                    # dense overflow rows (~7 MB/frame at QP30 1080p —
+                    # the round-4 wire cliff).  Grow the sticky stride
+                    # to the true per-MB max instead; earlier slots of
+                    # this batch stay valid (their vals rows are
+                    # zero-extended, their heavy MBs already ride the
+                    # overflow channel).
+                    newW = min(_round_cap(maxnz, 32), 256)
+                    for bb in bufs:
+                        nv = np.zeros((F, npad, newW), np.int8)
+                        nv[:, :, :W] = bb["vals"]
+                        bb["vals"] = nv
+                    W = newW
+                elif nexc > ecap:
+                    newE = _round_cap(nexc, 256)
+                    for bb in bufs:
+                        ni = np.zeros((F, newE), np.int32)
+                        nd = np.zeros((F, newE), np.int16)
+                        ni[:, :ecap] = bb["exc_idx"]
+                        nd[:, :ecap] = bb["exc_delta"]
+                        bb["exc_idx"], bb["exc_delta"] = ni, nd
+                    ecap = newE
+                elif novf > ovcap:
+                    newO = _round_cap(novf, 64)
+                    for bb in bufs:
+                        oi = np.full((F, newO), npad, np.int32)
+                        orow = np.zeros((F, newO, I16_STRIDE), np.int16)
+                        oi[:, :ovcap] = bb["ovf_idx"]
+                        orow[:, :ovcap] = bb["ovf_rows"]
+                        bb["ovf_idx"], bb["ovf_rows"] = oi, orow
+                    ovcap = newO
+                b["exc_idx"][i] = 0
+                b["exc_delta"][i] = 0
+                b["ovf_idx"][i] = npad
+                with tm.stage("pack"):
+                    maxnz, nexc, novf = pack_frame(
+                        out, n, W, ctl, b["bmp"][i], b["vals"][i],
+                        b["cnt"][i], b["u8"][i], b["exc_idx"][i],
+                        b["exc_delta"][i], b["ovf_idx"][i],
+                        b["ovf_rows"][i], n_threads=n_threads)
+            if maxnz < 0:
+                has_pcm = True
+                break
+        if has_pcm:
+            # PCM payloads ride the legacy per-batch path (x264 never
+            # emits PCM; this keeps the hot ABI lean)
+            r = _decode_batch_legacy(batch, sps, pps, mb_w, mb_h, F,
+                                     deblocked, n_threads, interpret, ls)
+            if pending is not None:
+                with tm.stage("harvest"):
+                    harvest(pending)
+            pending = (_split_gop(r, F) if device_out and not stacked_out
+                       else r, len(batch))
+            continue
+        # pad the tail batch by replicating the last picture's slot
+        with tm.stage("pad"):
             last = len(batch) - 1
             for i in range(len(batch), F):
                 for k in ("bmp", "cnt", "u8", "vals", "exc_idx",
                           "exc_delta", "ovf_idx", "ovf_rows"):
                     b[k][i] = b[k][last]
-            flush(None)     # dispatch the previous batch first
-
-            def ship(bb, w_, e_, o_):
-                arrs = (jnp.asarray(bb["bmp"]), jnp.asarray(bb["vals"]),
-                        jnp.asarray(bb["exc_idx"]),
-                        jnp.asarray(bb["exc_delta"]),
-                        jnp.asarray(bb["ovf_idx"]),
-                        jnp.asarray(bb["ovf_rows"]),
-                        jnp.asarray(bb["u8"]))
-                return (arrs, w_, e_, o_)
-
-            fut = pool.submit(ship, b, W, ecap, ovcap)
-            fut_nf = len(batch)
-            cur ^= 1
-        flush(None)
-    with tm.stage("harvest"):
-        harvest(pending)
+        # synchronous enqueue: jnp.asarray serializes into the transfer
+        # stream and returns (~1 ms/frame); the wire transfer + device
+        # execution overlap the NEXT batch's entropy decode.  The
+        # double buffer keeps the host slots stable until the transfer
+        # of batch k is guaranteed drained (batch k+2's entropy).
+        with tm.stage("ship"):
+            arrs = (jnp.asarray(b["bmp"]), jnp.asarray(b["vals"]),
+                    jnp.asarray(b["exc_idx"]), jnp.asarray(b["exc_delta"]),
+                    jnp.asarray(b["ovf_idx"]), jnp.asarray(b["ovf_rows"]),
+                    jnp.asarray(b["u8"]))
+        with tm.stage("dispatch"):
+            r = run_batch(arrs, W, ecap, ovcap)
+        if pending is not None:
+            with tm.stage("harvest"):
+                harvest(pending)
+        pending = (r, len(batch))
+        cur ^= 1
+    if pending is not None:
+        with tm.stage("harvest"):
+            harvest(pending)
     return results
 
 

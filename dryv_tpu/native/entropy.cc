@@ -2185,7 +2185,6 @@ void pack_mb_range(PackJob& pj, int lo, int hi) {
         }
       }
       pj.cnt[a] = w;
-      if (w > local_max) local_max = w;
     } else {
       // overflow: empty bitmap row; the dense int16 row rides ovf_rows
       std::memset(brow, 0, 51);
@@ -2206,6 +2205,12 @@ void pack_mb_range(PackJob& pj, int lo, int hi) {
         }
       }
     }
+    // true max nonzeros/MB over ALL MBs (overflowing ones included):
+    // the caller uses it to grow the sticky vals stride W when a
+    // high-density stream would otherwise push most MBs through the
+    // 816-byte-per-MB overflow channel (the wire-size cliff found in
+    // the round-4 e2e profile)
+    if (w > local_max) local_max = w;
     // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits)
     uint8_t* m = pj.u8meta + (int64_t)a * kMetaStride;
     m[0] = (uint8_t)k;

@@ -109,3 +109,37 @@ def test_device_ipb_weighted_implicit():
     ]
     stream = encode_sequence_annexb(sps, pps, frames)
     _check(stream)
+
+
+# --- conformance breadth: every third-party stream through the device
+# entry point (round-4 review: decode_annexb_device crashed with
+# IndexError on MBAFF streams instead of taking the documented fallback;
+# the fallback set now mirrors native/full.py's plus field/MBAFF) -------
+
+def _conformance_streams():
+    import glob
+    import os
+    corpus = os.path.join(os.path.dirname(__file__), "conformance")
+    return sorted(glob.glob(os.path.join(corpus, "*.264")))
+
+
+@pytest.mark.parametrize(
+    "path", _conformance_streams(),
+    ids=[__import__("os").path.basename(p) for p in _conformance_streams()])
+def test_device_conformance_bit_exact(path):
+    """decode_annexb_device on the whole third-party corpus: device path
+    where in scope, documented fallback (native -> scalar) elsewhere —
+    never a crash, always bit-exact vs libavcodec."""
+    stream = open(path, "rb").read()
+    golden = decode_annexb(stream)
+    ours = decode_annexb_device(stream)
+    assert len(ours) == len(golden), (len(ours), len(golden))
+    for i, (o, g) in enumerate(zip(ours, golden)):
+        for pn, op, gp in zip(("y", "cb", "cr"), (o.y, o.cb, o.cr), g):
+            if gp is None:
+                continue
+            if op is None:
+                assert (gp == 128).all(), f"frame {i} {pn}"
+                continue
+            assert np.array_equal(np.asarray(op), gp), \
+                f"frame {i} plane {pn}"
