@@ -151,7 +151,7 @@ def main():
             and np.array_equal(dcb[:540], rcb) \
             and np.array_equal(dcr[:540], rcr), \
             "pipelined path not bit-exact vs libavcodec"
-    B = 4
+    B = 8
     big = gop_stream * B       # B*16 distinct-content pictures, 1 call
     decode_annexb_gop_pipelined(big, gop=16, n_threads=nthreads,
                                 stacked_out=True)  # warm arena + jit
@@ -281,11 +281,12 @@ def main():
             "e2e_stage_ms_per_frame": stage_ms,
             "bit_exact": True,
             "note": ("e2e = full library pipeline (gop_pipeline.py) over "
-                     "64 distinct 1080p pictures, best of 3: header "
-                     "parse + fused C++ entropy+pack (dt_decode_pack) + "
-                     "H2D + Pallas densify/wavefront paid per batch "
-                     "inside the timed loop; host-entropy-bound on this "
-                     "2-vCPU VM (see e2e_stage_ms_per_frame)"),
+                     "128 distinct 1080p pictures, best of 3: header "
+                     "parse + fused C++ entropy+direct-ABI-pack + "
+                     "single-blob H2D + Pallas densify/wavefront paid "
+                     "per batch inside the timed loop; host-entropy-"
+                     "bound on this 2-vCPU VM (see "
+                     "e2e_stage_ms_per_frame)"),
         },
     }
     print(json.dumps(result))

@@ -180,6 +180,91 @@ def alloc_packed(F: int, n: int):
             np.zeros((F, n, U8_STRIDE), np.uint8))
 
 
+# --- single-blob staging ----------------------------------------------------
+# All seven wire arrays live in ONE contiguous uint8 blob per batch: the
+# host ships a single jnp.asarray (one transfer-stream object instead of
+# seven, ~30% less enqueue serialization on the tunneled device) and the
+# jitted program slices + bitcasts the segments back out (free layout ops
+# on device).
+
+_BLOB_SPEC = (("bmp", np.uint8, lambda F, npad, n, W, e, o: (F, npad, 51)),
+              ("vals", np.int8, lambda F, npad, n, W, e, o: (F, npad, W)),
+              ("exc_idx", np.int32, lambda F, npad, n, W, e, o: (F, e)),
+              ("exc_delta", np.int16, lambda F, npad, n, W, e, o: (F, e)),
+              ("ovf_idx", np.int32, lambda F, npad, n, W, e, o: (F, o)),
+              ("ovf_rows", np.int16,
+               lambda F, npad, n, W, e, o: (F, o, I16_STRIDE)),
+              ("u8", np.uint8, lambda F, npad, n, W, e, o: (F, n, U8_STRIDE)))
+
+
+def _blob_layout(F, npad, n, W, ecap, ovcap):
+    offs = {}
+    t = 0
+    for name, dt, shape_of in _BLOB_SPEC:
+        t = (t + 63) & ~63
+        shape = shape_of(F, npad, n, W, ecap, ovcap)
+        offs[name] = (t, shape, dt)
+        t += int(np.prod(shape)) * np.dtype(dt).itemsize
+    return offs, t
+
+
+def _alloc_blob(F, npad, n, W, ecap, ovcap):
+    offs, total = _blob_layout(F, npad, n, W, ecap, ovcap)
+    blob = np.zeros(total, np.uint8)
+    views = {name: np.ndarray(shape, dt, buffer=blob, offset=off)
+             for name, (off, shape, dt) in offs.items()}
+    views["ovf_idx"][:] = npad
+    return blob, views
+
+
+_SPLITTER_CACHE: dict = {}
+
+
+def _make_blob_splitter(F, npad, n, W, ecap, ovcap):
+    """Returns split(blob) -> the 7 wire arrays, implemented as SEVEN
+    single-segment jitted programs (slice + bitcast).  One program per
+    segment is deliberate: a single program with several large u8
+    slices at different offsets sends the XLA TPU compiler into a
+    multi-minute layout pass at 1080p sizes, while each single-slice
+    program compiles in under a second and the extra dispatches are
+    ~10 us each."""
+    key = (F, npad, n, W, ecap, ovcap)
+    fn = _SPLITTER_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+    offs, _total = _blob_layout(F, npad, n, W, ecap, ovcap)
+    jdt = {np.dtype(np.uint8): jnp.uint8, np.dtype(np.int8): jnp.int8,
+           np.dtype(np.int16): jnp.int16, np.dtype(np.int32): jnp.int32}
+
+    def seg_fn(name):
+        off, shape, dt = offs[name]
+        dt = np.dtype(dt)
+        nb = int(np.prod(shape)) * dt.itemsize
+        jd = jdt[dt]
+
+        def one(blob):
+            x = blob[off:off + nb]
+            if dt.itemsize == 1:
+                y = (x if jd == jnp.uint8
+                     else jax.lax.bitcast_convert_type(x, jd))
+            else:
+                y = jax.lax.bitcast_convert_type(
+                    x.reshape(-1, dt.itemsize), jd)
+            return y.reshape(shape)
+
+        return jax.jit(one)
+
+    fns = [seg_fn(name) for name, _dt, _shape_of in _BLOB_SPEC]
+
+    def split(blob):
+        return tuple(f(blob) for f in fns)
+
+    fn = _SPLITTER_CACHE[key] = split
+    return fn
+
+
 # --- bitmap coefficient encoding -------------------------------------------
 #
 # The dense [F, n, 408] int16 coefficient buffer is ~97% zeros on typical
@@ -206,14 +291,13 @@ def _round_cap(x, q):
 def _make_packed_gop_fn(mb_w: int, mb_h: int, F: int, deblocked: bool,
                         chroma_off0: int, chroma_off1: int, W: int,
                         ecap: int, ovcap: int, interpret=None):
-    """jit((bmp [F,npad,51] u8, vals [F,npad,W] i8, exc_idx [F,ecap]
-    i32, exc_delta [F,ecap] i16, ovf_idx [F,ovcap] i32, ovf_rows
-    [F,ovcap,408] i16, u8meta [F,n,19], ls4y, ls4cb, ls4cr, ls8y)) ->
-    (y, cb, cr) uint8 [F,H,W] planes.
-    Coefficient densify (Pallas, kernels/densify.py), heavy-MB overflow
-    row scatter, derived syntax (qp_c, slice availability), and the
-    deblock edge parameters are all computed on device; the host ships
-    ~1 MB/frame."""
+    """jit((bmp, vals, exc_idx, exc_delta, ovf_idx, ovf_rows, u8meta,
+    ls4y, ls4cb, ls4cr, ls8y)) -> (y, cb, cr) uint8 [F,H,W] planes.
+    The inputs come from _make_blob_splitter's device-side unpacking of
+    the single staged transfer blob.  Coefficient densify (Pallas,
+    kernels/densify.py), heavy-MB overflow row scatter, derived syntax
+    (qp_c, slice availability), and the deblock edge parameters are all
+    computed on device; the host ships ~1.3 MB/frame in ONE transfer."""
     import jax
     import jax.numpy as jnp
 
@@ -368,7 +452,7 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     from .decoder import DecodedFrame
     from .kernels.densify import BLK, round_up
     from .kernels.transform import LS4_FLAT, LS8_FLAT
-    from .native.entropy import decode_pack_picture_islices, pack_frame
+    from .native.entropy import decode_pack_picture_islices
     from .utils.obs import StageTimers
 
     tm = timers if timers is not None else StageTimers()
@@ -410,7 +494,8 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     def run_batch(arrs, W_, ecap_, ovcap_):
         fn = make_packed_gop_fn(mb_w, mb_h, F, deblocked, c0, c1,
                                 W_, ecap_, ovcap_, interpret)
-        r = fn(*arrs, *ls)
+        parts = _make_blob_splitter(F, npad, n, W_, ecap_, ovcap_)(arrs)
+        r = fn(*parts, *ls)
         if device_out and not stacked_out:
             return _split_gop(r, F)
         return r
@@ -425,15 +510,29 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
     W = 32
     ecap = 256
     ovcap = 64
-    bufs = [{"bmp": np.zeros((F, npad, 51), np.uint8),
-             "cnt": np.zeros((F, npad), np.int32),
-             "u8": np.zeros((F, n, U8_STRIDE), np.uint8),
-             "vals": np.zeros((F, npad, W), np.int8),
-             "exc_idx": np.zeros((F, ecap), np.int32),
-             "exc_delta": np.zeros((F, ecap), np.int16),
-             "ovf_idx": np.full((F, ovcap), npad, np.int32),
-             "ovf_rows": np.zeros((F, ovcap, I16_STRIDE), np.int16)}
-            for _ in range(2)]
+    bufs = []
+    for _ in range(2):
+        blob, views = _alloc_blob(F, npad, n, W, ecap, ovcap)
+        views["cnt"] = np.zeros((F, npad), np.int32)
+        views["_blob"] = blob
+        bufs.append(views)
+
+    def _grow(newW, newE, newO):
+        nonlocal W, ecap, ovcap
+        for k in range(2):
+            old = bufs[k]
+            blob, nv = _alloc_blob(F, npad, n, newW, newE, newO)
+            nv["bmp"][:] = old["bmp"]
+            nv["vals"][:, :, :W] = old["vals"]
+            nv["exc_idx"][:, :ecap] = old["exc_idx"]
+            nv["exc_delta"][:, :ecap] = old["exc_delta"]
+            nv["ovf_idx"][:, :ovcap] = old["ovf_idx"]
+            nv["ovf_rows"][:, :ovcap] = old["ovf_rows"]
+            nv["u8"][:] = old["u8"]
+            nv["cnt"] = old["cnt"]
+            nv["_blob"] = blob
+            bufs[k] = nv
+        W, ecap, ovcap = newW, newE, newO
 
     def dbctl_of(headers):
         return np.asarray([(1, 0, 0) if h.deblocking is not None
@@ -480,39 +579,25 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
                     # this batch stay valid (their vals rows are
                     # zero-extended, their heavy MBs already ride the
                     # overflow channel).
-                    newW = min(_round_cap(maxnz, 32), 256)
-                    for bb in bufs:
-                        nv = np.zeros((F, npad, newW), np.int8)
-                        nv[:, :, :W] = bb["vals"]
-                        bb["vals"] = nv
-                    W = newW
+                    _grow(min(_round_cap(maxnz, 32), 256), ecap, ovcap)
                 elif nexc > ecap:
-                    newE = _round_cap(nexc, 256)
-                    for bb in bufs:
-                        ni = np.zeros((F, newE), np.int32)
-                        nd = np.zeros((F, newE), np.int16)
-                        ni[:, :ecap] = bb["exc_idx"]
-                        nd[:, :ecap] = bb["exc_delta"]
-                        bb["exc_idx"], bb["exc_delta"] = ni, nd
-                    ecap = newE
+                    _grow(W, _round_cap(nexc, 256), ovcap)
                 elif novf > ovcap:
-                    newO = _round_cap(novf, 64)
-                    for bb in bufs:
-                        oi = np.full((F, newO), npad, np.int32)
-                        orow = np.zeros((F, newO, I16_STRIDE), np.int16)
-                        oi[:, :ovcap] = bb["ovf_idx"]
-                        orow[:, :ovcap] = bb["ovf_rows"]
-                        bb["ovf_idx"], bb["ovf_rows"] = oi, orow
-                    ovcap = newO
+                    _grow(W, ecap, _round_cap(novf, 64))
+                b = bufs[cur]
                 b["exc_idx"][i] = 0
                 b["exc_delta"][i] = 0
                 b["ovf_idx"][i] = npad
+                # the fused 4:2:0 path never fills the dense arena, so a
+                # growth retry re-decodes the picture (sticky caps: once
+                # per stream, typically on the first picture)
                 with tm.stage("pack"):
-                    maxnz, nexc, novf = pack_frame(
-                        out, n, W, ctl, b["bmp"][i], b["vals"][i],
-                        b["cnt"][i], b["u8"][i], b["exc_idx"][i],
-                        b["exc_delta"][i], b["ovf_idx"][i],
-                        b["ovf_rows"][i], n_threads=n_threads)
+                    out, maxnz, nexc, novf = decode_pack_picture_islices(
+                        slice_datas, sps, pps, W, ctl, b["bmp"][i],
+                        b["vals"][i], b["cnt"][i], b["u8"][i],
+                        b["exc_idx"][i], b["exc_delta"][i],
+                        b["ovf_idx"][i], b["ovf_rows"][i],
+                        n_threads=n_threads, reuse=True)
             if maxnz < 0:
                 has_pcm = True
                 break
@@ -540,10 +625,7 @@ def decode_annexb_gop_pipelined(stream: bytes, gop: int = 16,
         # double buffer keeps the host slots stable until the transfer
         # of batch k is guaranteed drained (batch k+2's entropy).
         with tm.stage("ship"):
-            arrs = (jnp.asarray(b["bmp"]), jnp.asarray(b["vals"]),
-                    jnp.asarray(b["exc_idx"]), jnp.asarray(b["exc_delta"]),
-                    jnp.asarray(b["ovf_idx"]), jnp.asarray(b["ovf_rows"]),
-                    jnp.asarray(b["u8"]))
+            arrs = jnp.asarray(b["_blob"])
         with tm.stage("dispatch"):
             r = run_batch(arrs, W, ecap, ovcap)
         if pending is not None:

@@ -664,6 +664,188 @@ struct Out {
   int32_t* transform8;    // [n] (inter MBs; intra folds it into kind)
 };
 
+// ---------------------------------------------------------------------------
+// Device bitmap-ABI pack (shared by the standalone dt_pack_frame pass and
+// the fused decode path below).  Layout of the 408-coeff row per MB:
+//   [0:256)  luma levels (luma8 rows for 8x8-transform MBs, else luma4)
+//   [256:272) luma DC    [272:280) chroma DC (first 4 of each channel)
+//   [280:408) chroma AC  (first 4 blocks of each channel, 16 coeffs each)
+// Per MB the nonzero values are emitted in flat-row order into vals[a*W..],
+// clipped to +/-127; |v|>127 spills an (index, delta) exception pair; an MB
+// with more than W nonzeros ships its whole dense int16 row through the
+// overflow channel instead.
+// ---------------------------------------------------------------------------
+constexpr int kMetaStride = 19;  // must match gop_pipeline.U8_STRIDE
+
+// shared pack state: input metadata arrays + output buffers + batch-wide
+// atomics (threads pack disjoint MB ranges; only the counters are shared)
+struct PackJob {
+  const int32_t *kind, *qp_y, *i16_mode, *chroma_mode, *modes4, *modes8;
+  const int32_t *slice_id, *luma4, *luma8, *luma_dc, *chroma_dc, *chroma_ac;
+  int32_t W;
+  const int32_t* dbctl;
+  uint8_t* bmp;
+  int8_t* vals;
+  int32_t* cnt;
+  uint8_t* u8meta;
+  int32_t* exc_idx;
+  int16_t* exc_delta;
+  int32_t ecap;
+  // heavy-MB overflow channel: an MB with > W nonzeros ships its whole
+  // dense 408-coeff int16 row instead of bitmap+vals
+  int32_t* ovf_idx;    // [ovcap] MB indices
+  int16_t* ovf_rows;   // [ovcap][408]
+  int32_t ovcap;
+  std::atomic<int> maxnz{0};
+  std::atomic<int> nexc{0};
+  std::atomic<int> novf{0};
+  std::atomic<int> has_pcm{0};
+};
+
+#if defined(__AVX2__)
+// 8-lane left-pack shuffle masks: kCompress.t[mask][k] = index of the
+// k-th set bit of mask (0x80 zero-fill past the population count)
+struct CompressLUT {
+  alignas(16) uint8_t t[256][8];
+  CompressLUT() {
+    for (int m = 0; m < 256; m++) {
+      int k = 0;
+      for (int j = 0; j < 8; j++)
+        if ((m >> j) & 1) t[m][k++] = (uint8_t)j;
+      for (; k < 8; k++) t[m][k] = 0x80;
+    }
+  }
+};
+const CompressLUT kCompress;
+#endif
+
+// Emit one MB's bitmap/vals/exc/ovf + u8meta rows from a contiguous
+// 408-lane coefficient view.  The fused decode path calls this straight
+// off its L1-resident lane buffer right after entropy-decoding the MB —
+// the dense per-frame coefficient arena (~27 MB of writes + a cold
+// re-read per 1080p frame) is skipped entirely on the hot path.
+inline void pack_mb_lanes(PackJob& pj, int a, const int32_t* L,
+                          int& local_max) {
+  const int W = pj.W;
+  uint8_t* brow = pj.bmp + (int64_t)a * 51;
+  int8_t* vrow = pj.vals + (int64_t)a * W;
+  uint8_t lb[51];
+  int8_t lv8[408 + 8];   // +8: the vector emit overstores one group
+  int32_t lexc_lane[408];
+  int16_t lexc_delta[408];
+  int w = 0, nlex = 0;
+  // scan one byte-aligned run of 8 coefficients: emit the bitmap byte
+  // and left-pack the clipped nonzero values in one shot (saturating
+  // int32->int8 pack + LUT byte shuffle; |v|>127 spills to the scalar
+  // exception path, which also fixes the -128 saturation edge to the
+  // ABI's -127 clip)
+  for (int byte = 0; byte < 51; byte++) {
+    const int32_t* r8 = L + byte * 8;
+#if defined(__AVX2__)
+    __m256i v = _mm256_loadu_si256((const __m256i*)r8);
+    __m256i z = _mm256_cmpeq_epi32(v, _mm256_setzero_si256());
+    unsigned bits =
+        (~(unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(z))) & 0xFF;
+    lb[byte] = (uint8_t)bits;
+    if (!bits) continue;
+    __m128i p16 = _mm_packs_epi32(_mm256_castsi256_si128(v),
+                                  _mm256_extracti128_si256(v, 1));
+    __m128i p8 = _mm_packs_epi16(p16, p16);
+    p8 = _mm_max_epi8(p8, _mm_set1_epi8(-127));
+    __m128i sh = _mm_loadl_epi64((const __m128i*)kCompress.t[bits]);
+    _mm_storel_epi64((__m128i*)(lv8 + w), _mm_shuffle_epi8(p8, sh));
+    // |v| > 127 exceptions (rare): scalar fix-up per offending lane
+    __m256i big = _mm256_cmpgt_epi32(_mm256_abs_epi32(v),
+                                     _mm256_set1_epi32(127));
+    unsigned ebits =
+        (unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(big)) & 0xFF;
+    if (__builtin_expect(ebits != 0, 0)) {
+      unsigned rem = bits;
+      int k = 0;
+      while (rem) {
+        int j = __builtin_ctz(rem);
+        rem &= rem - 1;
+        if ((ebits >> j) & 1) {
+          int32_t vj = r8[j];
+          int8_t c8 = (int8_t)(vj > 127 ? 127 : -127);
+          lv8[w + k] = c8;
+          lexc_lane[nlex] = byte * 8 + j;
+          lexc_delta[nlex] = (int16_t)(vj - c8);
+          nlex++;
+        }
+        k++;
+      }
+    }
+    w += __builtin_popcount(bits);
+#else
+    unsigned bits = 0;
+    for (int j = 0; j < 8; j++) bits |= (r8[j] != 0) << j;
+    lb[byte] = (uint8_t)bits;
+    unsigned rem = bits;
+    while (rem) {
+      int j = __builtin_ctz(rem);
+      rem &= rem - 1;
+      int32_t vj = r8[j];
+      int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
+      if (w < 408) lv8[w] = c8;
+      if (vj > 127 || vj < -127) {
+        lexc_lane[nlex] = byte * 8 + j;
+        lexc_delta[nlex] = (int16_t)(vj - c8);
+        nlex++;
+      }
+      w++;
+    }
+#endif
+  }
+  if (w <= W) {
+    std::memcpy(brow, lb, 51);
+    std::memcpy(vrow, lv8, w);
+    if (w < W) std::memset(vrow + w, 0, W - w);
+    for (int e0 = 0; e0 < nlex; e0++) {
+      int e = pj.nexc.fetch_add(1, std::memory_order_relaxed);
+      if (e < pj.ecap) {
+        pj.exc_idx[e] = a * 408 + lexc_lane[e0];
+        pj.exc_delta[e] = lexc_delta[e0];
+      }
+    }
+    pj.cnt[a] = w;
+  } else {
+    // overflow: empty bitmap row; the dense int16 row rides ovf_rows
+    std::memset(brow, 0, 51);
+    std::memset(vrow, 0, W);
+    pj.cnt[a] = 0;
+    int o = pj.novf.fetch_add(1, std::memory_order_relaxed);
+    if (o < pj.ovcap) {
+      pj.ovf_idx[o] = a;
+      int16_t* r = pj.ovf_rows + (int64_t)o * 408;
+      for (int i = 0; i < 408; i++) r[i] = (int16_t)L[i];
+    }
+  }
+  // true max nonzeros/MB over ALL MBs (overflowing ones included): the
+  // caller uses it to grow the sticky vals stride W when a high-density
+  // stream would otherwise push most MBs through the 816-byte-per-MB
+  // overflow channel (the round-4 e2e wire-size cliff)
+  if (w > local_max) local_max = w;
+  // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits)
+  uint8_t* m = pj.u8meta + (int64_t)a * kMetaStride;
+  m[0] = (uint8_t)pj.kind[a];
+  m[1] = (uint8_t)pj.qp_y[a];
+  m[2] = (uint8_t)pj.i16_mode[a];
+  m[3] = (uint8_t)pj.chroma_mode[a];
+  const int32_t* m4 = pj.modes4 + (int64_t)a * 16;
+  for (int i = 0; i < 8; i++)
+    m[4 + i] = (uint8_t)((m4[2 * i] & 0xF) | ((m4[2 * i + 1] & 0xF) << 4));
+  const int32_t* m8 = pj.modes8 + (int64_t)a * 4;
+  m[12] = (uint8_t)((m8[0] & 0xF) | ((m8[1] & 0xF) << 4));
+  m[13] = (uint8_t)((m8[2] & 0xF) | ((m8[3] & 0xF) << 4));
+  int sid = pj.slice_id[a];
+  m[14] = (uint8_t)(sid & 0xFF);
+  m[15] = (uint8_t)((sid >> 8) & 0xFF);
+  m[16] = (uint8_t)pj.dbctl[sid * 3 + 0];
+  m[17] = (uint8_t)(pj.dbctl[sid * 3 + 1] + 12);
+  m[18] = (uint8_t)(pj.dbctl[sid * 3 + 2] + 12);
+}
+
 struct SliceCtx {
   Engine eng;
   const PicParams* pp;
@@ -675,6 +857,14 @@ struct SliceCtx {
   int qpy_prev;
   int slice_type = ST_I;
   int nref_l0 = 0, nref_l1 = 0;  // num_ref_idx_lX_active_minus1
+
+  // fused direct-pack mode (4:2:0 intra): residual coefficients land in
+  // the L1-resident `lanes` buffer in device-ABI order instead of the
+  // dense per-frame arena, and each completed MB is packed straight from
+  // it (pack_mb_lanes) — no arena memsets/stores, no cold pack rescan
+  PackJob* pj = nullptr;
+  int pack_local_max = 0;
+  int32_t lanes[408] = {};
 
   MB unavailable_intra;
   MB unavailable_inter;
@@ -1180,7 +1370,7 @@ struct SliceCtx {
       }
     }
     TSC_END(0);
-    std::memset(coeffs, 0, out_size * sizeof(int32_t));
+    if (!pj) std::memset(coeffs, 0, out_size * sizeof(int32_t));
     if (!cbf) return;
 
     const uint16_t* sigtab = kSigCtx.sig[cat];
@@ -1199,6 +1389,13 @@ struct SliceCtx {
     int numcoeff = end + 1;
     EngHot h = eng_adopt(eng);
     { TSC_BEGIN;
+    // NOTE: an explicitly software-pipelined two-bin scan (speculating
+    // the next bin's LPS extraction across both outcomes) was tried in
+    // round 5 and measured 12-16% SLOWER than this loop on the bench
+    // host: the 0-skewed last-flag branch predicts well enough that the
+    // out-of-order core already overlaps adjacent bins' resolve chains,
+    // and the 4-way (state x context) candidate arithmetic only added
+    // issue pressure.  Keep the simple form.
     for (int i = start; i < numcoeff - 1; i++) {
       if (decision_bl_h(h, eng, sigtab[i])) {
         sigpos[nsig++] = (uint8_t)i;
@@ -1240,11 +1437,40 @@ struct SliceCtx {
         h.bins++;
         return (s & 1) ^ (unsigned)is_lps;
       };
+      // branchy-MPS variant of bin_rec for skewed bins (the TU prefix
+      // continuation: once a level's context adapts, continuation bins
+      // are well predicted, so speculation beats the CMOV chain latency)
+      auto bin_rec_br = [&](uint64_t& r) -> unsigned {
+        h.bins++;
+        unsigned s = (unsigned)r & 0xff;
+        uint32_t lps = (uint32_t)(r >> (8 + ((h.range >> 3) & 24))) & 0xff;
+        uint32_t mps_rng = h.range - lps;
+        uint64_t scaled = (uint64_t)mps_rng << h.lowbits;
+        if (__builtin_expect(h.low < scaled, 1)) {  // MPS
+          r = kPackedTrans.mrec[s];
+          if (__builtin_expect(mps_rng >= 256, 1)) {
+            h.range = mps_rng;
+            return s & 1;
+          }
+          int nn = __builtin_clz(mps_rng) - 23;
+          h.range = mps_rng << nn;
+          h.lowbits -= nn;
+          if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, eng);
+          return s & 1;
+        }
+        h.low -= scaled;
+        r = kPackedTrans.lrec[s];
+        int nn = __builtin_clz(lps) - 23;
+        h.range = lps << nn;
+        h.lowbits -= nn;
+        if (__builtin_expect(h.lowbits < 8, 0)) refill_low_h(h, eng);
+        return (s & 1) ^ 1u;
+      };
       for (int j = nsig - 1; j >= 0; j--) {
         int pre = 0;
         if (bin_rec(r0)) {
           pre = 1;
-          while (pre < 14 && bin_rec(r1)) pre++;
+          while (pre < 14 && bin_rec_br(r1)) pre++;
         }
         int mag = pre;
         int s;
@@ -1297,33 +1523,43 @@ struct SliceCtx {
   __attribute__((always_inline)) inline void residual(MB* mb, int addr) {
     Out* o = out;
     int64_t a = addr;
+    // direct-pack mode: write into the 408-lane device-ABI row instead
+    // of the dense arena (lane layout documented at pack_mb_lanes; the
+    // chroma DC lanes hold only the 4 coeffs of each 4:2:0 channel)
+    int32_t* lum = pj ? lanes : nullptr;
     if (mb->kind == KIND_I16) {
-      residual_block(CAT_LUMA_DC, 0, o->luma_dc + a * 16, kZig4, 16, 0, 15,
-                     16, true);
+      residual_block(CAT_LUMA_DC, 0, pj ? lanes + 256 : o->luma_dc + a * 16,
+                     kZig4, 16, 0, 15, 16, true);
       for (int i = 0; i < 16; i++)
-        residual_block(CAT_LUMA_AC, i, o->luma4 + (a * 16 + i) * 16,
+        residual_block(CAT_LUMA_AC, i,
+                       pj ? lum + i * 16 : o->luma4 + (a * 16 + i) * 16,
                        kAc.ac4, 16, 0, 14, 15, (mb->cbp >> (i >> 2)) & 1);
     } else if (mb->kind == KIND_I8 || mb->transform8) {
       mb->cbf[0][16] = 0;
       for (int i = 0; i < 4; i++)
-        residual_block(CAT_LUMA_8X8, i, o->luma8 + (a * 4 + i) * 64, kZig8,
-                       64, 0, 63, 64, (mb->cbp >> i) & 1);
+        residual_block(CAT_LUMA_8X8, i,
+                       pj ? lum + i * 64 : o->luma8 + (a * 4 + i) * 64,
+                       kZig8, 64, 0, 63, 64, (mb->cbp >> i) & 1);
     } else {
       mb->cbf[0][16] = 0;
       for (int i = 0; i < 16; i++)
-        residual_block(CAT_LUMA_4X4, i, o->luma4 + (a * 16 + i) * 16, kZig4,
-                       16, 0, 15, 16, (mb->cbp >> (i >> 2)) & 1);
+        residual_block(CAT_LUMA_4X4, i,
+                       pj ? lum + i * 16 : o->luma4 + (a * 16 + i) * 16,
+                       kZig4, 16, 0, 15, 16, (mb->cbp >> (i >> 2)) & 1);
     }
     int catc = pp->chroma_array_type;
     if (catc == 1 || catc == 2) {
       int nc = 4 * catc;
       for (int c2 = 0; c2 < 2; c2++)
-        residual_block(CAT_CHROMA_DC, c2, o->chroma_dc + (a * 2 + c2) * 8,
+        residual_block(CAT_CHROMA_DC, c2,
+                       pj ? lanes + 272 + c2 * 4
+                          : o->chroma_dc + (a * 2 + c2) * 8,
                        kIdent8, 8, 0, nc - 1, nc, (mb->cbp & 0x30) != 0);
       for (int c2 = 0; c2 < 2; c2++)
         for (int j = 0; j < nc; j++)
           residual_block(CAT_CHROMA_AC, c2 * 8 + j,
-                         o->chroma_ac + ((a * 2 + c2) * 8 + j) * 16,
+                         pj ? lanes + 280 + c2 * 64 + j * 16
+                            : o->chroma_ac + ((a * 2 + c2) * 8 + j) * 16,
                          kAc.ac4, 16, 0, 14, 15, (mb->cbp & 0x20) != 0);
     }
   }
@@ -1440,8 +1676,10 @@ struct SliceParams {
 
 void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
                       int last_mb, int slice_id, const PicParams* pp,
-                      Out* o, std::vector<MB>* mbs, int slice_index) {
+                      Out* o, std::vector<MB>* mbs, int slice_index,
+                      PackJob* pj = nullptr) {
   SliceCtx s;
+  s.pj = pj;
   s.pp = pp;
   s.out = o;
   s.mbs = mbs;
@@ -1483,7 +1721,9 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
     for (int i = 0; i < 16; i++) o->modes4[(int64_t)a * 16 + i] = mb->modes4[i];
     for (int i = 0; i < 4; i++) o->modes8[(int64_t)a * 4 + i] = mb->modes8[i];
     if (o->transform8) o->transform8[a] = mb->transform8;
-    if (o->mb_type_code) {
+    // the fused direct-pack path is intra-only: skip the ~80 dead
+    // inter-syntax stores per MB (nothing downstream reads them there)
+    if (o->mb_type_code && !pj) {
       o->mb_type_code[a] = mb->mb_type_code;
       for (int i = 0; i < 4; i++)
         o->sub_mb_type[(int64_t)a * 4 + i] = mb->sub_mb_type[i];
@@ -1497,10 +1737,25 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
                 mb->mvd[w][b][c];
     }
     (void)skipped;
+    if (pj) {
+      // fused pack: the MB's lanes are L1-hot right after its residual
+      // decode; emit the device-ABI rows now and re-zero the buffer
+      if (mb->kind == KIND_PCM) {
+        pj->has_pcm.store(1, std::memory_order_relaxed);
+      } else {
+        pack_mb_lanes(*pj, a, s.lanes, s.pack_local_max);
+      }
+      std::memset(s.lanes, 0, sizeof(s.lanes));
+    }
     s.prev_addr = s.curr;
     s.curr++;  // make current MB visible as neighbor (mb_at checks < curr)
     int end = s.eng.terminate();
     if (end || s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
+  }
+  if (pj) {
+    int prev = pj->maxnz.load(std::memory_order_relaxed);
+    while (s.pack_local_max > prev &&
+           !pj->maxnz.compare_exchange_weak(prev, s.pack_local_max)) {}
   }
   if (o->bin_count) o->bin_count[slice_index] = s.eng.bins;
 #ifdef DT_COUNT_LPS
@@ -2080,155 +2335,30 @@ int dt_decode_picture_slices_cavlc(
 // ---------------------------------------------------------------------------
 namespace {
 
-// shared pack state: input entropy arrays + output buffers + batch-wide
-// atomics (threads pack disjoint MB ranges; only the counters are shared)
-constexpr int kMetaStride = 19;  // must match gop_pipeline.U8_STRIDE
-
-struct PackJob {
-  const int32_t *kind, *qp_y, *i16_mode, *chroma_mode, *modes4, *modes8;
-  const int32_t *slice_id, *luma4, *luma8, *luma_dc, *chroma_dc, *chroma_ac;
-  int32_t W;
-  const int32_t* dbctl;
-  uint8_t* bmp;
-  int8_t* vals;
-  int32_t* cnt;
-  uint8_t* u8meta;
-  int32_t* exc_idx;
-  int16_t* exc_delta;
-  int32_t ecap;
-  // heavy-MB overflow channel: an MB with > W nonzeros ships its whole
-  // dense 408-coeff int16 row instead of bitmap+vals, so the sticky vals
-  // stride never grows past W (wire bytes stay ~1 MB/frame on a
-  // bandwidth-limited tunnel); the device scatters the rows back after
-  // the densify kernel
-  int32_t* ovf_idx;    // [ovcap] MB indices
-  int16_t* ovf_rows;   // [ovcap][408]
-  int32_t ovcap;
-  std::atomic<int> maxnz{0};
-  std::atomic<int> nexc{0};
-  std::atomic<int> novf{0};
-  std::atomic<int> has_pcm{0};
-};
-
+// Standalone pack pass over the dense arena (used by the growth-repack
+// and PCM-fallback paths; the hot fused path packs inside
+// decode_one_slice instead): assemble each MB's 408-lane view from the
+// scattered arrays and emit via the shared pack_mb_lanes.
 void pack_mb_range(PackJob& pj, int lo, int hi) {
   const int kNkI8 = 1, kNkPcm = 3;
-  const int W = pj.W;
   int local_max = 0;
+  int32_t L[408];
   for (int a = lo; a < hi; a++) {
     int k = pj.kind[a];
     if (k == kNkPcm) { pj.has_pcm.store(1); return; }
-    uint8_t* brow = pj.bmp + (int64_t)a * 51;
-    int8_t* vrow = pj.vals + (int64_t)a * W;
-    // staged locally so an overflowing MB can be redirected wholesale
-    uint8_t lb[51];
-    int8_t lv8[408];
-    int32_t lexc_lane[408];
-    int16_t lexc_delta[408];
-    int w = 0, nlex = 0;
-    // scan one byte-aligned run of 8 coefficients: emit the bitmap
-    // byte and append clipped nonzero values (AVX2 zero-compare +
-    // movemask makes the ~94% all-zero bytes one branch each)
-    auto scan8 = [&](const int32_t* r8, int lane_base, uint8_t* bout) {
-#if defined(__AVX2__)
-      __m256i v = _mm256_loadu_si256((const __m256i*)r8);
-      __m256i z = _mm256_cmpeq_epi32(v, _mm256_setzero_si256());
-      unsigned bits =
-          (~(unsigned)_mm256_movemask_ps(_mm256_castsi256_ps(z))) & 0xFF;
-#else
-      unsigned bits = 0;
-      for (int j = 0; j < 8; j++) bits |= (r8[j] != 0) << j;
-#endif
-      *bout = (uint8_t)bits;
-      if (!bits) return;
-      unsigned rem = bits;
-      while (rem) {
-        int j = __builtin_ctz(rem);
-        rem &= rem - 1;
-        int32_t vj = r8[j];
-        int8_t c8 = (int8_t)(vj > 127 ? 127 : (vj < -127 ? -127 : vj));
-        if (w < 408) lv8[w] = c8;
-        w++;
-        if (vj > 127 || vj < -127) {
-          lexc_lane[nlex] = lane_base + j;
-          lexc_delta[nlex] = (int16_t)(vj - c8);
-          nlex++;
-        }
-      }
-    };
     const int32_t* lv = (k == kNkI8) ? pj.luma8 + (int64_t)a * 256
                                      : pj.luma4 + (int64_t)a * 256;
-    for (int byte = 0; byte < 32; byte++)
-      scan8(lv + byte * 8, byte * 8, lb + byte);
-    const int32_t* ldc = pj.luma_dc + (int64_t)a * 16;
-    scan8(ldc, 256, lb + 32);
-    scan8(ldc + 8, 264, lb + 33);
-    int32_t cdc[8];
-    std::memcpy(cdc, pj.chroma_dc + (int64_t)a * 2 * 8, 4 * sizeof(int32_t));
-    std::memcpy(cdc + 4, pj.chroma_dc + ((int64_t)a * 2 + 1) * 8,
+    std::memcpy(L, lv, 256 * sizeof(int32_t));
+    std::memcpy(L + 256, pj.luma_dc + (int64_t)a * 16, 16 * sizeof(int32_t));
+    std::memcpy(L + 272, pj.chroma_dc + (int64_t)a * 2 * 8,
                 4 * sizeof(int32_t));
-    scan8(cdc, 272, lb + 34);
-    for (int c2 = 0; c2 < 2; c2++) {
-      const int32_t* cac = pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
-      for (int byte = 0; byte < 8; byte++)
-        scan8(cac + byte * 8, 280 + c2 * 64 + byte * 8,
-              lb + 35 + c2 * 8 + byte);
-    }
-    if (w <= W) {
-      std::memcpy(brow, lb, 51);
-      std::memcpy(vrow, lv8, w);
-      if (w < W) std::memset(vrow + w, 0, W - w);
-      for (int e0 = 0; e0 < nlex; e0++) {
-        int e = pj.nexc.fetch_add(1, std::memory_order_relaxed);
-        if (e < pj.ecap) {
-          pj.exc_idx[e] = a * 408 + lexc_lane[e0];
-          pj.exc_delta[e] = lexc_delta[e0];
-        }
-      }
-      pj.cnt[a] = w;
-    } else {
-      // overflow: empty bitmap row; the dense int16 row rides ovf_rows
-      std::memset(brow, 0, 51);
-      std::memset(vrow, 0, W);
-      pj.cnt[a] = 0;
-      int o = pj.novf.fetch_add(1, std::memory_order_relaxed);
-      if (o < pj.ovcap) {
-        pj.ovf_idx[o] = a;
-        int16_t* r = pj.ovf_rows + (int64_t)o * 408;
-        for (int i = 0; i < 256; i++) r[i] = (int16_t)lv[i];
-        for (int i = 0; i < 16; i++) r[256 + i] = (int16_t)ldc[i];
-        for (int i = 0; i < 8; i++) r[272 + i] = (int16_t)cdc[i];
-        for (int c2 = 0; c2 < 2; c2++) {
-          const int32_t* cac =
-              pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16;
-          for (int i = 0; i < 64; i++)
-            r[280 + c2 * 64 + i] = (int16_t)cac[i];
-        }
-      }
-    }
-    // true max nonzeros/MB over ALL MBs (overflowing ones included):
-    // the caller uses it to grow the sticky vals stride W when a
-    // high-density stream would otherwise push most MBs through the
-    // 816-byte-per-MB overflow channel (the wire-size cliff found in
-    // the round-4 e2e profile)
-    if (w > local_max) local_max = w;
-    // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits)
-    uint8_t* m = pj.u8meta + (int64_t)a * kMetaStride;
-    m[0] = (uint8_t)k;
-    m[1] = (uint8_t)pj.qp_y[a];
-    m[2] = (uint8_t)pj.i16_mode[a];
-    m[3] = (uint8_t)pj.chroma_mode[a];
-    const int32_t* m4 = pj.modes4 + (int64_t)a * 16;
-    for (int i = 0; i < 8; i++)
-      m[4 + i] = (uint8_t)((m4[2 * i] & 0xF) | ((m4[2 * i + 1] & 0xF) << 4));
-    const int32_t* m8 = pj.modes8 + (int64_t)a * 4;
-    m[12] = (uint8_t)((m8[0] & 0xF) | ((m8[1] & 0xF) << 4));
-    m[13] = (uint8_t)((m8[2] & 0xF) | ((m8[3] & 0xF) << 4));
-    int sid = pj.slice_id[a];
-    m[14] = (uint8_t)(sid & 0xFF);
-    m[15] = (uint8_t)((sid >> 8) & 0xFF);
-    m[16] = (uint8_t)pj.dbctl[sid * 3 + 0];
-    m[17] = (uint8_t)(pj.dbctl[sid * 3 + 1] + 12);
-    m[18] = (uint8_t)(pj.dbctl[sid * 3 + 2] + 12);
+    std::memcpy(L + 276, pj.chroma_dc + ((int64_t)a * 2 + 1) * 8,
+                4 * sizeof(int32_t));
+    for (int c2 = 0; c2 < 2; c2++)
+      std::memcpy(L + 280 + c2 * 64,
+                  pj.chroma_ac + ((int64_t)a * 2 + c2) * 8 * 16,
+                  64 * sizeof(int32_t));
+    pack_mb_lanes(pj, a, L, local_max);
   }
   int prev = pj.maxnz.load(std::memory_order_relaxed);
   while (local_max > prev &&
@@ -2273,12 +2403,15 @@ extern "C" int dt_pack_frame(
   return pj.maxnz.load();
 }
 
-// Fused decode+pack: each slice worker packs its own MB range right
-// after entropy-decoding it, while the coefficient arrays are still hot
-// in cache (a separate dt_pack_frame pass re-reads ~27 MB from DRAM per
-// 1080p frame).  Same outputs as dt_decode_picture_slices followed by
-// dt_pack_frame; pack results (max nz/MB, exception count, PCM flag)
-// return via pack_out[3] = {maxnz|-1, n_exc, has_pcm}.
+// Fused decode+pack: for 4:2:0 each slice worker emits the device ABI
+// rows per MB straight from an L1-resident lane buffer while decoding
+// (the dense coefficient arena is never written — skipping ~27 MB of
+// stores + memsets + a cold re-read per 1080p frame); other chroma
+// formats decode into the arena and pack per slice range.  Same packed
+// outputs as dt_decode_picture_slices followed by dt_pack_frame (but
+// the arena coefficient arrays are NOT filled on the 4:2:0 path — a
+// caps-growth retry must re-decode); pack results return via
+// pack_out[4] = {maxnz|-1, n_exc, has_pcm, n_ovf}.
 extern "C" int dt_decode_pack_picture_slices(
     const uint8_t* rbsp_all, const SliceParams* sp, int32_t n_slices,
     PicParams pp, Out o, int32_t n_threads, int32_t W,
@@ -2297,12 +2430,15 @@ extern "C" int dt_decode_pack_picture_slices(
              o.modes8, o.slice_id, o.luma4, o.luma8, o.luma_dc,
              o.chroma_dc, o.chroma_ac, W, dbctl, bmp, vals, cnt,
              u8meta, exc_idx, exc_delta, ecap, ovf_idx, ovf_rows, ovcap};
+  // direct-pack only covers the 4:2:0 lane layout; other chroma formats
+  // decode into the arena and pack with the standalone pass
+  bool direct = pp.chroma_array_type == 1;
   std::function<void(int)> work = [&](int k) {
     int lo = sp[k].first_mb;
     int hi = (k + 1 < n_slices) ? sp[k + 1].first_mb : n;
     decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], hi - 1, k, &pp, &o,
-                     &mbs, k);
-    pack_mb_range(pj, lo, hi);
+                     &mbs, k, direct ? &pj : nullptr);
+    if (!direct) pack_mb_range(pj, lo, hi);
   };
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);
