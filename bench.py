@@ -234,6 +234,7 @@ def main():
             sdq, spsq, ppsq, n_threads=nthreads, reuse=True), 3)
         qp_sweep[f"qp{qp}_entropy_ms"] = round(tq * 1e3, 1)
     ipb1080_fps = None
+    ipb1080_dev_fps = None
     p = os.path.join(HERE, "benchdata", "bench1080p_ipb.264")
     if os.path.exists(p):
         from dryv_tpu.native.full import decode_annexb_native
@@ -246,6 +247,23 @@ def main():
         ), "1080p IPB native path not bit-exact"
         t = best_of(lambda: decode_annexb_native(s1080), 2)
         ipb1080_fps = len(got) / t
+        # device I/P/B at full HD through the packed-wire path
+        # (device_ipb_packed.py): bitmap coefficient ABI + compact motion
+        # field, MC/recon/deblock on device with device-resident refs.
+        # Honest caveat recorded in BASELINE.md: XLA's TPU gather makes
+        # per-picture MC the latency floor (~9 ns/element over scattered
+        # windows), so this is slower than the host path until the MC
+        # moves into a Pallas DMA kernel.
+        if os.environ.get("DRYV_BENCH_DEVIPB", "1") != "0":
+            from dryv_tpu.device_ipb_packed import (
+                decode_annexb_device_packed)
+            gotd = decode_annexb_device_packed(s1080)
+            assert len(gotd) == len(ref) and all(
+                np.array_equal(np.asarray(o.y), g[0])
+                for o, g in zip(gotd, ref)
+            ), "1080p IPB packed device path not bit-exact"
+            t = best_of(lambda: decode_annexb_device_packed(s1080), 2)
+            ipb1080_dev_fps = len(gotd) / t
 
     fps = 1.0 / t_e2e_frame
     baseline_fps = 1.0 / t_baseline
@@ -277,6 +295,8 @@ def main():
                                         if ipb_fps else None),
             "ipb_1080p_native_fps": (round(ipb1080_fps, 1)
                                      if ipb1080_fps else None),
+            "ipb_1080p_device_fps": (round(ipb1080_dev_fps, 2)
+                                     if ipb1080_dev_fps else None),
             "entropy_qp_sweep": qp_sweep or None,
             "e2e_stage_ms_per_frame": stage_ms,
             "bit_exact": True,

@@ -372,6 +372,174 @@ def deblock_precompute_intra_jax(kind, qp_y, sid, dis, offa, offb,
             for k, v in out.items()}
 
 
+def _pair_bs_jax(intra_p, intra_q, mb_edge, nz_p, nz_q, mv0p, mv1p, mv0q,
+                 mv1q, rk0p, rk1p, rk0q, rk1q):
+    """jnp port of _pair_bs (spec 8.7.2.1 block-pair boundary strength),
+    for the on-device inter edge-parameter precompute."""
+    def far(a, b):
+        return (jnp.abs(a - b) >= 4).any(axis=-1)
+
+    np_cnt = (rk0p >= 0).astype(jnp.int32) + (rk1p >= 0)
+    nq_cnt = (rk0q >= 0).astype(jnp.int32) + (rk1q >= 0)
+    lo_p = jnp.minimum(rk0p, rk1p)
+    hi_p = jnp.maximum(rk0p, rk1p)
+    lo_q = jnp.minimum(rk0q, rk1q)
+    hi_q = jnp.maximum(rk0q, rk1q)
+    keys_differ = (np_cnt != nq_cnt) | (lo_p != lo_q) | (hi_p != hi_q)
+
+    mvp1 = jnp.where((rk0p >= 0)[..., None], mv0p, mv1p)
+    mvq1 = jnp.where((rk0q >= 0)[..., None], mv0q, mv1q)
+    far1 = far(mvp1, mvq1)
+
+    aligned = rk0p == rk0q
+    fa = far(mv0p, mv0q) | far(mv1p, mv1q)
+    fx = far(mv0p, mv1q) | far(mv1p, mv0q)
+    far2_distinct = jnp.where(aligned, fa, fx)
+    far2_same = fa & fx
+    same_pic = rk0p == rk1p
+
+    mv_bs = jnp.where(np_cnt == 1, far1,
+                      jnp.where(same_pic, far2_same,
+                                far2_distinct)).astype(jnp.int32)
+    bs = jnp.where(keys_differ, 1, mv_bs)
+    bs = jnp.where(nz_p | nz_q, 2, bs)
+    intra_bs = jnp.where(mb_edge, 4, 3)
+    return jnp.where(intra_p | intra_q, intra_bs, bs)
+
+
+def deblock_precompute_jax(kind, qp_y, sid, dis, offa, offb, mb_w, mb_h,
+                           chroma_off0, chroma_off1, t8, nz4,
+                           mv0, mv1, rk0, rk1):
+    """General (intra + inter) edge parameters, traceable device version.
+
+    jnp port of deblock_precompute: kind/qp_y/sid/dis/offa/offb/t8 [n]
+    per-MB int arrays; nz4 [H4,W4] bool, mv0/mv1 [H4,W4,2] int32,
+    rk0/rk1 [H4,W4] reference keys or stack slots (-1 = list unused;
+    only equality matters, so per-picture slots work).  Returns the
+    PRE_KEYS dict, int32, bit-identical to the host deblock_precompute."""
+    alpha_t = jnp.asarray(ALPHA, jnp.int32)
+    beta_t = jnp.asarray(BETA, jnp.int32)
+    tc0_t = jnp.asarray(TC0, jnp.int32)
+    qpc_tab = jnp.asarray(QPC_TAB, jnp.int32)
+
+    def qpc_vec(qp, off):
+        qpi = jnp.clip(qp + off, 0, 51)
+        return jnp.where(qpi < 30, qpi, qpc_tab[jnp.clip(qpi - 30, 0, 21)])
+
+    H4, W4 = mb_h * 4, mb_w * 4
+    kind = jnp.asarray(kind, jnp.int32).reshape(mb_h, mb_w)
+    intra_mb = (kind <= 3) | (kind == 11)    # native numbering + SI
+    qpy = jnp.where(kind == KIND_PCM, 0,
+                    jnp.asarray(qp_y, jnp.int32).reshape(mb_h, mb_w))
+    sid = jnp.asarray(sid, jnp.int32).reshape(mb_h, mb_w)
+    dis = jnp.asarray(dis, jnp.int32).reshape(mb_h, mb_w)
+    offa = jnp.asarray(offa, jnp.int32).reshape(mb_h, mb_w)
+    offb = jnp.asarray(offb, jnp.int32).reshape(mb_h, mb_w)
+    t8 = (jnp.asarray(t8, jnp.int32).reshape(mb_h, mb_w) != 0) \
+        | (kind == KIND_I8)
+    qpc = jnp.stack([qpc_vec(qpy, chroma_off0), qpc_vec(qpy, chroma_off1)])
+
+    def left(a, fill=0):
+        pad = [(0, 0)] * a.ndim
+        pad[1] = (1, 0)
+        return jnp.pad(a[:, :-1], pad, constant_values=fill)
+
+    def up(a, fill=0):
+        pad = [(0, 0)] * a.ndim
+        pad[0] = (1, 0)
+        return jnp.pad(a[:-1], pad, constant_values=fill)
+
+    intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)
+    nz4 = jnp.asarray(nz4).reshape(H4, W4) != 0
+    mv0 = jnp.asarray(mv0, jnp.int32).reshape(H4, W4, 2)
+    mv1 = jnp.asarray(mv1, jnp.int32).reshape(H4, W4, 2)
+    rk0 = jnp.asarray(rk0, jnp.int32).reshape(H4, W4)
+    rk1 = jnp.asarray(rk1, jnp.int32).reshape(H4, W4)
+
+    mbe_v = jnp.broadcast_to((jnp.arange(W4) % 4 == 0)[None, :], (H4, W4))
+    mbe_h = jnp.broadcast_to((jnp.arange(H4) % 4 == 0)[:, None], (H4, W4))
+    BSV = _pair_bs_jax(left(intra4), intra4, mbe_v, left(nz4), nz4,
+                       left(mv0), left(mv1), mv0, mv1,
+                       left(rk0, -1), left(rk1, -1), rk0, rk1)
+    BSH = _pair_bs_jax(up(intra4), intra4, mbe_h, up(nz4), nz4,
+                       up(mv0), up(mv1), mv0, mv1,
+                       up(rk0, -1), up(rk1, -1), rk0, rk1)
+    BSVg = BSV.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 3, 1)
+    BSHg = BSH.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
+
+    on_self = dis != 1
+    mx = jnp.arange(mb_w, dtype=jnp.int32)[None, :]
+    my = jnp.arange(mb_h, dtype=jnp.int32)[:, None]
+    on_v0 = on_self & (mx > 0) & ~((dis == 2) & (left(sid, -1) != sid))
+    on_h0 = on_self & (my > 0) & ~((dis == 2) & (up(sid, -1) != sid))
+
+    def idx_ab(qpav, off):
+        return jnp.clip(qpav + off, 0, 51)
+
+    def tc0_of(ia, bs):
+        return tc0_t[ia, jnp.clip(bs, 1, 3) - 1]
+
+    def luma_dir(on_e0, qp_nb, BSg):
+        qpav = (qp_nb + qpy + 1) >> 1
+        ia0 = idx_ab(qpav, offa)
+        ib0 = idx_ab(qpav, offb)
+        ia_i = idx_ab(qpy, offa)
+        ib_i = idx_ab(qpy, offb)
+        on0 = on_e0.astype(jnp.int32)
+        oni = on_self.astype(jnp.int32)
+        onk = oni * (~t8).astype(jnp.int32)
+        # per-edge enables: edge 0 = MB boundary; 8x8 keeps only edge 2
+        ons = jnp.stack([on0, onk, oni, onk], axis=-1)        # [h,w,4]
+        bs = BSg * ons[..., None]
+        al = jnp.stack([alpha_t[ia0]] + [alpha_t[ia_i]] * 3, axis=-1)
+        be = jnp.stack([beta_t[ib0]] + [beta_t[ib_i]] * 3, axis=-1)
+        ia = jnp.stack([ia0] + [ia_i] * 3, axis=-1)           # [h,w,4]
+        tc = tc0_of(ia[..., None], bs)
+        return bs, tc, al, be
+
+    bsv, tc0v, av, bv = luma_dir(on_v0, left(qpy), BSVg)
+    bsh, tc0h, ah, bh = luma_dir(on_h0, up(qpy), BSHg)
+
+    rep = jnp.repeat(jnp.arange(4), 2)
+
+    def chroma_dir(on_e0, qpc_nb, BSg):
+        on0 = on_e0.astype(jnp.int32)
+        oni = on_self.astype(jnp.int32)
+        bs = jnp.stack([BSg[..., 0, :][..., rep] * on0[..., None],
+                        BSg[..., 2, :][..., rep] * oni[..., None]],
+                       axis=-2)                               # [h,w,2,8]
+        al = []
+        be = []
+        tc = []
+        for pl in (0, 1):
+            qpav = (qpc_nb[pl] + qpc[pl] + 1) >> 1
+            ia0 = idx_ab(qpav, offa)
+            ib0 = idx_ab(qpav, offb)
+            ia_i = idx_ab(qpc[pl], offa)
+            ib_i = idx_ab(qpc[pl], offb)
+            al.append(jnp.stack([alpha_t[ia0], alpha_t[ia_i]], axis=-1))
+            be.append(jnp.stack([beta_t[ib0], beta_t[ib_i]], axis=-1))
+            ia = jnp.stack([ia0, ia_i], axis=-1)              # [h,w,2]
+            tc.append(tc0_of(ia[..., None], bs))
+        al = jnp.stack(al, axis=-1)
+        be = jnp.stack(be, axis=-1)
+        tc = jnp.stack(tc, axis=-2)                  # [h,w,edge,pl,line]
+        return bs, tc, al, be
+
+    qpc_l = jnp.stack([left(qpc[0]), left(qpc[1])])
+    qpc_u = jnp.stack([up(qpc[0]), up(qpc[1])])
+    bscv, tc0cv, acv, bcv = chroma_dir(on_v0, qpc_l, BSVg)
+    bsch, tc0ch, ach, bch = chroma_dir(on_h0, qpc_u, BSHg)
+
+    n = mb_w * mb_h
+    out = dict(bsv=bsv, tc0v=tc0v, av=av, bv=bv,
+               bsh=bsh, tc0h=tc0h, ah=ah, bh=bh,
+               bscv=bscv, tc0cv=tc0cv, acv=acv, bcv=bcv,
+               bsch=bsch, tc0ch=tc0ch, ach=ach, bch=bch)
+    return {k: v.reshape((n,) + v.shape[2:]).astype(jnp.int32)
+            for k, v in out.items()}
+
+
 # ---------------------------------------------------------------------------
 # device filters (exact int32 mirrors of refimpl/deblock.py)
 # ---------------------------------------------------------------------------

@@ -41,7 +41,14 @@ def mc_luma_blocks(ref_flat, rs, mv, bx4, by4, H, W):
     ref_flat: [R*H*W] int32 flattened reference stack; rs [n4] stack slot
     (clipped to valid; mask invalid blocks downstream); mv [n4,2]
     quarter-pel; bx4/by4 [n4] block coordinates (in 4x4 units).
-    Returns [n4,4,4] int32 predictions."""
+    Returns [n4,4,4] int32 predictions.
+
+    NOTE round 5: this elementwise flat gather costs ~200 ms per 1080p
+    frame on TPU (n4*81 single-element fetches) and dominates the
+    per-picture device IPB latency.  A lax.gather with (1,9,16) slice
+    windows over edge-padded stacks was tried and lowered ~8x SLOWER
+    still; the real fix is a Pallas MC kernel with scalar-prefetched
+    window DMAs (future work, see BASELINE.md)."""
     mvx, mvy = mv[:, 0], mv[:, 1]
     bx = bx4 * 4 + (mvx >> 2) - 2
     by = by4 * 4 + (mvy >> 2) - 2
@@ -143,21 +150,26 @@ def mc_frame(refs_y, refs_cb, refs_cr, rs0, rs1, mv0, mv1, wp, mb_w, mb_h):
     refs_*: [R,H,W]-shaped int32 (or uint8) reference stacks;
     rs0/rs1 [n4]: stack slot per 4x4 block per list (-1 = unused);
     mv0/mv1 [n4,2]; wp: dict of per-block combine params
-    (wy0,oy0,wy1,oy1,dy, wcb0,... wcr1, dc) each [n4]."""
+    (wy0,oy0,wy1,oy1,dy, wcb0,... wcr1, dc) each [n4].
+
+    rs1=None/mv1=None statically drops the list-1 window gathers (P
+    pictures): the gather is the dominant device cost, so callers that
+    know the picture type halve it this way."""
     H, W = mb_h * 16, mb_w * 16
     W4 = mb_w * 4
     n4 = W4 * mb_h * 4
     idx = jnp.arange(n4, dtype=jnp.int32)
     bx4 = idx % W4
     by4 = idx // W4
+    one_list = rs1 is None
     use0 = rs0 >= 0
-    use1 = rs1 >= 0
+    use1 = (jnp.zeros_like(use0) if one_list else (rs1 >= 0))
     r0 = jnp.maximum(rs0, 0)
-    r1 = jnp.maximum(rs1, 0)
+    r1 = None if one_list else jnp.maximum(rs1, 0)
 
     ry = refs_y.astype(jnp.int32).reshape(-1)
     p0y = mc_luma_blocks(ry, r0, mv0, bx4, by4, H, W)
-    p1y = mc_luma_blocks(ry, r1, mv1, bx4, by4, H, W)
+    p1y = p0y if one_list else mc_luma_blocks(ry, r1, mv1, bx4, by4, H, W)
     py = wp_combine(p0y, p1y, use0, use1, wp["wy0"], wp["oy0"],
                     wp["wy1"], wp["oy1"], wp["dy"])
 
@@ -165,9 +177,11 @@ def mc_frame(refs_y, refs_cb, refs_cr, rs0, rs1, mv0, mv1, wp, mb_w, mb_h):
     rcb = refs_cb.astype(jnp.int32).reshape(-1)
     rcr = refs_cr.astype(jnp.int32).reshape(-1)
     p0cb = mc_chroma_blocks(rcb, r0, mv0, bx4, by4, Hc, Wc)
-    p1cb = mc_chroma_blocks(rcb, r1, mv1, bx4, by4, Hc, Wc)
+    p1cb = (p0cb if one_list
+            else mc_chroma_blocks(rcb, r1, mv1, bx4, by4, Hc, Wc))
     p0cr = mc_chroma_blocks(rcr, r0, mv0, bx4, by4, Hc, Wc)
-    p1cr = mc_chroma_blocks(rcr, r1, mv1, bx4, by4, Hc, Wc)
+    p1cr = (p0cr if one_list
+            else mc_chroma_blocks(rcr, r1, mv1, bx4, by4, Hc, Wc))
     pcb = wp_combine(p0cb, p1cb, use0, use1, wp["wcb0"], wp["ocb0"],
                      wp["wcb1"], wp["ocb1"], wp["dc"])
     pcr = wp_combine(p0cr, p1cr, use0, use1, wp["wcr0"], wp["ocr0"],
@@ -180,6 +194,45 @@ def mc_frame(refs_y, refs_cb, refs_cr, rs0, rs1, mv0, mv1, wp, mb_w, mb_h):
     pred_c = (pc.reshape(mb_h, 4, mb_w, 4, 2, 2, 2)
               .transpose(0, 2, 4, 1, 5, 3, 6).reshape(n, 2, 8, 8))
     return pred_y, pred_c
+
+
+def resolve_wp_blocks_jax(ri0, ri1, wp_mode, expl, denom_y, denom_c, imp,
+                          n_ref1):
+    """Device-side (traceable) port of resolve_wp_blocks.
+
+    wp_mode is STATIC (one compiled variant per mode); expl [2,nmax,6]
+    and imp [ncap,2] may be zero-padded; denom_y/denom_c/n_ref1 are
+    traced int32 scalars (stream-dependent, no recompiles)."""
+    import jax.numpy as jnp
+    n4 = ri0.shape[0]
+    z = jnp.zeros(n4, jnp.int32)
+    one = jnp.ones(n4, jnp.int32)
+    out = {"wy0": one, "oy0": z, "wy1": one, "oy1": z, "dy": z,
+           "wcb0": one, "ocb0": z, "wcb1": one, "ocb1": z,
+           "wcr0": one, "ocr0": z, "wcr1": one, "ocr1": z, "dc": z}
+    if wp_mode == 1:
+        i0 = jnp.clip(ri0, 0, expl.shape[1] - 1)
+        i1 = jnp.clip(ri1, 0, expl.shape[1] - 1)
+        e0 = expl[0, i0].astype(jnp.int32)
+        e1 = expl[1, i1].astype(jnp.int32)
+        dyv = jnp.full(n4, denom_y, jnp.int32)
+        dcv = jnp.full(n4, denom_c, jnp.int32)
+        out.update(
+            wy0=e0[:, 0], oy0=e0[:, 1], wy1=e1[:, 0], oy1=e1[:, 1],
+            dy=dyv,
+            wcb0=e0[:, 2], ocb0=e0[:, 3], wcb1=e1[:, 2], ocb1=e1[:, 3],
+            wcr0=e0[:, 4], ocr0=e0[:, 5], wcr1=e1[:, 4], ocr1=e1[:, 5],
+            dc=dcv)
+    elif wp_mode == 2:
+        bi = (ri0 >= 0) & (ri1 >= 0)
+        pair = (jnp.clip(ri0, 0, None) * n_ref1 + jnp.clip(ri1, 0, None))
+        pair = jnp.clip(pair, 0, imp.shape[0] - 1)
+        w0 = jnp.where(bi, imp[pair, 0], 1).astype(jnp.int32)
+        w1 = jnp.where(bi, imp[pair, 1], 1).astype(jnp.int32)
+        d = jnp.where(bi, 5, 0).astype(jnp.int32)
+        out.update(wy0=w0, wy1=w1, dy=d, wcb0=w0, wcb1=w1,
+                   wcr0=w0, wcr1=w1, dc=d)
+    return out
 
 
 def resolve_wp_blocks(ri0, ri1, wp_mode, expl, denom_y, denom_c, imp,

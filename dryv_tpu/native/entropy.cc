@@ -682,6 +682,10 @@ constexpr int kMetaStride = 19;  // must match gop_pipeline.U8_STRIDE
 struct PackJob {
   const int32_t *kind, *qp_y, *i16_mode, *chroma_mode, *modes4, *modes8;
   const int32_t *slice_id, *luma4, *luma8, *luma_dc, *chroma_dc, *chroma_ac;
+  // inter pictures only (nullable): transform_size_8x8 flags — an inter
+  // MB with t8 stores its residual in luma8 rows (intra folds t8 into
+  // kind so the flag is redundant there)
+  const int32_t* transform8 = nullptr;
   int32_t W;
   const int32_t* dbctl;
   uint8_t* bmp;
@@ -826,18 +830,30 @@ inline void pack_mb_lanes(PackJob& pj, int a, const int32_t* L,
   // stream would otherwise push most MBs through the 816-byte-per-MB
   // overflow channel (the round-4 e2e wire-size cliff)
   if (w > local_max) local_max = w;
-  // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits)
+  // per-MB metadata row (nibble-packed intra modes: modes fit 4 bits);
+  // inter MBs (native kinds 4..10) carry stale intra-mode arena slots —
+  // zero them so the device unpack never gathers with garbage indices
   uint8_t* m = pj.u8meta + (int64_t)a * kMetaStride;
-  m[0] = (uint8_t)pj.kind[a];
+  int kk = pj.kind[a];
+  bool inter = kk >= 4 && kk <= 10;
+  // bit 6 of the kind byte carries the inter transform-size flag (intra
+  // folds it into the kind, so the bit stays 0 on the intra paths)
+  int t8f = (pj.transform8 && pj.transform8[a]) ? 0x40 : 0;
+  m[0] = (uint8_t)(kk | t8f);
   m[1] = (uint8_t)pj.qp_y[a];
-  m[2] = (uint8_t)pj.i16_mode[a];
-  m[3] = (uint8_t)pj.chroma_mode[a];
-  const int32_t* m4 = pj.modes4 + (int64_t)a * 16;
-  for (int i = 0; i < 8; i++)
-    m[4 + i] = (uint8_t)((m4[2 * i] & 0xF) | ((m4[2 * i + 1] & 0xF) << 4));
-  const int32_t* m8 = pj.modes8 + (int64_t)a * 4;
-  m[12] = (uint8_t)((m8[0] & 0xF) | ((m8[1] & 0xF) << 4));
-  m[13] = (uint8_t)((m8[2] & 0xF) | ((m8[3] & 0xF) << 4));
+  if (inter) {
+    std::memset(m + 2, 0, 12);
+  } else {
+    m[2] = (uint8_t)pj.i16_mode[a];
+    m[3] = (uint8_t)pj.chroma_mode[a];
+    const int32_t* m4 = pj.modes4 + (int64_t)a * 16;
+    for (int i = 0; i < 8; i++)
+      m[4 + i] =
+          (uint8_t)((m4[2 * i] & 0xF) | ((m4[2 * i + 1] & 0xF) << 4));
+    const int32_t* m8 = pj.modes8 + (int64_t)a * 4;
+    m[12] = (uint8_t)((m8[0] & 0xF) | ((m8[1] & 0xF) << 4));
+    m[13] = (uint8_t)((m8[2] & 0xF) | ((m8[3] & 0xF) << 4));
+  }
   int sid = pj.slice_id[a];
   m[14] = (uint8_t)(sid & 0xFF);
   m[15] = (uint8_t)((sid >> 8) & 0xFF);
@@ -2340,14 +2356,22 @@ namespace {
 // decode_one_slice instead): assemble each MB's 408-lane view from the
 // scattered arrays and emit via the shared pack_mb_lanes.
 void pack_mb_range(PackJob& pj, int lo, int hi) {
-  const int kNkI8 = 1, kNkPcm = 3;
+  const int kNkI8 = 1, kNkPcm = 3, kNkPSkip = 6, kNkBSkip = 9;
   int local_max = 0;
   int32_t L[408];
+  const int32_t Lz[408] = {};
   for (int a = lo; a < hi; a++) {
     int k = pj.kind[a];
     if (k == kNkPcm) { pj.has_pcm.store(1); return; }
-    const int32_t* lv = (k == kNkI8) ? pj.luma8 + (int64_t)a * 256
-                                     : pj.luma4 + (int64_t)a * 256;
+    if (k == kNkPSkip || k == kNkBSkip) {
+      // skip MBs carry no residual; their arena coefficient slots are
+      // stale under buffer reuse — emit an empty row
+      pack_mb_lanes(pj, a, Lz, local_max);
+      continue;
+    }
+    bool use8 = (k == kNkI8) || (pj.transform8 && pj.transform8[a]);
+    const int32_t* lv = use8 ? pj.luma8 + (int64_t)a * 256
+                             : pj.luma4 + (int64_t)a * 256;
     std::memcpy(L, lv, 256 * sizeof(int32_t));
     std::memcpy(L + 256, pj.luma_dc + (int64_t)a * 16, 16 * sizeof(int32_t));
     std::memcpy(L + 272, pj.chroma_dc + (int64_t)a * 2 * 8,
@@ -2372,7 +2396,8 @@ extern "C" int dt_pack_frame(
     const int32_t* chroma_mode, const int32_t* modes4, const int32_t* modes8,
     const int32_t* slice_id, const int32_t* luma4, const int32_t* luma8,
     const int32_t* luma_dc, const int32_t* chroma_dc,
-    const int32_t* chroma_ac, int32_t n, int32_t W,
+    const int32_t* chroma_ac, const int32_t* transform8 /* nullable */,
+    int32_t n, int32_t W,
     const int32_t* dbctl /* [n_slices*3] disable_idc, offa, offb */,
     uint8_t* bmp /* [n*51] */, int8_t* vals /* [n*W] */,
     int32_t* cnt /* [n] */, uint8_t* u8meta /* [n*kMetaStride] */,
@@ -2382,6 +2407,7 @@ extern "C" int dt_pack_frame(
     int32_t n_threads) {
   PackJob pj{kind, qp_y, i16_mode, chroma_mode, modes4, modes8,
              slice_id, luma4, luma8, luma_dc, chroma_dc, chroma_ac,
+             transform8,
              W, dbctl, bmp, vals, cnt, u8meta, exc_idx, exc_delta, ecap,
              ovf_idx, ovf_rows, ovcap};
   int nt = n_threads > 0 ? n_threads : 2;
@@ -2428,7 +2454,7 @@ extern "C" int dt_decode_pack_picture_slices(
   }
   PackJob pj{o.kind, o.qp_y, o.i16_mode, o.chroma_mode, o.modes4,
              o.modes8, o.slice_id, o.luma4, o.luma8, o.luma_dc,
-             o.chroma_dc, o.chroma_ac, W, dbctl, bmp, vals, cnt,
+             o.chroma_dc, o.chroma_ac, nullptr, W, dbctl, bmp, vals, cnt,
              u8meta, exc_idx, exc_delta, ecap, ovf_idx, ovf_rows, ovcap};
   // direct-pack only covers the 4:2:0 lane layout; other chroma formats
   // decode into the arena and pack with the standalone pass

@@ -111,7 +111,7 @@ def lib():
                       [ct.POINTER(InterParams)]
         pk = _lib.dt_pack_frame
         pk.restype = ct.c_int
-        pk.argtypes = [_P] * 12 + [ct.c_int32] * 2 + [_P] + \
+        pk.argtypes = [_P] * 13 + [ct.c_int32] * 2 + [_P] + \
                       [ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int8), _P,
                        ct.POINTER(ct.c_uint8), _P,
                        ct.POINTER(ct.c_int16), ct.c_int32,
@@ -292,23 +292,28 @@ def reconstruct_islices(out: dict, sps, pps):
 
 
 def pack_frame(out: dict, n: int, W: int, dbctl, bmp, vals, cnt, u8meta,
-               exc_idx, exc_delta, ovf_idx, ovf_rows, n_threads: int = 0):
+               exc_idx, exc_delta, ovf_idx, ovf_rows, n_threads: int = 0,
+               inter: bool = False):
     """Pack one picture's entropy outputs into the device bitmap ABI.
 
     bmp [>=n,51] u8, vals [>=n,W] i8, cnt [>=n] i32, u8meta [n,19] u8,
     exc_idx/exc_delta [ecap], ovf_idx [ovcap] i32 / ovf_rows [ovcap,408]
     i16: caller-allocated slot views.  dbctl is an [n_slices,3] int32
-    array (disable_idc, alpha_off, beta_off per slice).  Returns
-    (max_nz_per_mb, n_exc, n_ovf); max_nz == -1 flags PCM (fall back),
-    n_exc > ecap or n_ovf > ovcap means the caller must grow and
-    re-pack."""
+    array (disable_idc, alpha_off, beta_off per slice).  inter=True
+    packs an I/P/B picture: skip MBs emit empty rows, transform8 inter
+    MBs pack luma8 rows, and bit 6 of the kind byte carries the
+    transform-size flag.  Returns (max_nz_per_mb, n_exc, n_ovf);
+    max_nz == -1 flags PCM (fall back), n_exc > ecap or n_ovf > ovcap
+    means the caller must grow and re-pack."""
     n_exc = np.zeros(1, np.int32)
     n_ovf = np.zeros(1, np.int32)
+    t8 = _ptr(out["transform8"]) if inter else _P()
     r = lib().dt_pack_frame(
         _ptr(out["kind"]), _ptr(out["qp_y"]), _ptr(out["i16_mode"]),
         _ptr(out["chroma_mode"]), _ptr(out["modes4"]), _ptr(out["modes8"]),
         _ptr(out["slice_id"]), _ptr(out["luma4"]), _ptr(out["luma8"]),
         _ptr(out["luma_dc"]), _ptr(out["chroma_dc"]), _ptr(out["chroma_ac"]),
+        t8,
         ct.c_int32(n), ct.c_int32(W), _ptr(dbctl),
         bmp.ctypes.data_as(ct.POINTER(ct.c_uint8)),
         vals.ctypes.data_as(ct.POINTER(ct.c_int8)), _ptr(cnt),

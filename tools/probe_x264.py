@@ -67,6 +67,13 @@ CASES = [
     ("mbaff_intra_no8x8", {}, dict(x264_params="qp=33:keyint=1:interlaced=1:bff=1:nf=1:8x8dct=0")),
     ("mbaff_intra_slices", {}, dict(x264_params="qp=24:keyint=1:interlaced=1:tff=1:nf=1:slices=2")),
     ("fake_interlaced", {}, dict(x264_params="qp=28:fake-interlaced=1")),
+    # round-5 additions (VERDICT r4 item 6): third-party 4:4:4 and
+    # lossless coverage — the own-encoder c444/lossless fixtures are
+    # oracle-golden but x264's mode decisions exercise different syntax
+    ("c444", {"fmt": "yuv444p"}, dict(x264_params="qp=28")),
+    ("c444_intra", {"fmt": "yuv444p"}, dict(x264_params="qp=26:keyint=1")),
+    ("c444_lossless", {"fmt": "yuv444p"}, dict(x264_params="qp=0:keyint=1")),
+    ("qp0_lossless_ipb", {}, dict(x264_params="qp=0:bframes=2")),
 ]
 
 
@@ -82,6 +89,12 @@ def make_frames(case_opts):
         for fy, fcb, fcr in frs:
             out.append((fy, np.repeat(fcb, 2, axis=0),
                         np.repeat(fcr, 2, axis=0)))
+        return out, fmt
+    if fmt == "yuv444p":
+        out = []
+        for fy, fcb, fcr in frs:
+            out.append((fy, np.repeat(np.repeat(fcb, 2, axis=0), 2, axis=1),
+                        np.repeat(np.repeat(fcr, 2, axis=0), 2, axis=1)))
         return out, fmt
     return frs, fmt
 
