@@ -235,6 +235,25 @@ def deblock_frame(y, cb, cr, mbs, ms, sps, pps, headers, ref_pics=None,
                         if dis == 2 and info.sid[pmy, pmx] != info.sid[my, mx]:
                             continue
                     _edge_luma(y, info, mx, my, e, vertical, offa, offb)
+            if cat == 3:
+                # ChromaArrayType 3 (spec 8.7): Cb/Cr are filtered with
+                # the LUMA process (all 4 edges per direction, luma
+                # strong/weak filters) using the plane's chroma QP
+                for ci, plane in ((0, cb), (1, cr)):
+                    for vertical in (True, False):
+                        edges = ([0, 8] if info.t8map[my, mx]
+                                 else [0, 4, 8, 12])
+                        for e in edges:
+                            if e == 0:
+                                pmx, pmy = ((mx - 1, my) if vertical
+                                            else (mx, my - 1))
+                                if pmx < 0 or pmy < 0:
+                                    continue
+                                if dis == 2 and (info.sid[pmy, pmx]
+                                                 != info.sid[my, mx]):
+                                    continue
+                            _edge_luma(plane, info, mx, my, e, vertical,
+                                       offa, offb, qp=info.qpc[ci])
             if cat in (1, 2):
                 vs = [0, 4]
                 hs = [0, 4] if cat == 1 else [0, 4, 8, 12]
@@ -305,8 +324,13 @@ def _skip_edge(info, mx, my, vertical, dis):
     return dis == 2 and info.sid[pmy, pmx] != info.sid[my, mx]
 
 
-def _edge_luma(y, info, mx, my, e, vertical, offa, offb):
+def _edge_luma(y, info, mx, my, e, vertical, offa, offb, qp=None):
+    """One luma-process edge.  qp overrides the per-MB QP map: for
+    ChromaArrayType 3 the chroma planes run this same process (spec 8.7
+    chromaEdgeFlag=0 path) with the plane's chroma QP map."""
     mb_edge = e == 0
+    if qp is None:
+        qp = info.qpy
     if vertical:
         xq = mx * 16 + e
         bqx = mx * 4 + e // 4
@@ -327,7 +351,7 @@ def _edge_luma(y, info, mx, my, e, vertical, offa, offb):
                    np.int64)
     if not bs4.any():
         return
-    qpav = (info.qpy[pm] + info.qpy[my, mx] + 1) >> 1
+    qpav = (qp[pm] + qp[my, mx] + 1) >> 1
     ia = int(np.clip(qpav + offa, 0, 51))
     ib = int(np.clip(qpav + offb, 0, 51))
     alpha, beta = ALPHA[ia], BETA[ib]

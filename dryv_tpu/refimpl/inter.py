@@ -541,12 +541,14 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
     maxv = (1 << recon.bitdepth) - 1
     qpy = mb.qp_y
 
-    cat = recon.chroma_array_type  # 0 mono, 1 = 4:2:0, 2 = 4:2:2
+    cat = recon.chroma_array_type  # 0 mono, 1 420, 2 422, 3 444
     suby = 2 if cat == 1 else 1
-    chh = 8 * cat
+    subx = 1 if cat == 3 else 2
+    chh = 16 if cat == 3 else 8 * cat
+    cw = 16 if cat == 3 else 8
     pred_y = np.zeros((16, 16), dtype=np.int64)
-    pred_cb = np.zeros((chh, 8), dtype=np.int64) if cat else None
-    pred_cr = np.zeros((chh, 8), dtype=np.int64) if cat else None
+    pred_cb = np.zeros((chh, cw), dtype=np.int64) if cat else None
+    pred_cr = np.zeros((chh, cw), dtype=np.int64) if cat else None
     lists = (ref_list if ref_list is not None
              else [(ref_y, ref_cb, ref_cr)], ref_list1)
 
@@ -564,7 +566,14 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
             ry, rcb, rcr = lst[ridx]
             yv = luma_interp(ry, px, py, pw, ph, int(mv[0]), int(mv[1]))
             cbv = crv = None
-            if cat:
+            if cat == 3:
+                # ChromaArrayType 3 (spec 8.4.2.2.2): chroma planes use
+                # the LUMA quarter-sample interpolation, unscaled MVs
+                cbv = luma_interp(rcb, px, py, pw, ph, int(mv[0]),
+                                  int(mv[1]))
+                crv = luma_interp(rcr, px, py, pw, ph, int(mv[0]),
+                                  int(mv[1]))
+            elif cat:
                 cmvy = int(mv[1])
                 if cvoff is not None:
                     cmvy += int(cvoff[which][ridx])
@@ -614,8 +623,9 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
         pred_y[oy4 * 4:oy4 * 4 + ph, ox4 * 4:ox4 * 4 + pw] = accy
         if cat:
             cy, cph = oy4 * 4 // suby, ph // suby
-            pred_cb[cy:cy + cph, ox4 * 2:ox4 * 2 + pw // 2] = accb
-            pred_cr[cy:cy + cph, ox4 * 2:ox4 * 2 + pw // 2] = accr
+            oxc, pwc = ox4 * 4 // subx, pw // subx
+            pred_cb[cy:cy + cph, oxc:oxc + pwc] = accb
+            pred_cr[cy:cy + cph, oxc:oxc + pwc] = accr
 
     def direct_quad(q, quads):
         """Apply direct-mode motion to 8x8 quadrant q."""
@@ -669,14 +679,16 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
 
     # ---- residuals -----------------------------------------------------
     skip_kinds = (MbKind.P_SKIP, MbKind.B_SKIP)
+    byp = recon.bypass(qpy)   # lossless: residual placed directly (8.5)
     resid = np.zeros((16, 16), dtype=np.int64)
     if mb.kind not in skip_kinds and (mb.cbp & 0x0F):
         if mb.transform8x8:
             for blk in range(4):
                 if not ((mb.cbp >> blk) & 1):
                     continue
-                r = dequant_idct_8x8(dezigzag8(mb.luma8[blk]), qpy,
-                                     recon.ls8[1])
+                r = (dezigzag8(mb.luma8[blk]) if byp
+                     else dequant_idct_8x8(dezigzag8(mb.luma8[blk]), qpy,
+                                           recon.ls8[1]))
                 qx, qy = blk & 1, blk >> 1
                 resid[qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8] = r
         else:
@@ -684,8 +696,9 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
             for blk in range(16):
                 if not ((mb.cbp >> (blk >> 2)) & 1):
                     continue
-                r = dequant_idct_4x4(dezigzag4(mb.luma4[blk]), qpy,
-                                     recon.ls4[3], False)
+                r = (dezigzag4(mb.luma4[blk]) if byp
+                     else dequant_idct_4x4(dezigzag4(mb.luma4[blk]), qpy,
+                                           recon.ls4[3], False))
                 ox, oy = ZP[blk]
                 resid[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] = r
     recon.y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred_y + resid, 0, maxv)
@@ -697,27 +710,71 @@ def recon_inter_mb(recon, mb: MBState, addr: int, slice_id: int,
         qp_off = (recon.pps.chroma_qp_index_offset if ci == 0
                   else recon.pps.second_chroma_qp_offset)
         qpc = qpc_from_qpy(qpy, qp_off, recon.qp_bd_offset_c)
-        cresid = np.zeros((chh, 8), dtype=np.int64)
-        if mb.kind not in skip_kinds and (mb.cbp & 0x30):
-            if cat == 1:
-                dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
-                dcv = idct_chroma_dc(dc_in, qpc, recon.ls4[4 + ci], 1)
+        cresid = np.zeros((chh, cw), dtype=np.int64)
+        if cat == 3:
+            # ChromaArrayType 3: each chroma plane runs the LUMA residual
+            # process (spec 8.5; CodedBlockPatternLuma covers all three
+            # planes per 7.4.2.1.1) with the chroma QP / scaling lists
+            if mb.kind not in skip_kinds and (mb.cbp & 0x0F):
+                if mb.transform8x8:
+                    for blk in range(4):
+                        if not ((mb.cbp >> blk) & 1):
+                            continue
+                        lv = dezigzag8(mb.cbcr8[ci][blk])
+                        r = (lv if byp
+                             else dequant_idct_8x8(lv, qpc,
+                                                   recon.ls8[3 + 2 * ci]))
+                        qx, qy = blk & 1, blk >> 1
+                        cresid[qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8] = r
+                else:
+                    from ..avc.neighbors import ZSCAN_4X4_POS as ZP
+                    for blk in range(16):
+                        if not ((mb.cbp >> (blk >> 2)) & 1):
+                            continue
+                        lv = dezigzag4(mb.cbcr4[ci][blk])
+                        r = (lv if byp
+                             else dequant_idct_4x4(lv, qpc,
+                                                   recon.ls4[4 + ci],
+                                                   False))
+                        ox, oy = ZP[blk]
+                        cresid[oy * 4:oy * 4 + 4, ox * 4:ox * 4 + 4] = r
+        elif mb.kind not in skip_kinds and (mb.cbp & 0x30):
+            if byp:
+                # lossless (8.5 bypass): DC + AC levels place directly,
+                # no inter DPCM
+                for j in range(4 * cat):
+                    qx, qy = j & 1, j >> 1
+                    full = np.zeros(16, dtype=np.int64)
+                    if cat == 1:
+                        full[0] = mb.chroma_dc[ci][j]
+                    else:
+                        raster = np.zeros(8, dtype=np.int64)
+                        raster[[0, 2, 1, 4, 6, 3, 5, 7]] = \
+                            mb.chroma_dc[ci][:8]
+                        full[0] = raster[j]
+                    full[1:] = mb.chroma_ac[ci][j][:15]
+                    cresid[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = \
+                        dezigzag4(full)
             else:
-                # 4:2:2: 8 DC levels in the fixed 2x4 scan (8.5.11.2)
-                raster = np.zeros(8, dtype=np.int64)
-                raster[[0, 2, 1, 4, 6, 3, 5, 7]] = mb.chroma_dc[ci][:8]
-                dcv = idct_chroma_dc(raster.reshape(4, 2), qpc + 3,
-                                     recon.ls4[4 + ci], 2)
-            for j in range(4 * cat):
-                qx, qy = j & 1, j >> 1
-                full = np.zeros(16, dtype=np.int64)
-                full[1:] = mb.chroma_ac[ci][j][:15]
-                c = dezigzag4(full)
-                c[0, 0] = dcv[qy, qx]
-                r = dequant_idct_4x4(c, qpc, recon.ls4[4 + ci], True)
-                cresid[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = r
-        cy0, cx0 = y0 // suby, x0 // 2
-        plane[cy0:cy0 + chh, cx0:cx0 + 8] = np.clip(pred + cresid, 0, maxv)
+                if cat == 1:
+                    dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
+                    dcv = idct_chroma_dc(dc_in, qpc, recon.ls4[4 + ci], 1)
+                else:
+                    # 4:2:2: 8 DC levels in the fixed 2x4 scan (8.5.11.2)
+                    raster = np.zeros(8, dtype=np.int64)
+                    raster[[0, 2, 1, 4, 6, 3, 5, 7]] = mb.chroma_dc[ci][:8]
+                    dcv = idct_chroma_dc(raster.reshape(4, 2), qpc + 3,
+                                         recon.ls4[4 + ci], 2)
+                for j in range(4 * cat):
+                    qx, qy = j & 1, j >> 1
+                    full = np.zeros(16, dtype=np.int64)
+                    full[1:] = mb.chroma_ac[ci][j][:15]
+                    c = dezigzag4(full)
+                    c[0, 0] = dcv[qy, qx]
+                    r = dequant_idct_4x4(c, qpc, recon.ls4[4 + ci], True)
+                    cresid[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = r
+        cy0, cx0 = y0 // suby, x0 // subx
+        plane[cy0:cy0 + chh, cx0:cx0 + cw] = np.clip(pred + cresid, 0, maxv)
 
     recon.blk_done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
     recon.mb_done[my, mx] = True

@@ -315,10 +315,8 @@ class FrameRecon:
             qpc = qpc_from_qpy(qp_base, qp_off, self.qp_bd_offset_c)
             ls4 = self.ls4[1 + ci]
             if self.bypass(mb.qp_y):
-                if cat != 1:
-                    raise NotImplementedError("bypass chroma is 4:2:0-only")
                 self._recon_chroma_bypass(mb, ci, plane, cx0, cy0, avail_a,
-                                          avail_b, avail_d, maxv)
+                                          avail_b, avail_d, maxv, cat)
                 continue
             if cat == 1:
                 dc_in = mb.chroma_dc[ci][:4].reshape(2, 2)
@@ -349,14 +347,20 @@ class FrameRecon:
             plane[cy0:cy0 + ch, cx0:cx0 + 8] = u
 
     def _recon_chroma_bypass(self, mb, ci, plane, cx0, cy0, avail_a,
-                             avail_b, avail_d, maxv):
+                             avail_b, avail_d, maxv, cat=1):
         """Lossless chroma (8.3.5 + 8.5.11 identity DC): residual placed
-        directly; DPCM for horizontal/vertical chroma modes."""
-        resid = np.zeros((8, 8), dtype=np.int64)
-        for j in range(4):
+        directly; DPCM for horizontal/vertical chroma modes.  cat 2
+        (4:2:2) has 8 blocks per plane with the DC levels coded in the
+        fixed 2x4 scan of 8.5.11.2."""
+        ch = 8 * cat
+        resid = np.zeros((ch, 8), dtype=np.int64)
+        if cat == 2:
+            dc_raster = np.zeros(8, dtype=np.int64)
+            dc_raster[[0, 2, 1, 4, 6, 3, 5, 7]] = mb.chroma_dc[ci][:8]
+        for j in range(4 * cat):
             bx, by = j & 1, j >> 1
             full = np.zeros(16, dtype=np.int64)
-            full[0] = mb.chroma_dc[ci][j]
+            full[0] = (mb.chroma_dc[ci][j] if cat == 1 else dc_raster[j])
             full[1:] = mb.chroma_ac[ci][j][:15]
             resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = dezigzag4(full)
         mode = int(mb.chroma_mode)
@@ -366,11 +370,11 @@ class FrameRecon:
             resid = np.cumsum(resid, axis=0)
         above = plane[cy0 - 1, cx0:cx0 + 8] if avail_b else \
             np.zeros(8, np.int64)
-        left = plane[cy0:cy0 + 8, cx0 - 1] if avail_a else \
-            np.zeros(8, np.int64)
+        left = plane[cy0:cy0 + ch, cx0 - 1] if avail_a else \
+            np.zeros(ch, np.int64)
         corner = int(plane[cy0 - 1, cx0 - 1]) if avail_d else 0
         pred = ip.pred_chroma(mode, above, left, corner, avail_a,
-                              avail_b, avail_d, 8, 8, self.bitdepth)
+                              avail_b, avail_d, 8, ch, self.bitdepth)
         u = np.clip(pred + resid, 0, maxv)
-        plane[cy0:cy0 + 8, cx0:cx0 + 8] = u
+        plane[cy0:cy0 + ch, cx0:cx0 + 8] = u
 

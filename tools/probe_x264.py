@@ -74,6 +74,7 @@ CASES = [
     ("c444_intra", {"fmt": "yuv444p"}, dict(x264_params="qp=26:keyint=1")),
     ("c444_lossless", {"fmt": "yuv444p"}, dict(x264_params="qp=0:keyint=1")),
     ("qp0_lossless_ipb", {}, dict(x264_params="qp=0:bframes=2")),
+    ("c422_lossless", {"fmt": "yuv422p"}, dict(x264_params="qp=0:keyint=1")),
 ]
 
 
