@@ -139,14 +139,20 @@ class IntraEncoder:
         self.policy = mb_kind_policy or (lambda addr: "i16" if addr % 3 == 0
                                          else "i4")
 
-    def encode_frame(self, src_y, src_cb, src_cr, slice_bounds=None):
-        """Returns list[MBState].  slice_bounds: list of first_mb addrs."""
+    def encode_frame(self, src_y, src_cb, src_cr, slice_bounds=None,
+                     slice_ids=None):
+        """Returns list[MBState].  slice_bounds: list of first_mb addrs;
+        slice_ids: explicit per-MB slice/group id (FMO — raster-order
+        encoding with group-gated availability is decode-order
+        equivalent, since a slice group's MBs decode in raster order
+        among themselves and cross-group neighbors are unavailable)."""
         R = self.recon
         n = R.mb_w * R.mb_h
         slice_bounds = slice_bounds or [0]
         mbs = []
         for addr in range(n):
-            sid = sum(1 for b in slice_bounds if b <= addr) - 1
+            sid = (int(slice_ids[addr]) if slice_ids is not None
+                   else sum(1 for b in slice_bounds if b <= addr) - 1)
             kind = self.policy(addr)
             mb = MBState.fresh()
             mb.qp_y = self.qp
@@ -326,6 +332,11 @@ class IntraEncoder:
 
     def _encode_i8(self, mb, addr, sid, src_y):
         R = self.recon
+        # an 8x8-transform MB is only expressible when the PPS enables it
+        # (otherwise the coded stream silently drops the flag and the
+        # decoder parses 16 4x4 modes — a round-trip desync)
+        assert R.pps.transform_8x8_mode_flag, \
+            "I8 macroblock requires pps.transform_8x8_mode_flag"
         self._mark_mb(addr, sid)
         mx, my = addr % R.mb_w, addr // R.mb_w
         mb.kind = MbKind.I_NXN

@@ -62,7 +62,8 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
                       pred_weight_table=None,
                       direct_spatial: int = 1,
                       mmco=None, rplm_l0=None,
-                      field_pic: int = 0, bottom_field: int = 0) -> NalUnit:
+                      field_pic: int = 0, bottom_field: int = 0,
+                      sgmap=None) -> NalUnit:
     """Encode one slice covering `mb_list` starting at `first_mb`.
 
     mbs_frame: frame-wide MBState list (shared across slices for correct
@@ -101,7 +102,7 @@ def encode_islice_nal(sps: SPS, pps: PPS, mbs_frame, mb_list, first_mb: int,
         init_mode = 0 if h.slice_type.is_intra else 1 + h.cabac_init_idc
         eng = CabacEncoder(h.slice_qp_y(pps), init_mode)
         coder = SliceCoder(eng, sps, pps, h, mbs_frame, slice_id)
-        coder.encode_slice_data(mb_list)
+        coder.encode_slice_data(mb_list, sgmap=sgmap)
         for b in eng.get_bits():
             w.bit(b)
         w.byte_align(fill=0)
@@ -181,6 +182,29 @@ def encode_frame_annexb(sps: SPS, pps: PPS, mb_rows_per_slice, mb_list,
         lo, hi = bounds[sid], bounds[sid + 1]
         nals.append(encode_islice_nal(
             sps, pps, mbs_frame, mb_list[lo:hi], lo, sid, **kw))
+    return to_annexb(nals)
+
+
+def encode_fmo_frame_annexb(sps, pps, mb_list, sgmap) -> bytes:
+    """Assemble an FMO intra frame: one slice per slice group, each
+    walking its group's MBs via the 8.2.2 map (pps.slice_groups must
+    describe the same map that produced `sgmap`)."""
+    n = len(mb_list)
+    ngroups = int(max(sgmap)) + 1
+    nals = [
+        NalUnit.build(3, NalUnitType.SPS, sps.write()),
+        NalUnit.build(3, NalUnitType.PPS, pps.write()),
+    ]
+    mbs_frame = [None] * n
+    # the slice containing MB 0 must come first (first_mb_in_slice == 0
+    # marks the access-unit boundary); order groups by first address
+    groups = sorted(range(ngroups),
+                    key=lambda g: min(a for a in range(n) if sgmap[a] == g))
+    for sid, g in enumerate(groups):
+        addrs = [a for a in range(n) if sgmap[a] == g]
+        nals.append(encode_islice_nal(
+            sps, pps, mbs_frame, [mb_list[a] for a in addrs],
+            addrs[0], sid, sgmap=sgmap))
     return to_annexb(nals)
 
 

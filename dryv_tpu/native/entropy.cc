@@ -1693,7 +1693,8 @@ struct SliceParams {
 void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
                       int last_mb, int slice_id, const PicParams* pp,
                       Out* o, std::vector<MB>* mbs, int slice_index,
-                      PackJob* pj = nullptr) {
+                      PackJob* pj = nullptr,
+                      const int32_t* mb_next = nullptr) {
   SliceCtx s;
   s.pj = pj;
   s.pp = pp;
@@ -1764,7 +1765,13 @@ void decode_one_slice(const uint8_t* rbsp, const SliceParams& sp,
       std::memset(s.lanes, 0, sizeof(s.lanes));
     }
     s.prev_addr = s.curr;
-    s.curr++;  // make current MB visible as neighbor (mb_at checks < curr)
+    // advance: raster by default; FMO walks the slice group's own
+    // next-address chain (spec 8.2.2.8; -1 ends the group).  mb_at's
+    // `addr < curr` availability stays correct because decode order is
+    // raster-ascending WITHIN a slice group and cross-group neighbors
+    // are excluded by the slice-id gate.
+    int nxt = mb_next ? mb_next[s.curr] : s.curr + 1;
+    s.curr = (nxt < 0) ? n : nxt;
     int end = s.eng.terminate();
     if (end || s.curr >= n || (last_mb >= 0 && s.curr > last_mb)) break;
   }
@@ -2299,6 +2306,46 @@ int dt_decode_picture_slices(
     int last = (k + 1 < n_slices) ? sp[k + 1].first_mb - 1 : n - 1;
     decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], last, k, &pp, &o,
                      &mbs, k);
+  };
+  if (n_threads <= 1 || n_slices == 1) {
+    for (int k = 0; k < n_slices; k++) work(k);
+  } else {
+    SlicePool::inst().run_parallel(n_slices, work);
+  }
+  return 0;
+}
+
+// FMO variant: `sgmap` [n] gives each MB's slice group; slice k covers
+// slice group k (one slice per group), walking the group's MBs in
+// raster order among themselves (map types 0-6 all reduce to this walk,
+// spec 8.2.2.8).  Slices still decode in parallel — FMO groups write
+// disjoint MB sets.  The reference initializes all seven map types
+// (/root/reference/src/video/avcc/pps.rs:145-300) but its decode loop
+// never walks them.
+int dt_decode_picture_slices_fmo(
+    const uint8_t* rbsp_all, const SliceParams* sp, int32_t n_slices,
+    PicParams pp, Out o, int32_t n_threads, const int32_t* sgmap) {
+  int n = pp.mb_w * pp.mb_h;
+  std::vector<MB> mbs(n);
+  std::vector<int32_t> mb_next(n, -1);
+  // slice k covers the group of its first MB (slices arrive in NAL
+  // order, which need not match group numbering — e.g. a foreground box
+  // group whose first MB is not MB 0)
+  int max_g = 0;
+  for (int a = 0; a < n; a++) max_g = sgmap[a] > max_g ? sgmap[a] : max_g;
+  std::vector<int32_t> slice_of_grp(max_g + 1, -1);
+  for (int k = 0; k < n_slices; k++)
+    slice_of_grp[sgmap[sp[k].first_mb]] = k;
+  std::vector<int32_t> prev(max_g + 1, -1);
+  for (int a = 0; a < n; a++) {
+    int g = sgmap[a];
+    o.slice_id[a] = slice_of_grp[g];
+    if (prev[g] >= 0) mb_next[prev[g]] = a;
+    prev[g] = a;
+  }
+  std::function<void(int)> work = [&](int k) {
+    decode_one_slice(rbsp_all + sp[k].rbsp_off, sp[k], -1, k, &pp, &o,
+                     &mbs, k, nullptr, mb_next.data());
   };
   if (n_threads <= 1 || n_slices == 1) {
     for (int k = 0; k < n_slices; k++) work(k);

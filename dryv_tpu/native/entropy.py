@@ -96,6 +96,9 @@ def lib():
         fnc = _lib.dt_decode_picture_slices_cavlc
         fnc.restype = ct.c_int
         fnc.argtypes = fn.argtypes
+        fmo = _lib.dt_decode_picture_slices_fmo
+        fmo.restype = ct.c_int
+        fmo.argtypes = fn.argtypes + [_P]
         rf = _lib.dt_reconstruct_islices
         rf.restype = ct.c_int
         rf.argtypes = [_P] * 15 + [ct.c_int32] * 4 + \
@@ -218,15 +221,26 @@ def _marshal(slice_datas, sps, pps, reuse):
 
 
 def decode_picture_slices(slice_datas, sps, pps, n_threads: int = 0,
-                          reuse: bool = False):
+                          reuse: bool = False, sgmap=None):
     """slice_datas: list of (rbsp, bit_off, first_mb, slice_qp, slice_type,
     cabac_init_idc, nref_l0, nref_l1).  Returns dense array dict.
 
     reuse=True hands back arena-cached output buffers (overwritten on the
     next reuse=True call with the same geometry) — use for throughput
-    pipelines that consume the arrays before the next frame decode."""
+    pipelines that consume the arrays before the next frame decode.
+
+    sgmap: FMO slice-group map ([n] int array, one slice per group in
+    group order); CABAC only."""
     keep, buf, sp_arr, ns, pp, out, ostruct = _marshal(slice_datas, sps,
                                                        pps, reuse)
+    if sgmap is not None:
+        assert pps.entropy_coding_mode_flag
+        sg = np.ascontiguousarray(np.asarray(sgmap).reshape(-1), np.int32)
+        rc = lib().dt_decode_picture_slices_fmo(
+            buf, sp_arr, ct.c_int32(ns), pp, ostruct,
+            ct.c_int32(n_threads or min(ns, 16)), _ptr(sg))
+        assert rc == 0
+        return out
     entry = (lib().dt_decode_picture_slices if pps.entropy_coding_mode_flag
              else lib().dt_decode_picture_slices_cavlc)
     rc = entry(
