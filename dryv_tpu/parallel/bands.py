@@ -277,3 +277,131 @@ def make_banded_gop_pallas_fn(mesh, mb_w: int, mb_h: int, F: int,
                 np.asarray(cr)[:, :H // 2])
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Banded P-frame reconstruction: reference-plane halo exchange for inter
+# prediction (the last SURVEY 2.10 partial).  Motion vectors reach into
+# neighbor bands' reference pixels; each band ppermutes an apron of its
+# top/bottom reference rows to its neighbors (MV reach is bounded by the
+# level's vertical MV limit, so the apron height is a static bound the
+# host asserts), then motion-compensates its own blocks entirely locally.
+# The reference decoder has no inter reconstruction and no multi-device
+# story at all (frame/mod.rs:88, SURVEY 2.10).
+# ---------------------------------------------------------------------------
+
+def make_banded_p_recon_fn(mesh, mb_w: int, mb_h: int, apron: int,
+                           axis: str = "band"):
+    """Returns run(ref_y, ref_cb, ref_cr, mv [n4,2], rs [n4], y_resid
+    [n,16,16], c_resid [n,2,8,8]) -> (y, cb, cr) uint8 planes for a
+    single-reference P picture with no intra MBs.
+
+    Planes and per-block arrays shard along MB rows over the mesh's
+    `axis`; each device receives `apron` extra reference rows from each
+    neighbor band over ICI (one ppermute pair) and runs quarter-pel MC +
+    residual add locally.  Vertical MV integer reach (plus the 6-tap
+    margin) must stay within `apron` — the caller asserts this against
+    the level's vertical MV range."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.inter import mc_luma_blocks, mc_chroma_blocks
+
+    n_bands = mesh.shape[axis]
+    assert mb_h % n_bands == 0, "bands must split MB rows evenly"
+    hb_mb = mb_h // n_bands
+    H, W = mb_h * 16, mb_w * 16
+    Hb = hb_mb * 16                      # luma rows per band
+    Hcb = Hb // 2
+    A = apron
+    Ac = A // 2
+    W4 = mb_w * 4
+
+    def local(ry, rcb, rcr, mv, rs, y_resid, c_resid):
+        b = jax.lax.axis_index(axis)
+        down = [(i, (i + 1) % n_bands) for i in range(n_bands)]
+        up = [(i, (i - 1) % n_bands) for i in range(n_bands)]
+
+        def ext_plane(p, a, hb, htot):
+            """Extended local plane [a + hb + a, W]: aprons gathered from
+            ceil(a/hb) neighbor bands in each direction (chained
+            ppermutes over ICI), then remapped so rows outside the frame
+            replicate the frame edge — which makes the extended-plane
+            row clamp EXACTLY the global row clamp (same argument as
+            edge-padded window gathers)."""
+            pl = p[0]
+            k = -(-a // hb)
+            segs_up, segs_dn = [], []
+            cur_u = cur_d = pl
+            for _ in range(k):
+                cur_u = jax.lax.ppermute(cur_u, axis, down)
+                segs_up.insert(0, cur_u)
+                cur_d = jax.lax.ppermute(cur_d, axis, up)
+                segs_dn.append(cur_d)
+            ext = jnp.concatenate(segs_up + [pl] + segs_dn, axis=0)
+            ext = ext[k * hb - a:k * hb + hb + a]
+            row0 = b * hb
+            g = jnp.arange(hb + 2 * a) + row0 - a
+            idx = jnp.clip(g, 0, htot - 1) - (row0 - a)
+            return jnp.take(ext, jnp.clip(idx, 0, hb + 2 * a - 1), axis=0)
+
+        ey = ext_plane(ry, A, Hb, H).astype(jnp.int32)
+        ecb = ext_plane(rcb, Ac, Hcb, H // 2).astype(jnp.int32)
+        ecr = ext_plane(rcr, Ac, Hcb, H // 2).astype(jnp.int32)
+
+        n4l = mv.shape[0]                # blocks in this band
+        idx = jnp.arange(n4l, dtype=jnp.int32)
+        bx4 = idx % W4
+        by4 = idx // W4                  # band-LOCAL block rows
+        # localize by shifting the block grid: the extended plane starts
+        # A pixel rows (A//4 block rows) above the band, so the shared
+        # MC helpers compute exactly the globally-clamped windows as
+        # long as the vertical reach stays within the apron (asserted
+        # in run())
+        by4_l = by4 + A // 4
+        zero_rs = jnp.zeros(n4l, jnp.int32)
+        p0y = mc_luma_blocks(ey.reshape(-1), zero_rs, mv, bx4, by4_l,
+                             Hb + 2 * A, W)
+        p0cb = mc_chroma_blocks(ecb.reshape(-1), zero_rs, mv, bx4, by4_l,
+                                Hcb + 2 * Ac, W // 2)
+        p0cr = mc_chroma_blocks(ecr.reshape(-1), zero_rs, mv, bx4, by4_l,
+                                Hcb + 2 * Ac, W // 2)
+        use = (rs[:, None, None] >= 0)
+        py = jnp.where(use, p0y, 0)
+        pcb = jnp.where(use, p0cb, 0)
+        pcr = jnp.where(use, p0cr, 0)
+
+        nl = hb_mb * mb_w
+        pred_y = (py.reshape(hb_mb, 4, mb_w, 4, 4, 4)
+                  .transpose(0, 2, 1, 4, 3, 5).reshape(nl, 16, 16))
+        pc = jnp.stack([pcb, pcr], axis=1)
+        pred_c = (pc.reshape(hb_mb, 4, mb_w, 4, 2, 2, 2)
+                  .transpose(0, 2, 4, 1, 5, 3, 6).reshape(nl, 2, 8, 8))
+        ty = jnp.clip(pred_y + y_resid, 0, 255).astype(jnp.uint8)
+        tc = jnp.clip(pred_c + c_resid, 0, 255).astype(jnp.uint8)
+        yp = (ty.reshape(hb_mb, mb_w, 16, 16).transpose(0, 2, 1, 3)
+              .reshape(Hb, W))
+        cbp = (tc[:, 0].reshape(hb_mb, mb_w, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(Hcb, W // 2))
+        crp = (tc[:, 1].reshape(hb_mb, mb_w, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(Hcb, W // 2))
+        return yp[None], cbp[None], crp[None]
+
+    spec = P(axis)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                             spec, spec, spec, spec),
+                   out_specs=(P(None, axis), P(None, axis), P(None, axis)))
+    jfn = jax.jit(fn)
+
+    def run(ref_y, ref_cb, ref_cr, mv, rs, y_resid, c_resid):
+        # MV vertical reach check: integer rows + 6-tap margin within A
+        reach = int(np.max(np.abs(np.asarray(mv)[:, 1]))) // 4 + 9
+        assert reach <= A, f"vertical MV reach {reach} exceeds apron {A}"
+        y, cb, cr = jfn(jnp.asarray(ref_y)[None], jnp.asarray(ref_cb)[None],
+                        jnp.asarray(ref_cr)[None], jnp.asarray(mv),
+                        jnp.asarray(rs), jnp.asarray(y_resid),
+                        jnp.asarray(c_resid))
+        return np.asarray(y[0]), np.asarray(cb[0]), np.asarray(cr[0])
+
+    return run

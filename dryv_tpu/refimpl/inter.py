@@ -342,9 +342,13 @@ def _temporal_direct(ms: MotionState, addr: int, ctx: TemporalDirectCtx):
         try:
             ref0 = ctx.list0_keys.index(ref_key)
         except ValueError:
-            raise NotImplementedError(
-                "temporal direct: co-located reference picture absent "
-                "from the current list 0")
+            # Spec 8.4.1.2.3 presumes refPicCol is reachable through the
+            # current list 0; a stream where it is not is non-conformant
+            # (the encoder must not choose temporal direct there).
+            # libavcodec's fill_colmap maps such references to index 0
+            # (h264_direct.c), so mirror the oracle instead of failing.
+            ref0 = 0
+            ref_key = ctx.list0_keys[0]
         poc0 = ctx.poc_by_key[ref_key]
         cmv = np.asarray(cmv, np.int64)
         if ctx.longterm_by_key.get(ref_key) or ctx.poc_pic1 == poc0:
